@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the engine.
+
+Scale posture: every default here is chosen for a large cluster (AQE on,
+skew-join handling, partition coalescing, Arrow for the Pandas-UDF paths)
+while remaining correct on ``local[*]`` test runs.  Tests/bench override
+``shuffle_partitions`` to the local core count.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "arthur-redshift-etl-spark",
+    master: Optional[str] = None,
+    shuffle_partitions: Optional[int] = None,
+    warehouse_dir: Optional[str] = None,
+    extra_conf: Optional[dict] = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Adaptive execution: runtime re-planning, skew-join splitting, and
+        # post-shuffle partition coalescing — essential at 100 TB where static
+        # shuffle-partition counts are always wrong for some stage.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow transfer for pandas_udf/applyInPandas paths (dedup, similarity).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Reference timestamps are tz-naive UTC (SURVEY §1.3).
+        .config("spark.sql.session.timeZone", "UTC")
+        # ANSI off: Redshift-style permissive casts in user SQL.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Independent relation builds may submit jobs from multiple threads.
+        .config("spark.scheduler.mode", "FAIR")
+    )
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,129 @@
+"""Unit tests for the pure-Python core: names, designs, types, compat shim."""
+
+import doctest
+
+import pytest
+
+import arthur_redshift_etl_spark.design as design_mod
+import arthur_redshift_etl_spark.functions.compat as compat_mod
+import arthur_redshift_etl_spark.names as names_mod
+from arthur_redshift_etl_spark.design import (
+    ColumnDefinition,
+    TableDesign,
+    column_from_attribute,
+    generic_to_spark_type,
+)
+from arthur_redshift_etl_spark.design.validate import load_design
+from arthur_redshift_etl_spark.errors import (
+    TableDesignSemanticError,
+    TableDesignSyntaxError,
+)
+from arthur_redshift_etl_spark.names import TableName, TableSelector
+
+
+@pytest.mark.parametrize("mod", [names_mod, design_mod, compat_mod])
+def test_doctests(mod):
+    failures, _ = doctest.testmod(mod, verbose=False)
+    assert failures == 0
+
+
+def test_table_name_staging_roundtrip():
+    tn = TableName("dw", "orders")
+    assert tn.as_staging().schema == "etl_staging__dw"
+    assert tn.as_staging().is_staging
+    assert not tn.is_staging
+    assert tn.quoted() == "`dw`.`orders`"
+
+
+def test_selector_schema_only_pattern():
+    sel = TableSelector(["dw"])
+    assert sel.match(TableName("dw", "anything"))
+    assert not sel.match(TableName("other", "anything"))
+    assert sel.match_schema("dw") and not sel.match_schema("other")
+
+
+def test_generic_type_mapping_decimal_passthrough():
+    from pyspark.sql import types as T
+
+    assert generic_to_spark_type("decimal", "numeric(20,4)") == T.DecimalType(20, 4)
+    assert generic_to_spark_type("timestamp") == T.TimestampNTZType()
+
+
+def test_design_schema_and_metadata():
+    d = TableDesign(
+        name="dw.t",
+        source_name="CTAS",
+        columns=[
+            ColumnDefinition("id", "long", not_null=True, identity=True),
+            ColumnDefinition("name", "string", sql_type="varchar(255)"),
+            ColumnDefinition("hidden", "string", skipped=True),
+        ],
+    )
+    schema = d.to_spark_schema()
+    assert [f.name for f in schema.fields] == ["id", "name"]
+    assert not schema["id"].nullable
+    assert schema["name"].metadata["varchar_length"] == 255
+
+
+def test_validate_rejects_view_with_constraints():
+    doc = {
+        "name": "dw.v",
+        "source_name": "VIEW",
+        "columns": [{"name": "a"}],
+        "constraints": [{"primary_key": ["a"]}],
+    }
+    with pytest.raises(TableDesignSemanticError):
+        load_design(doc)
+
+
+def test_validate_rejects_bad_split_by():
+    doc = {
+        "name": "src.t",
+        "source_name": "db.public.t",
+        "columns": [{"name": "k", "type": "string"}],
+        "extract_settings": {"split_by": ["k"]},
+    }
+    with pytest.raises(TableDesignSemanticError):
+        load_design(doc)
+
+
+def test_validate_rejects_missing_keys_and_bad_types():
+    with pytest.raises(TableDesignSyntaxError):
+        load_design({"name": "a.b", "columns": [{"name": "x"}]})
+    with pytest.raises(TableDesignSyntaxError):
+        load_design(
+            {
+                "name": "a.b",
+                "source_name": "CTAS",
+                "columns": [{"name": "x", "type": "varchar"}],
+            }
+        )
+
+
+def test_surrogate_key_must_be_identity():
+    doc = {
+        "name": "dw.dim",
+        "source_name": "CTAS",
+        "columns": [{"name": "key", "type": "long"}, {"name": "x"}],
+        "constraints": [{"surrogate_key": ["key"]}],
+    }
+    with pytest.raises(TableDesignSemanticError):
+        load_design(doc)
+    doc["columns"][0]["identity"] = True
+    assert load_design(doc).identity_column.name == "key"
+
+
+def test_column_from_attribute_fallback():
+    c = column_from_attribute("e", "user_defined_enum")
+    assert c.sql_type == "varchar(10000)" and c.type == "string"
+
+
+def test_compat_dateadd_untouched_listagg_rewritten():
+    from arthur_redshift_etl_spark.functions import rewrite_redshift_sql
+
+    sql = "SELECT LISTAGG(name, ', ') WITHIN GROUP (ORDER BY name) FROM t GROUP BY g"
+    out = rewrite_redshift_sql(sql)
+    assert "array_join(collect_list(name), ', ')" in out
+    assert rewrite_redshift_sql("SELECT dateadd(day, 1, d) FROM t") == (
+        "SELECT dateadd(day, 1, d) FROM t"
+    )
