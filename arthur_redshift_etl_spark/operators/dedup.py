@@ -1,0 +1,303 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Hash functions are md5-derived (``md5 hex → first 15 hex digits → int64``)
+so results are engine-independent and reproducible by a SQL oracle.
+
+Scale notes:
+- Exact dedup is one partial-aggregated groupBy on the fingerprint.
+- MinHash signatures: explode distinct tokens → groupBy(doc) with k ``min``
+  aggregates (map-side combine shrinks the shuffle to one row per doc).
+- LSH banding turns the O(n²) pair problem into a self-join on band keys —
+  the join key space grows with corpus size, so the shuffle stays balanced;
+  candidate verification (exact Jaccard) runs only within buckets.
+- SimHash: explode(tokens) × explode(bit positions) is a flat map; the
+  aggregation is keyed by doc_id.  At 100 TB each stage is shuffle-bounded by
+  rows-per-doc, never by pairwise blowup.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+from .text import tokens_col
+
+
+def hash64(col: Column) -> Column:
+    """Deterministic 60-bit positive int hash of a string column.
+
+    Mirrors the SQL-oracle expression
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles_col(text_col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles of a whitespace-tokenized text column.
+
+    Shingling (vs raw tokens) is what makes MinHash discriminative on
+    natural text: the shingle space is |vocab|^n, so unrelated documents
+    share almost none even when they share most of their vocabulary.
+    """
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs."""
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles_col(text_col, n))).alias("shingle")
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", prefix_len: int = 0
+) -> DataFrame:
+    """Exact (or prefix-) duplicate groups: (fingerprint, dup_count, keep_id).
+
+    ``keep_id`` is the minimum id in the group — the canonical survivor.
+    """
+    base = F.col(text_col) if prefix_len <= 0 else F.substring(F.col(text_col), 1, prefix_len)
+    return (
+        df.select(F.md5(base).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+MERSENNE31 = 2147483647  # 2^31 - 1
+
+
+def minhash_params(num_hashes: int):
+    """Deterministic (a, b) pairs for the universal-hash family.
+
+    a < 2^31 keeps a*h32 < 2^63 — no overflow in either engine's BIGINT.
+    """
+    out = []
+    for i in range(num_hashes):
+        a = (2654435761 * (i + 1)) % MERSENNE31
+        b = (40503 * (i + 7) + 1) % MERSENNE31
+        out.append((a or 1, b))
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: columns mh0..mh{k-1}.
+
+    Each distinct shingle is md5-hashed ONCE (the expensive part), then the
+    k hash functions are the universal family h_i = (a_i*h + b_i) mod 2^31-1
+    — pure integer arithmetic, so the per-row cost is O(1) md5 regardless of
+    k.  signature_i = min over the document's distinct word-shingles.
+    """
+    sh = doc_shingles(df, id_col, text_col, shingle_size)
+    return minhash_signatures_from_shingles(sh, id_col, num_hashes)
+
+
+def minhash_signatures_from_shingles(
+    shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    base = shingles.select(
+        F.col(id_col),
+        hash64(F.col("shingle")).bitwiseAND(F.lit(4294967295)).alias("h32"),
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    return base.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one LSH band.
+
+    Banding is a single posexplode projection (NOT a union of per-band
+    selects — a union would re-evaluate the signature pipeline once per band
+    per join side).
+    """
+    bands = num_hashes // rows_per_band
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    band_rows = signatures.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
+    )
+    left = band_rows.select(
+        F.col(id_col).alias("id_a"), F.col("band"), F.col("band_key")
+    )
+    right = band_rows.select(
+        F.col(id_col).alias("id_b"), F.col("band"), F.col("band_key")
+    )
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given (id_a, id_b) pairs.
+
+    Computed set-algebraically on the distinct shingle sets
+    (|∩| via join-count; |∪| = |A| + |B| − |∩|) so it needs no array
+    materialization per pair.
+    """
+    toks = doc_shingles(df, id_col, text_col, shingle_size)
+    return jaccard_from_shingles(toks, pairs, id_col)
+
+
+def jaccard_from_shingles(
+    toks: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    ta = toks.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    tb = toks.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter_size").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter_size")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline → (id_a, id_b, jaccard ≥ threshold).
+
+    The shingle set is the expensive shared intermediate (used by both the
+    signature build and the Jaccard verification) — persist it so the plan
+    computes it once.  At cluster scale this would be a checkpoint to the
+    lake instead of a memory persist.
+    """
+    sh = doc_shingles(df, id_col, text_col, shingle_size).persist()
+    sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, rows_per_band)
+    jac = jaccard_from_shingles(sh, pairs, id_col)
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """SimHash per document: (id, simhash) with the given bit width.
+
+    bit b of the hash is 1 iff sum over tokens of ±1 (by bit b of the token
+    hash) is positive; duplicate tokens count with multiplicity.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
+    hashed = toks.select(F.col(id_col), hash64(F.col("token")).alias("h"))
+    bit = hashed.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        F.col("h"),
+    ).select(
+        F.col(id_col),
+        F.col("b"),
+        F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END").alias("contrib"),
+    )
+    per_bit = bit.groupBy(id_col, "b").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END")
+        ).cast("long").alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on half-words.
+
+    Pigeonhole: two hashes within hamming d must agree exactly on at least
+    one of (d+1) blocks — join on block equality, verify with bit_count.
+    """
+    blocks = max_hamming + 1
+    block_bits = bits // blocks
+    exprs = []
+    for blk in range(blocks):
+        mask = ((1 << block_bits) - 1) << (blk * block_bits)
+        exprs.append(
+            sims.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(blk).alias("blk"),
+                F.col("simhash").bitwiseAND(F.lit(mask)).alias("blk_key"),
+            )
+        )
+    blocked = exprs[0]
+    for e in exprs[1:]:
+        blocked = blocked.unionAll(e)
+    left = blocked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "blk_key"
+    )
+    right = blocked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "blk_key"
+    )
+    cand = (
+        left.join(right, ["blk", "blk_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,134 @@
+"""Identity (surrogate-key) assignment and the missing-dimension row.
+
+Reference parity: ``python/etl/load.py:506-551`` — dimension tables get an
+auto-assigned identity column plus one "N/A row" with key 0 so fact rows with
+missing dimension references join to a well-defined row: 0 for
+identity/numeric columns, ``'N/A'`` for strings, false for booleans,
+``'0000-01-01 00:00:00'`` for timestamps, NULL for nullable others.
+
+Identity semantics (SURVEY §7.3): Redshift's IDENTITY(1,1) is engine-assigned
+and unordered; ``monotonically_increasing_id`` is non-deterministic across
+runs, so we use ``row_number()`` over an explicit, stable ordering key.
+
+Scale notes: a global ``row_number()`` over one unpartitioned window is a
+single-reducer sort — unacceptable at 10^10 rows.  ``with_identity`` therefore
+uses the two-phase approach: rows get per-partition ranks via
+``row_number`` within ``spark_partition_id``, then a tiny driver-side prefix
+sum over per-partition counts turns them into globally dense, ordered ids.
+The data itself is never funneled through one task (only the per-partition
+counts are). For modest dimensions, ``ordered=True`` with a plain window is
+fine and fully deterministic.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..design import TableDesign
+
+NA_TIMESTAMP = datetime.datetime(1, 1, 1, 0, 0, 0)  # stand-in for 0000-01-01
+
+
+def with_identity(
+    df: DataFrame,
+    identity_column: str,
+    order_by: Sequence[str],
+    distributed: bool = False,
+) -> DataFrame:
+    """Add a dense 1-based identity column ordered by ``order_by``.
+
+    ``distributed=True`` avoids the single-partition global window: sort once,
+    then combine per-partition row numbers with a prefix sum of partition
+    sizes (two narrow passes; the only global structure is the count-per-
+    partition array on the driver).
+    """
+    if not distributed:
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        return df.withColumn(identity_column, F.row_number().over(w).cast("long"))
+
+    ordered = df.repartitionByRange(*[F.col(c) for c in order_by]).sortWithinPartitions(
+        *[F.col(c) for c in order_by]
+    )
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.create_map(
+        *[item for pid, off in offsets.items() for item in (F.lit(pid), F.lit(off))]
+    )
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_by])
+    return (
+        with_pid.withColumn("__rn", F.row_number().over(w))
+        .withColumn(identity_column, (offset_col[F.col("__pid")] + F.col("__rn")).cast("long"))
+        .drop("__pid", "__rn")
+    )
+
+
+def na_row_value(field: T.StructField, identity: bool = False):
+    """The missing-dimension value for one column (load.py:506-526)."""
+    dt = field.dataType
+    if identity:
+        return 0
+    if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        return 0
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return 0.0
+    if isinstance(dt, T.DecimalType):
+        return 0
+    if isinstance(dt, T.StringType):
+        return "N/A"
+    if isinstance(dt, T.BooleanType):
+        return False
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return NA_TIMESTAMP
+    if isinstance(dt, T.DateType):
+        return NA_TIMESTAMP.date()
+    return None
+
+
+def with_na_row(df: DataFrame, identity_column: Optional[str] = None) -> DataFrame:
+    """Union one N/A row onto a dimension DataFrame."""
+    spark = df.sparkSession
+    values = []
+    for field in df.schema.fields:
+        if not field.nullable or field.name == identity_column:
+            values.append(na_row_value(field, identity=field.name == identity_column))
+        else:
+            values.append(na_row_value(field))
+    na_df = spark.createDataFrame([tuple(values)], df.schema)
+    return df.unionAll(na_df)
+
+
+def build_dimension(
+    df: DataFrame,
+    design: TableDesign,
+    order_by: Optional[Sequence[str]] = None,
+    add_na_row: bool = True,
+    distributed: bool = False,
+) -> DataFrame:
+    """Full dim_ materialization path: identity + N/A row per the design."""
+    ident = design.identity_column
+    if ident is not None:
+        keys = order_by
+        if keys is None:
+            nk = next(
+                (cols for ctype, cols in design.constraint_items() if ctype == "natural_key"),
+                None,
+            )
+            keys = nk or [c.name for c in design.unskipped_columns if not c.identity][:1]
+        df = with_identity(df, ident.name, keys, distributed=distributed)
+        df = df.select([c.name for c in design.unskipped_columns])
+    if add_na_row:
+        df = with_na_row(df, identity_column=ident.name if ident else None)
+    return df

@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; IVF (inverted-file) bucketing
+is the scale path: assign vectors to their nearest centroid once, then search
+only within the probe's bucket(s).
+
+All math is built-in higher-order functions (``zip_with`` + ``aggregate``)
+— JVM-evaluated, no Python UDF.  Dot products are sequential left-to-right
+sums so an external oracle computes bit-identical doubles.
+
+Scale notes: brute force is a broadcast of the (small) query set against the
+full collection — a map-only job, no shuffle.  IVF assignment is likewise a
+broadcast of centroids; search shuffles only on bucket id.  Top-k uses a
+window over per-query partitions (bounded by k × queries, never a global
+sort).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def as_double_array(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential dot product — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_knn(
+    collection: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors: (query_id, neighbor_id, rank).
+
+    The query set is broadcast; each executor scans its slice of the
+    collection — no shuffle until the (tiny) per-query top-k window.
+    Ties break by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
+    )
+    c = collection.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_assign(
+    collection: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (ties: id asc).
+
+    Centroids are broadcast; output is (vec_id, centroid_id).
+    """
+    c = collection.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+    )
+    cent = centroids.select(
+        F.col(centroid_id_col), as_double_array(F.col(vec_col)).alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(cent)).select(
+        id_col, centroid_id_col, cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(centroid_id_col).asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, centroid_id_col)
+    )
+
+
+def ivf_search(
+    collection: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF approximate search: probe only the query's own bucket.
+
+    Returns (query_id, neighbor_id, rank) among same-bucket vectors.
+    """
+    assign = ivf_assign(collection, centroids, id_col, vec_col, centroid_id_col)
+    coll = collection.join(assign, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(centroid_id_col),
+        as_double_array(F.col(vec_col)).alias("cv"),
+    )
+    q = queries.join(assign, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(centroid_id_col),
+        as_double_array(F.col(vec_col)).alias("qv"),
+    )
+    scored = (
+        coll.join(F.broadcast(q), centroid_id_col)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def cosine_dedup_pairs(
+    collection: DataFrame,
+    block_col: str,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs within blocks: (id_a, id_b, sim ≥ threshold).
+
+    Blocking (e.g. on an IVF bucket or label) keeps the pair space linear in
+    the largest block rather than quadratic in the corpus.
+    """
+    v = collection.select(
+        F.col(id_col), F.col(block_col).alias("__blk"), as_double_array(F.col(vec_col)).alias("v")
+    )
+    a = v.select(F.col(id_col).alias("id_a"), "__blk", F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), "__blk", F.col("v").alias("vb"))
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,128 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+All operators are pure DataFrame compositions (JVM-side, whole-stage
+codegen'd) — no Python UDFs in any hot path.  Tokenization is a simple
+whitespace split; hash functions are md5-derived so an external SQL oracle
+can reproduce them exactly.
+
+Scale notes: every operator is a select/explode/groupBy pipeline — shuffles
+are on (lang, token) or doc_id keys which are well-distributed; per-doc
+operators are embarrassingly parallel projections.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and")
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokenization as a Spark column expression."""
+    return F.split(F.col(text_col), " ")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add n_tokens / n_chars / mean_token_len columns (per document)."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("doc_chars", n_chars.cast("long"))
+        .withColumn(
+            "mean_token_len",
+            ((n_chars - (n_tokens - F.lit(1))).cast("double") / n_tokens.cast("double")),
+        )
+    )
+
+
+def with_quality_score(
+    df: DataFrame, text_col: str = "text", stopwords: Sequence[str] = DEFAULT_STOPWORDS
+) -> DataFrame:
+    """Quality signals: stopword ratio + token stats (per document).
+
+    A high stopword ratio signals natural-language text; near-zero signals
+    boilerplate/garbage — the standard cheap quality heuristic for pretraining
+    corpora.
+    """
+    stop_array = F.array(*[F.lit(s) for s in stopwords])
+    toks = tokens_col(text_col)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_array, t)))
+    out = with_token_stats(df, text_col)
+    return out.withColumn(
+        "stop_ratio", n_stop.cast("double") / F.col("n_tokens").cast("double")
+    )
+
+
+def token_frequencies(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """(group, token, cnt) frequencies — explode + partial-agg groupBy."""
+    return (
+        df.select(F.col(group_col), F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def top_tokens(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Top-k tokens per group, deterministic ties (cnt desc, token asc)."""
+    freq = token_frequencies(df, group_col, text_col)
+    w = Window.partitionBy(group_col).orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        freq.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def classify_by_token_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    text_col: str = "text",
+    profile_size: int = 10,
+) -> DataFrame:
+    """Language-ID by token-profile overlap (n-gram-heuristic LID).
+
+    Learns a per-label profile (top-N tokens) from the corpus itself, then
+    assigns each document the label whose profile overlaps its distinct token
+    set the most (ties: label asc).  Returns (id, pred, score).
+
+    The profile is tiny (labels × N rows) → broadcast join against the
+    exploded token set; the only shuffle is the per-doc score aggregation.
+    """
+    profile = top_tokens(df, label_col, text_col, k=profile_size).select(
+        F.col(label_col).alias("__plabel"), "token"
+    )
+    doc_tokens = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("token")
+    )
+    scores = (
+        doc_tokens.join(F.broadcast(profile), "token")
+        .groupBy(id_col, "__plabel")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("__plabel").asc())
+    return (
+        scores.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(F.col(id_col), F.col("__plabel").alias("pred"), F.col("score"))
+    )
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", prefix_len: int = 0
+) -> DataFrame:
+    """Deterministic document fingerprint: md5 of (a prefix of) the text.
+
+    ``prefix_len > 0`` fingerprints only the first N chars — a cheap
+    rolling-hash-style prefix signature that catches near-identical heads.
+    """
+    base = F.col(text_col) if prefix_len <= 0 else F.substring(F.col(text_col), 1, prefix_len)
+    return df.withColumn("fingerprint", F.md5(base))

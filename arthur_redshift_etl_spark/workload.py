@@ -1,0 +1,1085 @@
+"""The engine's query catalog: Spark implementations + DuckDB oracle SQL.
+
+Each entry is one operator/query from SURVEY §2 (or a scale-pipeline operator
+from the north star: dedup / similarity / text analysis), implemented twice:
+
+- ``fn(spark, sf_dir) -> DataFrame`` — the idiomatic Spark implementation;
+- ``oracle`` — equivalent ANSI SQL for DuckDB over the same parquet tables.
+
+Float-parity convention: money/measure columns are 2-dp doubles in the data,
+so aggregates CAST to DECIMAL first (exact arithmetic in both engines), then
+CAST the final result to DOUBLE — bit-identical across engines regardless of
+summation order.  Ratios divide already-exact doubles.  Ranks/top-k order by
+the exact measure with an id tiebreaker so ordering is engine-independent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup as dd
+from .operators import similarity as sim
+from .operators import text as tx
+from .operators.constraints import duplicate_keys
+from .operators.identity import build_dimension
+from .design import ColumnDefinition, TableDesign
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    description: str = ""
+
+
+REGISTRY: Dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: Optional[str] = None, description: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, description)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read nanos as long and truncate to microseconds
+        # (same truncation DuckDB applies).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")).cast("timestamp_ntz")
+            )
+        return df
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # single small parquet file → one input split; the downstream
+        # explode/cross pipelines are CPU-bound, so spread them across cores.
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
+
+
+# ---- exact-arithmetic helpers (see module docstring) -----------------------
+
+def dec(col: str, p: int = 12, s: int = 2):
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+def ONE():
+    return F.lit(1).cast("decimal(3,2)")
+
+
+def disc_price():
+    return dec("l_extendedprice") * (ONE() - dec("l_discount", 3, 2))
+
+
+def sum_money(col_expr, alias: str):
+    return F.sum(col_expr).cast("double").alias(alias)
+
+
+# SQL-side equivalents
+_DP = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+_CHARGE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "((CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * "
+    "(CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))"
+)
+
+
+# ===========================================================================
+# Relational surface (delegated-SQL parity: joins, aggs, windows, set ops)
+# ===========================================================================
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM({_DP}) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM({_CHARGE}) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 pricing summary: wide multi-aggregate scan",
+)
+def q01(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_money(dec("l_quantity"), "sum_qty"),
+            sum_money(dec("l_extendedprice"), "sum_base_price"),
+            sum_money(disc_price(), "sum_disc_price"),
+            sum_money(
+                dec("l_extendedprice")
+                * ((ONE() - dec("l_discount", 3, 2)) * (ONE() + dec("l_tax", 3, 2))),
+                "sum_charge",
+            ),
+            (F.sum(dec("l_quantity")).cast("double") / cnt.cast("double")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / cnt.cast("double")).alias(
+                "avg_price"
+            ),
+            (F.sum(dec("l_discount", 3, 2)).cast("double") / cnt.cast("double")).alias(
+                "avg_disc"
+            ),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+      CAST(SUM({_DP}) AS DOUBLE) AS revenue,
+      COUNT(*) AS line_count,
+      COUNT(DISTINCT c_custkey) AS customer_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    description="flagship: 4-way join + group (fact-to-dim star join)",
+)
+def revenue_by_nation(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            sum_money(disc_price(), "revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+            F.countDistinct("c_custkey").alias("customer_count"),
+        )
+    )
+
+
+@query(
+    "q03_top_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate, CAST(SUM({_DP}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    description="TPC-H Q3: selective join + top-k by aggregate",
+)
+def q03(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(sum_money(disc_price(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    description="TPC-H Q4: EXISTS semi-join with correlated predicate",
+)
+def q04(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q05_region_nation_revenue",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({_DP}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    description="TPC-H Q5: 6-way join with local-supplier condition",
+)
+def q05(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(sum_money(disc_price(), "revenue"))
+    )
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+    description="TPC-H Q6: pushdown-friendly filtered scalar aggregate",
+)
+def q06(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(sum_money(dec("l_extendedprice") * dec("l_discount", 3, 2), "revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name, CAST(SUM({_DP}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    description="TPC-H Q10: returned-item revenue ranking",
+)
+def q10(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum_money(disc_price(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DP}
+                         ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE) * 100.0
+           / CAST(SUM({_DP}) AS DOUBLE) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    description="TPC-H Q14: conditional aggregate ratio (broadcastable dim)",
+)
+def q14(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(
+        F.lit(0).cast("decimal(17,4)")
+    )
+    return joined.agg(
+        (
+            F.sum(promo).cast("double")
+            * F.lit(100.0)
+            / F.sum(disc_price()).cast("double")
+        ).alias("promo_share")
+    )
+
+
+@query(
+    "top_customers_window",
+    oracle=f"""
+    SELECT CAST(rk AS INTEGER) AS revenue_rank, c_custkey, c_name, revenue FROM (
+      SELECT c_custkey, c_name, revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rk
+      FROM (
+        SELECT c_custkey, c_name, CAST(SUM({_DP}) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY c_custkey, c_name
+      )
+    ) WHERE rk <= 10
+    """,
+    description="window function ranking (ROW_NUMBER over aggregate)",
+)
+def top_customers(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(sum_money(disc_price(), "revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        rev.withColumn("revenue_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("revenue_rank") <= 10)
+        .select("revenue_rank", "c_custkey", "c_name", "revenue")
+    )
+
+
+@query(
+    "segment_nation_rollup",
+    oracle=f"""
+    SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           COALESCE(n_name, 'ALL') AS nation,
+           CAST(SUM({_DP}) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (c_mktsegment, n_name)
+    """,
+    description="ROLLUP grouping sets over the star join",
+)
+def segment_nation_rollup(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.rollup("c_mktsegment", "n_name")
+        .agg(sum_money(disc_price(), "revenue"), F.count(F.lit(1)).alias("line_count"))
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "revenue",
+            "line_count",
+        )
+    )
+
+
+@query(
+    "customer_segment_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    description="distinct-count + exact-decimal averages per group",
+)
+def customer_segment_stats(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    cnt = F.count(F.lit(1))
+    return cust.groupBy("c_mktsegment").agg(
+        cnt.alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        sum_money(dec("c_acctbal"), "total_acctbal"),
+        (F.sum(dec("c_acctbal")).cast("double") / cnt.cast("double")).alias("avg_acctbal"),
+    )
+
+
+@query(
+    "orders_no_early_lineitems",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    )
+    """,
+    description="anti-join (NOT EXISTS)",
+)
+def orders_no_early_lineitems(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    early = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    return orders.join(
+        early, orders.o_orderkey == early.l_orderkey, "left_anti"
+    ).select("o_orderkey")
+
+
+@query(
+    "nation_setop_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal < 0
+    """,
+    description="set operation: EXCEPT DISTINCT",
+)
+def nation_setop_except(spark, sf_dir):
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return cust.subtract(supp)
+
+
+@query(
+    "nation_setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+    description="set operation: INTERSECT DISTINCT",
+)
+def nation_setop_intersect(spark, sf_dir):
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return cust.intersect(supp)
+
+
+# ===========================================================================
+# ETL-generated operators (constraints, identity/na-row, extract projection)
+# ===========================================================================
+
+@query(
+    "constraint_dup_orderkeys",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS dup_count
+    FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+    """,
+    description="constraint duplicate probe (reference load.py:564-634)",
+)
+def constraint_dup_orderkeys(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_orderkey"])
+
+
+@query(
+    "constraint_pk_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, COUNT(*) AS dup_count
+    FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+    """,
+    description="multi-column PK verification — expected to hold (empty)",
+)
+def constraint_pk_lineitem(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_orderkey", "l_linenumber"])
+
+
+@query(
+    "dim_customer",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_key,
+           c_custkey, c_name, n_name AS nation_name, r_name AS region_name,
+           c_mktsegment
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'N/A', 'N/A', 'N/A', 'N/A'
+    """,
+    description="dimension build: identity + missing-dimension N/A row "
+    "(reference load.py:506-551)",
+)
+def dim_customer(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    base = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            "c_mktsegment",
+        )
+    )
+    design = TableDesign(
+        name="dw.dim_customer",
+        source_name="CTAS",
+        columns=[
+            ColumnDefinition("customer_key", "long", not_null=True, identity=True),
+            ColumnDefinition("c_custkey", "long", not_null=True),
+            ColumnDefinition("c_name", "string", not_null=True),
+            ColumnDefinition("nation_name", "string", not_null=True),
+            ColumnDefinition("region_name", "string", not_null=True),
+            ColumnDefinition("c_mktsegment", "string", not_null=True),
+        ],
+        constraints=[{"surrogate_key": ["customer_key"]}, {"natural_key": ["c_custkey"]}],
+    )
+    return build_dimension(base, design, order_by=["c_custkey"])
+
+
+@query(
+    "extract_orders_sample",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderstatus,
+           o_totalprice AS total_price,
+           upper(o_orderpriority) AS priority
+    FROM orders
+    WHERE o_totalprice > 1000 AND (o_orderkey % 10) = 1
+    """,
+    description="extract projection+casts, condition pushdown, and the "
+    "key%10 sampling predicate (reference database_extractor.py:38-154)",
+)
+def extract_orders_sample(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.filter((F.col("o_totalprice") > 1000) & (F.col("o_orderkey") % 10 == 1))
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderstatus",
+            F.col("o_totalprice").alias("total_price"),
+            F.upper("o_orderpriority").alias("priority"),
+        )
+    )
+
+
+# ===========================================================================
+# Events: time-bucketed rollups, sessionization, JSON extraction
+# ===========================================================================
+
+@query(
+    "hourly_event_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    description="hourly time-bucket rollup (streaming-window analog)",
+)
+def hourly_event_rollup(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            sum_money(dec("value"), "total_value"),
+        )
+    )
+
+
+@query(
+    "event_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS session_count
+    FROM g GROUP BY user_id
+    """,
+    description="sessionization: 30-min-gap session counting via LAG",
+)
+def event_sessions(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 30 MINUTE")),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("session_count")
+    )
+
+
+@query(
+    "events_json_stats",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    description="semi-structured JSON payload extraction + aggregation",
+)
+def events_json_stats(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    cnt = F.count(F.lit(1))
+    return ev.groupBy("event_type").agg(
+        cnt.alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / cnt.cast("double")).alias("avg_k"),
+    )
+
+
+# ===========================================================================
+# Text analysis (documents table)
+# ===========================================================================
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    description="token counting per language",
+)
+def text_token_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    cnt = F.count(F.lit(1))
+    return docs.groupBy("lang").agg(
+        cnt.alias("n_docs"),
+        F.sum(n_tokens).alias("total_tokens"),
+        (F.sum(n_tokens).cast("double") / cnt.cast("double")).alias("avg_tokens"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+    )
+
+
+@query(
+    "text_top_tokens",
+    oracle="""
+    SELECT lang, token, cnt, rk FROM (
+      SELECT lang, token, cnt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token)
+                  AS INTEGER) AS rk
+      FROM (
+        SELECT lang, token, COUNT(*) AS cnt FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+        ) GROUP BY lang, token
+      )
+    ) WHERE rk <= 5
+    """,
+    description="top-k token frequencies per language",
+)
+def text_top_tokens(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return tx.top_tokens(docs, "lang", "text", k=5)
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                                tk -> tk IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+    FROM documents
+    """,
+    description="per-document quality scoring (stopword ratio, token stats)",
+)
+def text_quality(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return tx.with_quality_score(docs).select(
+        "doc_id", "n_tokens", "stop_ratio", "mean_token_len"
+    )
+
+
+@query(
+    "text_lang_profile_classify",
+    oracle="""
+    WITH freq AS (
+      SELECT lang, token, COUNT(*) AS cnt FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+      ) GROUP BY lang, token
+    ),
+    profile AS (
+      SELECT lang AS plabel, token FROM (
+        SELECT lang, token,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+        FROM freq
+      ) WHERE rk <= 10
+    ),
+    doc_tokens AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      )
+    ),
+    scores AS (
+      SELECT doc_id, plabel, COUNT(*) AS score
+      FROM doc_tokens JOIN profile USING (token)
+      GROUP BY doc_id, plabel
+    )
+    SELECT doc_id, plabel AS pred, score FROM (
+      SELECT doc_id, plabel, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, plabel) AS rk
+      FROM scores
+    ) WHERE rk = 1
+    """,
+    description="language-ID by learned token-profile overlap",
+)
+def text_lang_profile_classify(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return tx.classify_by_token_profile(docs, "doc_id", "lang", "text", profile_size=10)
+
+
+# ===========================================================================
+# Deduplication (documents table)
+# ===========================================================================
+
+@query(
+    "dedup_exact_prefix",
+    oracle="""
+    SELECT md5(substr(text, 1, 40)) AS fingerprint,
+           COUNT(*) AS dup_count, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+    description="exact dedup by hash fingerprint (40-char prefix variant)",
+)
+def dedup_exact_prefix(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dd.exact_duplicates(docs, "doc_id", "text", prefix_len=40)
+
+
+def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2, threshold: float = 0.5) -> str:
+    mh_exprs = ",\n        ".join(
+        f"MIN(({a} * h32 + {b}) % {dd.MERSENNE31}) AS mh{i}"
+        for i, (a, b) in enumerate(dd.minhash_params(num_hashes))
+    )
+    bands = num_hashes // rows_per_band
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b,
+            key="CAST(mh{0} AS VARCHAR) || '_' || CAST(mh{1} AS VARCHAR)".format(
+                b * rows_per_band, b * rows_per_band + 1
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tokens) - 1),
+                      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+                 AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+      )
+    ),
+    base AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT & 4294967295 AS h32
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc_id,
+        {mh_exprs}
+      FROM base GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT id_a, id_b, COUNT(*) AS inter_size
+      FROM cand
+      JOIN toks ta ON ta.doc_id = id_a
+      JOIN toks tb ON tb.doc_id = id_b AND tb.shingle = ta.shingle
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             CAST(inter_size AS DOUBLE)
+               / CAST(sa.set_size + sb.set_size - inter_size AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= {threshold}
+    """
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    description="MinHash+LSH near-dup candidate pairs verified by exact "
+    "token-set Jaccard",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dd.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, threshold=0.5
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bitsum AS (
+      SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, (SELECT unnest(range(32)) AS b) bits
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bitsum GROUP BY doc_id
+    """,
+    description="32-bit SimHash document signatures",
+)
+def dedup_simhash(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dd.simhash(docs, "doc_id", "text", bits=32)
+
+
+# ===========================================================================
+# Similarity search (embeddings table)
+# ===========================================================================
+
+@query(
+    "knn_bruteforce",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.vv, c.vv) AS sim
+      FROM v q, v c
+      WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS knn_rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    description="exact cosine top-k neighbor search (brute force baseline)",
+)
+def knn_bruteforce(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.brute_force_knn(emb, queries, k=5).withColumnRenamed("rank", "knn_rank")
+
+
+_IVF_ASSIGN_CTE = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, cent.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(vv, cv) DESC, centroid_id
+               ) AS rk
+        FROM v, cent
+      ) WHERE rk = 1
+    )
+"""
+
+
+@query(
+    "ann_ivf_buckets",
+    oracle=_IVF_ASSIGN_CTE
+    + """
+    SELECT centroid_id, COUNT(*) AS n_vectors FROM assign GROUP BY centroid_id
+    """,
+    description="IVF index build: nearest-centroid bucket assignment",
+)
+def ann_ivf_buckets(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    assign = sim.ivf_assign(emb, centroids)
+    return assign.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+@query(
+    "ann_ivf_search",
+    oracle=_IVF_ASSIGN_CTE
+    + """
+    , scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(qv.vv, cv.vv) AS sim
+      FROM assign q
+      JOIN assign c ON q.centroid_id = c.centroid_id AND c.vec_id != q.vec_id
+      JOIN v qv ON qv.vec_id = q.vec_id
+      JOIN v cv ON cv.vec_id = c.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS ann_rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+    description="IVF approximate search within the query's bucket",
+)
+def ann_ivf_search(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ivf_search(emb, centroids, queries, k=3).withColumnRenamed(
+        "rank", "ann_rank"
+    )
+
+
+@query(
+    "embedding_cosine_dedup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.vv, b.vv) >= 0.9
+    """,
+    description="embedding near-dup pairs (cosine ≥ 0.9, blocked by label)",
+)
+def embedding_cosine_dedup(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return sim.cosine_dedup_pairs(emb, "label", threshold=0.9).select("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+
+def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracles() -> Dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Benchmark: run the headline workload queries and print one JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local cores / shuffle partitions (default 32)
+  SPARK_GRAFT_BENCH_QUERIES  comma-separated subset override
+
+Output: {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from arthur_redshift_etl_spark import workload  # noqa: E402
+from arthur_redshift_etl_spark.session import build_session  # noqa: E402
+
+# Headline set: the scan/join/agg/window relational core plus one operator
+# from each scale-pipeline family (text, dedup, similarity).
+DEFAULT_QUERIES = [
+    "q01_pricing_summary",
+    "revenue_by_nation",
+    "q03_top_orders",
+    "q04_order_priority",
+    "q05_region_nation_revenue",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "top_customers_window",
+    "segment_nation_rollup",
+    "hourly_event_rollup",
+    "event_sessions",
+    "text_token_stats",
+    "text_quality",
+    "dedup_exact_prefix",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    names = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = names.split(",") if names else DEFAULT_QUERIES
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + file listing so timings measure execution, not startup
+    workload.REGISTRY["q06_forecast_revenue"].fn(spark, sf_dir).collect()
+
+    timings = {}
+    total = 0.0
+    for name in names:
+        fn = workload.REGISTRY[name].fn
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count() if df.isStreaming is False else -1
+        elapsed = time.perf_counter() - start
+        timings[name] = round(elapsed, 4)
+        total += elapsed
+        print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "workload_total_wall",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
