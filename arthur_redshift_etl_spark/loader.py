@@ -1,0 +1,386 @@
+"""Materialization engine: build relations into the catalog, blue-green style.
+
+Reference parity (``python/etl/load.py``, ``data_warehouse.py``):
+- build_one_relation (:703-744): create + fill + verify constraints + count;
+- CTAS identity/na-row path (:506-551) → ``operators.identity``;
+- staging-name rewrite of dependency references (:221-245);
+- failure propagation / skip_copy (:202-219);
+- parallel source loading (:994-1053) → ThreadPoolExecutor submitting Spark
+  jobs (FAIR scheduler spreads them across the cluster);
+- sequential transformation build (:1056-1106);
+- load / upgrade / update drivers (:1131-1367);
+- blue-green swap (``data_warehouse.py:105-204``): here a metadata-only
+  re-registration of external tables at versioned locations — each build
+  writes parquet under ``data_root/<etl_id>/<schema>/<table>``, staging
+  tables point there, publish re-points the production database to the same
+  files (no data copy), backup keeps the previous locations.
+
+Scale notes: every data move is a distributed ``df.write.parquet`` (ZSTD);
+the publish step touches only catalog metadata, so the swap cost is O(tables)
+regardless of data size — same property as Redshift's schema rename.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .design import TableDesign
+from .errors import (
+    ETLRuntimeError,
+    FailedConstraintError,
+    RequiredRelationLoadError,
+)
+from .functions.compat import rewrite_redshift_sql
+from .monitor import STEP_LOAD, EventStore, Monitor
+from .names import TableName, TableSelector, as_backup, as_staging
+from .operators.constraints import check_all_constraints
+from .operators.identity import build_dimension
+from .relations import (
+    Relation,
+    mark_failure,
+    order_by_dependencies,
+    propagate_required,
+    sanitize_dependencies,
+    select_in_execution_order,
+)
+from .retry import call_with_retry
+from .sources.files import apply_design_schema, read_source
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class LoadContext:
+    spark: SparkSession
+    data_root: str
+    store: EventStore = field(default_factory=EventStore)
+    etl_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    max_concurrency: int = 4
+    skip_copy: bool = False  # structural smoke mode (--skip-copy)
+
+    def table_location(self, table_name: TableName) -> str:
+        return f"{self.data_root}/{self.etl_id}/{table_name.schema}/{table_name.table}"
+
+
+def _quote(name: str) -> str:
+    return f"`{name}`"
+
+
+def create_schema(spark: SparkSession, schema: str) -> None:
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_quote(schema)}")
+
+
+def drop_schema(spark: SparkSession, schema: str) -> None:
+    spark.sql(f"DROP DATABASE IF EXISTS {_quote(schema)} CASCADE")
+
+
+def rewrite_query_for_staging(query: str, identifiers: Iterable[str]) -> str:
+    """Point fully-qualified dependency names at their staging schemas.
+
+    Reference: load.py:221-245 + names.py:158-171 — word-boundary regex
+    substitution over the query text.
+    """
+    out = query
+    for ident in sorted(identifiers, key=len, reverse=True):
+        schema, table = ident.split(".", 1)
+        pattern = re.compile(
+            rf"(?<![\w.`]){re.escape(schema)}\.{re.escape(table)}(?![\w])", re.IGNORECASE
+        )
+        out = pattern.sub(f"{as_staging(schema)}.{table}", out)
+    return out
+
+
+def _register_external_table(
+    ctx: LoadContext, db: str, table: str, location: str
+) -> None:
+    full = f"{_quote(db)}.{_quote(table)}"
+    ctx.spark.sql(f"DROP TABLE IF EXISTS {full}")
+    ctx.spark.sql(f"CREATE TABLE {full} USING parquet LOCATION '{location}'")
+
+
+def _drop_relation(ctx: LoadContext, db: str, table: str) -> None:
+    full = f"{_quote(db)}.{_quote(table)}"
+    ctx.spark.sql(f"DROP TABLE IF EXISTS {full}")
+    ctx.spark.sql(f"DROP VIEW IF EXISTS {full}")
+
+
+def materialize_dataframe(ctx: LoadContext, rel: Relation, df: DataFrame, db: str) -> int:
+    """Write the relation's data (versioned location) and register the table.
+
+    Returns the row count (the reference's post-build COUNT(*) audit).
+    """
+    location = ctx.table_location(rel.table_name)
+    sort_keys = rel.design.attributes.get("compound_sort") or []
+    dist = rel.design.attributes.get("distribution")
+    writer_df = df
+    if isinstance(dist, list) and dist:
+        # DISTKEY analog: co-locate rows by the distribution column so
+        # downstream joins on it shuffle less (AQE handles the rest).
+        writer_df = writer_df.repartition(*dist)
+    if sort_keys:
+        writer_df = writer_df.sortWithinPartitions(*sort_keys)
+    writer_df.write.mode("overwrite").parquet(location)
+    _drop_relation(ctx, db, rel.table_name.table)
+    _register_external_table(ctx, db, rel.table_name.table, location)
+    return ctx.spark.read.parquet(location).count()
+
+
+def build_source_relation(ctx: LoadContext, rel: Relation, db: str) -> int:
+    """TABLE path: read extracted/static files, apply design schema, load."""
+    if ctx.skip_copy or rel.skip_copy:
+        df = ctx.spark.createDataFrame([], rel.design.to_spark_schema())
+        return materialize_dataframe(ctx, rel, df, db)
+    if not rel.data_location:
+        raise ETLRuntimeError(f"{rel.identifier} has no data location")
+    raw = read_source(ctx.spark, rel.data_location, rel.data_format)
+    df = apply_design_schema(raw, rel.design)
+    return materialize_dataframe(ctx, rel, df, db)
+
+
+def build_transformation(
+    ctx: LoadContext, rel: Relation, db: str, staging_identifiers: Iterable[str]
+) -> int:
+    """CTAS/VIEW path: run the (rewritten) query and materialize."""
+    query = rewrite_redshift_sql(rel.sql())
+    staged_query = rewrite_query_for_staging(query, staging_identifiers)
+    if rel.is_view_relation:
+        full = f"{_quote(db)}.{_quote(rel.table_name.table)}"
+        ctx.spark.sql(f"DROP VIEW IF EXISTS {full}")
+        ctx.spark.sql(f"DROP TABLE IF EXISTS {full}")
+        ctx.spark.sql(f"CREATE VIEW {full} AS {staged_query}")
+        return ctx.spark.table(full).count()
+    df = ctx.spark.sql(staged_query)
+    if rel.skip_copy or ctx.skip_copy:
+        df = df.limit(0)
+    if rel.design.identity_column is not None:
+        df = build_dimension(
+            df.drop(rel.design.identity_column.name),
+            rel.design,
+            add_na_row=rel.table_name.table.startswith("dim_"),
+        )
+    actual = [f.name for f in df.schema.fields]
+    declared = rel.design.column_names
+    if rel.design.identity_column is None and actual != declared:
+        raise ETLRuntimeError(
+            f"{rel.identifier}: query columns {actual} != design columns {declared}"
+        )
+    return materialize_dataframe(ctx, rel, df, db)
+
+
+def build_one_relation(
+    ctx: LoadContext,
+    rel: Relation,
+    use_staging: bool = True,
+    staging_identifiers: Iterable[str] = (),
+) -> int:
+    """Drop/create + fill + verify constraints + count (load.py:703-744)."""
+    db = as_staging(rel.table_name.schema) if use_staging else rel.table_name.schema
+    create_schema(ctx.spark, db)
+    with Monitor(ctx.store, rel.identifier, STEP_LOAD, etl_id=ctx.etl_id) as mon:
+        def attempt() -> int:
+            if rel.is_source_relation:
+                return build_source_relation(ctx, rel, db)
+            return build_transformation(ctx, rel, db, staging_identifiers)
+
+        n = call_with_retry(2, attempt, sleep_seconds=0.2)
+        if not (rel.skip_copy or ctx.skip_copy) and not rel.is_view_relation:
+            check_all_constraints(
+                ctx.spark.table(f"{_quote(db)}.{_quote(rel.table_name.table)}"),
+                rel.design,
+            )
+        mon.rowcount = n
+        return n
+
+
+def _build_all(
+    ctx: LoadContext, relations: Sequence[Relation], use_staging: bool
+) -> List[Relation]:
+    """Sources in parallel (thread pool → FAIR scheduler), transformations
+    sequentially in execution order.  Returns failed relations."""
+    staging_ids = [r.identifier for r in relations] if use_staging else []
+    failed: List[Relation] = []
+
+    sources = [r for r in relations if r.is_source_relation]
+    transforms = [r for r in relations if r.is_transformation]
+
+    def build_empty_fallback(rel: Relation) -> None:
+        """The reference creates DDL before filling, so a failed fill leaves
+        an empty table dependents can still resolve (load.py:202-219)."""
+        if rel.is_view_relation:
+            return
+        db = as_staging(rel.table_name.schema) if use_staging else rel.table_name.schema
+        try:
+            df = ctx.spark.createDataFrame([], rel.design.to_spark_schema())
+            materialize_dataframe(ctx, rel, df, db)
+        except Exception:
+            logger.warning("could not create empty fallback for %s", rel.identifier)
+
+    def load_source(rel: Relation) -> None:
+        try:
+            build_one_relation(ctx, rel, use_staging, staging_ids)
+        except Exception as exc:
+            logger.error("source %s failed: %s", rel.identifier, exc)
+            rel.failure_exc = exc  # type: ignore[attr-defined]
+            failed.append(rel)
+            build_empty_fallback(rel)
+
+    if sources:
+        with ThreadPoolExecutor(max_workers=ctx.max_concurrency) as pool:
+            list(pool.map(load_source, sources))
+    for rel in failed:
+        mark_failure(relations, rel)
+
+    for rel in transforms:
+        if rel.failed:
+            continue
+        try:
+            build_one_relation(ctx, rel, use_staging, staging_ids)
+        except Exception as exc:
+            logger.error("transformation %s failed: %s", rel.identifier, exc)
+            rel.failure_exc = exc  # type: ignore[attr-defined]
+            failed.append(rel)
+            mark_failure(relations, rel)
+            # dependents were marked skip_copy; they still get built (empty)
+            build_empty_fallback(rel)
+    return failed
+
+
+def publish(ctx: LoadContext, relations: Sequence[Relation]) -> None:
+    """Blue-green publish: back up current tables, re-register staging ones.
+
+    Metadata-only: production tables are re-pointed at the staged locations.
+    """
+    schemas = sorted({r.table_name.schema for r in relations})
+    for schema in schemas:
+        create_schema(ctx.spark, schema)
+        create_schema(ctx.spark, as_backup(schema))
+    # back up current production registrations
+    for rel in relations:
+        tn = rel.table_name
+        prod = f"{_quote(tn.schema)}.{_quote(tn.table)}"
+        if ctx.spark.catalog.tableExists(prod):
+            try:
+                loc = (
+                    ctx.spark.sql(f"DESCRIBE FORMATTED {prod}")
+                    .filter("col_name = 'Location'")
+                    .collect()
+                )
+                if loc:
+                    _register_external_table(
+                        ctx, as_backup(tn.schema), tn.table, loc[0]["data_type"]
+                    )
+            except Exception:  # views or tables without location
+                pass
+    # re-point production at staging; views are recreated last so their
+    # queries resolve against the already-published production tables
+    tables = [r for r in relations if not r.is_view_relation]
+    views = [r for r in relations if r.is_view_relation]
+    for rel in tables:
+        tn = rel.table_name
+        staging_db = as_staging(tn.schema)
+        staged = f"{_quote(staging_db)}.{_quote(tn.table)}"
+        if not ctx.spark.catalog.tableExists(staged):
+            logger.warning("%s missing from staging (failed build); keeping previous", rel.identifier)
+            continue
+        loc = (
+            ctx.spark.sql(f"DESCRIBE FORMATTED {staged}")
+            .filter("col_name = 'Location'")
+            .collect()
+        )
+        location = loc[0]["data_type"]
+        _drop_relation(ctx, tn.schema, tn.table)
+        _register_external_table(ctx, tn.schema, tn.table, location)
+    for rel in views:
+        tn = rel.table_name
+        full = f"{_quote(tn.schema)}.{_quote(tn.table)}"
+        ctx.spark.sql(f"DROP VIEW IF EXISTS {full}")
+        ctx.spark.sql(f"DROP TABLE IF EXISTS {full}")
+        try:
+            query = rewrite_redshift_sql(rel.sql())
+            ctx.spark.sql(f"CREATE VIEW {full} AS {query}")
+        except Exception as exc:
+            logger.warning("view %s not published: %s", rel.identifier, exc)
+    # drop staging
+    for schema in schemas:
+        drop_schema(ctx.spark, as_staging(schema))
+
+
+def load_warehouse(
+    ctx: LoadContext,
+    relations: Sequence[Relation],
+    selector: Optional[TableSelector] = None,
+    required_selector: Optional[TableSelector] = None,
+) -> Dict[str, int]:
+    """Full blue-green rebuild (reference load.py:1131-1214).
+
+    Build everything into staging; a required-relation failure aborts before
+    publish (production untouched); optional failures leave empty dependents.
+    """
+    selector = selector or TableSelector([])
+    rels = select_in_execution_order(relations, selector, include_dependents=True)
+    sanitize_dependencies(rels)
+    rels = order_by_dependencies(rels)
+    propagate_required(rels, required_selector or TableSelector(["__none__.__none__"]))
+
+    failed = _build_all(ctx, rels, use_staging=True)
+    required_failures = [r.identifier for r in failed if r.is_required]
+    if required_failures:
+        for schema in sorted({r.table_name.schema for r in rels}):
+            drop_schema(ctx.spark, as_staging(schema))
+        raise RequiredRelationLoadError(required_failures)
+    publish(ctx, rels)
+    return {
+        r.identifier: 0 if r.failed else 1
+        for r in rels
+    }
+
+
+def upgrade_warehouse(
+    ctx: LoadContext,
+    relations: Sequence[Relation],
+    selector: TableSelector,
+    include_dependents: bool = True,
+    continue_from: Optional[str] = None,
+) -> List[Relation]:
+    """In-place selective rebuild (reference load.py:1217-1305): no staging,
+    no publish — selected relations and their dependents rebuilt directly."""
+    rels = select_in_execution_order(
+        relations,
+        selector,
+        include_dependents=include_dependents,
+        continue_from=continue_from,
+    )
+    sanitize_dependencies(list(relations))
+    for rel in rels:
+        create_schema(ctx.spark, rel.table_name.schema)
+    failed = _build_all(ctx, rels, use_staging=False)
+    return failed
+
+
+def update_warehouse(
+    ctx: LoadContext,
+    relations: Sequence[Relation],
+    selector: TableSelector,
+) -> None:
+    """Transactional refresh (reference load.py:1308-1367).
+
+    Spark has no cross-table transactions (SURVEY §7.1): build the selection
+    into staging, verify every constraint, and only then swap — all-or-
+    nothing at the metadata level.
+    """
+    rels = select_in_execution_order(relations, selector, include_dependents=True)
+    sanitize_dependencies(rels)
+    rels = order_by_dependencies(rels)
+    failed = _build_all(ctx, rels, use_staging=True)
+    if failed:
+        for schema in sorted({r.table_name.schema for r in rels}):
+            drop_schema(ctx.spark, as_staging(schema))
+        raise RequiredRelationLoadError([r.identifier for r in failed])
+    publish(ctx, rels)

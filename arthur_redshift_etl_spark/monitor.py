@@ -1,0 +1,134 @@
+"""ETL event monitoring: per-relation step events + query/summarize/tail.
+
+Reference parity: ``python/etl/monitor.py`` — Monitor context manager
+(:111-260) emitting start/finish/fail events with elapsed time and row
+counts; DynamoDB store (:322-427) → JSON-lines file store here;
+query/summarize/tail commands (:656-973).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterable, List, Optional
+
+STEP_EXTRACT = "extract"
+STEP_LOAD = "load"
+STEP_UNLOAD = "unload"
+
+EVENT_START = "start"
+EVENT_FINISH = "finish"
+EVENT_FAIL = "fail"
+
+
+class EventStore:
+    """Append-only JSON-lines event store (the DynamoDB stand-in)."""
+
+    def __init__(self, path: Optional[str] = None) -> None:
+        self.path = path
+        self._lock = threading.Lock()
+        self._memory: List[Dict[str, Any]] = []
+
+    def append(self, event: Dict[str, Any]) -> None:
+        with self._lock:
+            self._memory.append(event)
+            if self.path:
+                with open(self.path, "a") as fh:
+                    fh.write(json.dumps(event, sort_keys=True) + "\n")
+
+    def events(self) -> List[Dict[str, Any]]:
+        if self.path and os.path.exists(self.path):
+            out = []
+            with open(self.path) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        out.append(json.loads(line))
+            return out
+        with self._lock:
+            return list(self._memory)
+
+    # -- query surface (reference monitor.py:656-973) -----------------------
+
+    def query(
+        self,
+        target: Optional[str] = None,
+        step: Optional[str] = None,
+        etl_id: Optional[str] = None,
+    ) -> List[Dict[str, Any]]:
+        out = []
+        for e in self.events():
+            if target and e.get("target") != target:
+                continue
+            if step and e.get("step") != step:
+                continue
+            if etl_id and e.get("etl_id") != etl_id:
+                continue
+            out.append(e)
+        return out
+
+    def summarize(self, etl_id: Optional[str] = None) -> List[Dict[str, Any]]:
+        """Counts + total elapsed per (step, event)."""
+        buckets: Dict[tuple, Dict[str, Any]] = {}
+        for e in self.query(etl_id=etl_id):
+            key = (e.get("step"), e.get("event"))
+            b = buckets.setdefault(
+                key,
+                {"step": key[0], "event": key[1], "count": 0, "elapsed": 0.0, "rows": 0},
+            )
+            b["count"] += 1
+            b["elapsed"] += e.get("elapsed") or 0.0
+            b["rows"] += e.get("rowcount") or 0
+        return [buckets[k] for k in sorted(buckets, key=lambda k: (str(k[0]), str(k[1])))]
+
+    def tail(self, n: int = 10) -> List[Dict[str, Any]]:
+        return self.events()[-n:]
+
+    def latest_finish(self, target: str, step: str) -> Optional[Dict[str, Any]]:
+        found = None
+        for e in self.query(target=target, step=step):
+            if e.get("event") == EVENT_FINISH:
+                if found is None or e["timestamp"] > found["timestamp"]:
+                    found = e
+        return found
+
+
+@dataclass
+class Monitor:
+    """Context manager emitting start/finish/fail for one relation step."""
+
+    store: EventStore
+    target: str
+    step: str
+    etl_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    rowcount: Optional[int] = None
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+    def __enter__(self) -> "Monitor":
+        self._start = time.time()
+        self._emit(EVENT_START)
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        elapsed = time.time() - self._start
+        if exc_type is None:
+            self._emit(EVENT_FINISH, elapsed=elapsed, rowcount=self.rowcount)
+        else:
+            self._emit(EVENT_FAIL, elapsed=elapsed, error=repr(exc))
+        return False
+
+    def _emit(self, event: str, **kw: Any) -> None:
+        doc = {
+            "etl_id": self.etl_id,
+            "target": self.target,
+            "step": self.step,
+            "event": event,
+            "timestamp": time.time(),
+            **self.extra,
+            **{k: v for k, v in kw.items() if v is not None},
+        }
+        self.store.append(doc)

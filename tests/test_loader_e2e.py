@@ -1,0 +1,260 @@
+"""End-to-end loader test: file-set discovery → DAG → blue-green load →
+constraint verification → publish → query (FIXTURES.md F2/F3 shapes)."""
+
+import os
+
+import pytest
+import yaml
+
+from arthur_redshift_etl_spark.errors import (
+    FailedConstraintError,
+    RequiredRelationLoadError,
+)
+from arthur_redshift_etl_spark.loader import (
+    LoadContext,
+    build_one_relation,
+    load_warehouse,
+    rewrite_query_for_staging,
+    upgrade_warehouse,
+)
+from arthur_redshift_etl_spark.monitor import EventStore
+from arthur_redshift_etl_spark.names import TableSelector
+from arthur_redshift_etl_spark.repo import find_file_sets, write_design
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def make_repo(root, spark):
+    """Designs for two source tables + one CTAS dim + one fact + two views."""
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    # source data dirs: copy the driver's parquet in as local "extracted" data
+    for name in ("customer", "nation", "orders", "lineitem"):
+        d = os.path.join(root, "data", "src", name)
+        spark.read.parquet(f"{SF_DIR}/{name}.parquet").write.mode("overwrite").parquet(d)
+
+    write_design(
+        root,
+        {
+            "name": "src.customer",
+            "source_name": "upstream.public.customer",
+            "columns": [
+                {"name": "c_custkey", "type": "long", "not_null": True},
+                {"name": "c_name", "type": "string"},
+                {"name": "c_nationkey", "type": "int"},
+                {"name": "c_acctbal", "type": "double"},
+                {"name": "c_mktsegment", "type": "string"},
+            ],
+            "constraints": [{"primary_key": ["c_custkey"]}],
+        },
+    )
+    write_design(
+        root,
+        {
+            "name": "src.nation",
+            "source_name": "upstream.public.nation",
+            "columns": [
+                {"name": "n_nationkey", "type": "int", "not_null": True},
+                {"name": "n_name", "type": "string"},
+                {"name": "n_regionkey", "type": "int"},
+            ],
+            "constraints": [{"primary_key": ["n_nationkey"]}],
+        },
+    )
+    write_design(
+        root,
+        {
+            "name": "src.orders",
+            "source_name": "upstream.public.orders",
+            "columns": [
+                {"name": "o_orderkey", "type": "long", "not_null": True},
+                {"name": "o_custkey", "type": "long"},
+                {"name": "o_orderstatus", "type": "string"},
+                {"name": "o_totalprice", "type": "double"},
+                {"name": "o_orderdate", "type": "timestamp"},
+                {"name": "o_orderpriority", "type": "string"},
+            ],
+            "constraints": [{"primary_key": ["o_orderkey"]}],
+            "extract_settings": {"split_by": ["o_orderkey"], "num_partitions": 4},
+        },
+    )
+    write_design(
+        root,
+        {
+            "name": "src.lineitem",
+            "source_name": "upstream.public.lineitem",
+            "columns": [
+                {"name": "l_orderkey", "type": "long", "not_null": True},
+                {"name": "l_linenumber", "type": "int", "not_null": True},
+                {"name": "l_quantity", "type": "double"},
+                {"name": "l_extendedprice", "type": "double"},
+                {"name": "l_discount", "type": "double"},
+                {"name": "l_shipdate", "type": "timestamp"},
+            ],
+        },
+    )
+    write_design(
+        root,
+        {
+            "name": "dw.dim_customer",
+            "source_name": "CTAS",
+            "columns": [
+                {"name": "customer_key", "type": "long", "identity": True, "not_null": True},
+                {"name": "c_custkey", "type": "long", "not_null": True},
+                {"name": "c_name", "type": "string"},
+                {"name": "nation_name", "type": "string"},
+                {"name": "c_mktsegment", "type": "string"},
+            ],
+            "constraints": [{"surrogate_key": ["customer_key"]}],
+            "depends_on": ["src.customer", "src.nation"],
+        },
+        query="""
+        SELECT c_custkey, c_name, n_name AS nation_name, c_mktsegment
+        FROM src.customer JOIN src.nation ON c_nationkey = n_nationkey
+        """,
+    )
+    write_design(
+        root,
+        {
+            "name": "dw.fact_order_line",
+            "source_name": "CTAS",
+            "columns": [
+                {"name": "l_orderkey", "type": "long", "not_null": True},
+                {"name": "l_linenumber", "type": "int", "not_null": True},
+                {"name": "o_custkey", "type": "long"},
+                {"name": "o_orderdate", "type": "timestamp"},
+                {"name": "gross", "type": "double"},
+            ],
+            "attributes": {"distribution": ["o_custkey"], "compound_sort": ["o_orderdate"]},
+            "depends_on": ["src.orders", "src.lineitem"],
+        },
+        query="""
+        SELECT l_orderkey, l_linenumber, o_custkey, o_orderdate,
+               l_extendedprice * (1 - l_discount) AS gross
+        FROM src.lineitem JOIN src.orders ON l_orderkey = o_orderkey
+        """,
+    )
+    write_design(
+        root,
+        {
+            "name": "dw.v_revenue_by_nation",
+            "source_name": "VIEW",
+            "columns": [{"name": "nation_name"}, {"name": "revenue"}, {"name": "n_lines"}],
+            "depends_on": ["dw.fact_order_line", "dw.dim_customer"],
+        },
+        query="""
+        SELECT d.nation_name AS nation_name, SUM(f.gross) AS revenue,
+               COUNT(*) AS n_lines
+        FROM dw.fact_order_line f
+        JOIN dw.dim_customer d ON f.o_custkey = d.c_custkey
+        GROUP BY d.nation_name
+        """,
+    )
+    write_design(
+        root,
+        {
+            "name": "dw.v_top_nations",
+            "source_name": "VIEW",
+            "columns": [{"name": "nation_name"}, {"name": "revenue"}, {"name": "rnk"}],
+            "depends_on": ["dw.v_revenue_by_nation"],
+        },
+        query="""
+        SELECT nation_name, revenue, rnk FROM (
+          SELECT nation_name, revenue,
+                 ROW_NUMBER() OVER (ORDER BY revenue DESC) AS rnk
+          FROM dw.v_revenue_by_nation
+        ) WHERE rnk <= 5
+        """,
+    )
+    return root
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    root = make_repo(str(tmp_path / "repo"), spark)
+    ctx = LoadContext(
+        spark=spark, data_root=str(tmp_path / "lake"), store=EventStore()
+    )
+    yield spark, root, ctx
+    for db in [r.namespace for r in spark.sql("SHOW DATABASES").collect()]:
+        if db != "default":
+            spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
+
+
+def test_full_blue_green_load(warehouse):
+    spark, root, ctx = warehouse
+    relations = find_file_sets(root)
+    assert len(relations) == 8
+    load_warehouse(ctx, relations)
+
+    # production tables exist and carry data
+    n_cust = spark.table("src.customer").count()
+    assert n_cust > 0
+    dim = spark.table("dw.dim_customer")
+    # identity + no na-row surprises: row per customer + 1 na-row
+    assert dim.count() == n_cust + 1
+    na = dim.filter("customer_key = 0").collect()
+    assert len(na) == 1 and na[0]["c_name"] == "N/A"
+    # views work against production names after publish
+    top = spark.table("dw.v_top_nations").collect()
+    assert 0 < len(top) <= 5
+    assert top[0]["rnk"] == 1
+    # staging dropped
+    dbs = {r.namespace for r in spark.sql("SHOW DATABASES").collect()}
+    assert not any(db.startswith("etl_staging__") for db in dbs)
+    # monitor recorded finish events with rowcounts
+    finishes = [e for e in ctx.store.events() if e["event"] == "finish"]
+    assert len(finishes) == 8
+
+
+def test_constraint_failure_aborts_required(warehouse, tmp_path):
+    spark, root, ctx = warehouse
+    # corrupt: duplicate a customer row so the PK fails
+    dup_dir = os.path.join(root, "data", "src", "customer")
+    df = spark.read.parquet(dup_dir)
+    df.unionAll(df.limit(1)).write.mode("overwrite").parquet(dup_dir + "_dup")
+    import shutil
+
+    shutil.rmtree(dup_dir)
+    os.rename(dup_dir + "_dup", dup_dir)
+
+    relations = find_file_sets(root)
+    with pytest.raises(RequiredRelationLoadError):
+        load_warehouse(
+            ctx, relations, required_selector=TableSelector(["dw.v_revenue_by_nation"])
+        )
+    # production untouched (nothing published)
+    assert not spark.catalog.tableExists("dw.dim_customer")
+
+
+def test_optional_failure_builds_empty_dependents(warehouse):
+    spark, root, ctx = warehouse
+    # break the fact query
+    with open(os.path.join(root, "schemas", "dw", "fact_order_line.sql"), "w") as fh:
+        fh.write("SELECT broken_column FROM src.lineitem")
+    relations = find_file_sets(root)
+    load_warehouse(ctx, relations)  # no required selector → degrade
+    assert spark.table("src.customer").count() > 0
+    assert spark.table("dw.dim_customer").count() > 0
+
+
+def test_upgrade_in_place(warehouse):
+    spark, root, ctx = warehouse
+    relations = find_file_sets(root)
+    load_warehouse(ctx, relations)
+    before = spark.table("dw.fact_order_line").count()
+    ctx2 = LoadContext(spark=spark, data_root=ctx.data_root, store=EventStore())
+    failed = upgrade_warehouse(
+        ctx2, find_file_sets(root), TableSelector(["dw.fact_order_line"])
+    )
+    assert not failed
+    assert spark.table("dw.fact_order_line").count() == before
+
+
+def test_rewrite_query_for_staging():
+    q = "SELECT * FROM dw.fact f JOIN src.orders o ON f.k = o.k WHERE 'dw.fact' = 'x'"
+    out = rewrite_query_for_staging(q, ["dw.fact", "src.orders"])
+    assert "etl_staging__dw.fact f" in out
+    assert "etl_staging__src.orders o" in out
+    # string literal containing an identifier is ALSO rewritten by the
+    # reference's regex approach — acceptable fidelity; just assert behavior
+    assert out.count("etl_staging__dw.fact") == 2
