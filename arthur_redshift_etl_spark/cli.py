@@ -1,0 +1,409 @@
+"""Command-line surface: the data-path commands of the reference CLI.
+
+Reference parity: ``python/etl/commands.py:340-390`` registers 44
+subcommands; the data-path set reproduced here (SURVEY §2.12):
+initialize, bootstrap_sources/transformations, sync, extract (plan), load,
+upgrade, update, unload, validate, run_query, check_constraints, explain,
+show_ddl, show_downstream_dependents, show_upstream_dependencies,
+create_schemas, create_index, ls, ping, query_events, summarize_events,
+tail_events, selftest.  AWS-ops commands (EMR, Data Pipeline, IAM) are out
+of scope for a Spark engine (stubbed with a clear message).
+
+Usage: ``python -m arthur_redshift_etl_spark.cli <command> [args]`` with
+``--repo <dir>`` pointing at a design repository (see ``repo.py`` layout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+from . import __version__
+from .names import TableSelector
+
+
+def _spark(args):
+    from .session import build_session
+
+    return build_session(app_name=f"arthur-spark-{args.command}")
+
+
+def _relations(args, selector_patterns=None):
+    from .repo import find_file_sets
+
+    sel = TableSelector(selector_patterns or [])
+    return find_file_sets(args.repo, sel)
+
+
+def _ctx(args, spark):
+    from .loader import LoadContext
+    from .monitor import EventStore
+
+    return LoadContext(
+        spark=spark,
+        data_root=os.path.join(args.repo, "lake"),
+        store=EventStore(os.path.join(args.repo, "events.jsonl")),
+    )
+
+
+def cmd_initialize(args) -> int:
+    for sub in ("schemas", "data", "lake"):
+        os.makedirs(os.path.join(args.repo, sub), exist_ok=True)
+    print(f"initialized design repository at {args.repo}")
+    return 0
+
+
+def cmd_ls(args) -> int:
+    for rel in _relations(args, args.patterns):
+        marker = {"TABLE": "T", "CTAS": "C", "VIEW": "V"}[rel.kind]
+        print(f"{marker} {rel.identifier}")
+    return 0
+
+
+def cmd_ping(args) -> int:
+    spark = _spark(args)
+    row = spark.sql("SELECT 1 AS ok").collect()[0]
+    print(f"spark ok={row['ok']} version={spark.version}")
+    return 0
+
+
+def cmd_selftest(args) -> int:
+    import doctest
+
+    from . import design as m_design
+    from . import names as m_names
+    from . import retry as m_retry
+    from .functions import compat as m_compat
+    from .sources import jdbc as m_jdbc
+
+    failures = 0
+    for mod in (m_names, m_design, m_compat, m_jdbc, m_retry):
+        f, _ = doctest.testmod(mod, verbose=False)
+        failures += f
+    print(f"selftest: {'OK' if failures == 0 else f'{failures} failure(s)'}")
+    return 1 if failures else 0
+
+
+def cmd_validate(args) -> int:
+    from .relations import order_by_dependencies, sanitize_dependencies
+    from .validate import validate_relations
+
+    rels = _relations(args, args.patterns)
+    sanitize_dependencies(rels)
+    order_by_dependencies(rels)  # cycle check
+    spark = _spark(args)
+    # register source schemas as empty temp views so transform queries resolve
+    for rel in rels:
+        if rel.is_source_relation:
+            df = spark.createDataFrame([], rel.design.to_spark_schema())
+            df.createOrReplaceTempView(rel.table_name.table)
+    issues = validate_relations(spark, rels)
+    for issue in issues:
+        print(str(issue))
+    print(f"validate: {len(issues)} issue(s) in {len(rels)} relation(s)")
+    return 1 if issues else 0
+
+
+def cmd_load(args) -> int:
+    from .loader import load_warehouse
+
+    spark = _spark(args)
+    ctx = _ctx(args, spark)
+    required = TableSelector(args.required) if args.required else None
+    load_warehouse(
+        ctx, _relations(args), TableSelector(args.patterns), required_selector=required
+    )
+    print(f"load complete (etl_id={ctx.etl_id})")
+    return 0
+
+
+def cmd_upgrade(args) -> int:
+    from .loader import upgrade_warehouse
+
+    spark = _spark(args)
+    ctx = _ctx(args, spark)
+    failed = upgrade_warehouse(
+        ctx,
+        _relations(args),
+        TableSelector(args.patterns),
+        include_dependents=not args.only_selected,
+        continue_from=args.continue_from,
+    )
+    print(f"upgrade complete; {len(failed)} failure(s)")
+    return 1 if failed else 0
+
+
+def cmd_update(args) -> int:
+    from .loader import update_warehouse
+
+    spark = _spark(args)
+    ctx = _ctx(args, spark)
+    update_warehouse(ctx, _relations(args), TableSelector(args.patterns))
+    print("update complete")
+    return 0
+
+
+def cmd_extract(args) -> int:
+    """Print the JDBC extract plan per source relation (no upstream here)."""
+    from .sources.jdbc import plan_extract
+
+    for rel in _relations(args, args.patterns):
+        if not rel.is_source_relation:
+            continue
+        plan = plan_extract(rel.design, use_sampling=args.use_sampling)
+        print(
+            json.dumps(
+                {
+                    "relation": rel.identifier,
+                    "query": plan.query,
+                    "partition_column": plan.partition_column,
+                    "num_partitions": plan.num_partitions,
+                    "boundary_query": plan.boundary_query,
+                }
+            )
+        )
+    return 0
+
+
+def cmd_unload(args) -> int:
+    from .sinks.unload import unload
+
+    spark = _spark(args)
+    for rel in _relations(args, args.patterns):
+        df = spark.table(rel.identifier)
+        target = os.path.join(args.repo, "unload", rel.table_name.schema, rel.table_name.table)
+        manifest = unload(df, target, allow_overwrite=args.force)
+        print(f"unloaded {rel.identifier} -> {manifest}")
+    return 0
+
+
+def cmd_run_query(args) -> int:
+    from .functions.compat import rewrite_redshift_sql
+
+    rels = {r.identifier: r for r in _relations(args)}
+    rel = rels[args.relation.lower()]
+    spark = _spark(args)
+    spark.sql(rewrite_redshift_sql(rel.sql())).limit(args.limit).show(truncate=False)
+    return 0
+
+
+def cmd_check_constraints(args) -> int:
+    from .errors import FailedConstraintError
+    from .operators.constraints import check_all_constraints
+
+    spark = _spark(args)
+    bad = 0
+    for rel in _relations(args, args.patterns):
+        if not rel.design.constraints:
+            continue
+        try:
+            check_all_constraints(spark.table(rel.identifier), rel.design)
+            print(f"OK {rel.identifier}")
+        except FailedConstraintError as exc:
+            bad += 1
+            print(f"FAIL {exc}")
+    return 1 if bad else 0
+
+
+def cmd_explain(args) -> int:
+    from .functions.compat import rewrite_redshift_sql
+    from .plans.lint import lint_plan, plan_text
+
+    spark = _spark(args)
+    for rel in _relations(args, args.patterns):
+        if not rel.is_transformation:
+            continue
+        df = spark.sql(rewrite_redshift_sql(rel.sql()))
+        print(f"-- {rel.identifier}")
+        print(plan_text(df))
+        for w in lint_plan(df):
+            print(f"WARNING {w}")
+    return 0
+
+
+def cmd_show_ddl(args) -> int:
+    from .ddl import render_ddl
+
+    for rel in _relations(args, args.patterns):
+        print(render_ddl(rel.design, rel.query or ""))
+        print()
+    return 0
+
+
+def cmd_show_downstream(args) -> int:
+    from .relations import find_dependents, order_by_dependencies, sanitize_dependencies
+
+    rels = _relations(args)
+    sanitize_dependencies(rels)
+    ordered = order_by_dependencies(rels)
+    sel = TableSelector(args.patterns)
+    seeds = [r for r in ordered if sel.match(r.table_name)]
+    for rel in seeds + find_dependents(ordered, seeds):
+        print(f"{rel.execution_order:4d} L{rel.execution_level} {rel.identifier}")
+    return 0
+
+
+def cmd_show_upstream(args) -> int:
+    from .relations import order_by_dependencies, sanitize_dependencies
+
+    rels = _relations(args)
+    sanitize_dependencies(rels)
+    ordered = order_by_dependencies(rels)
+    sel = TableSelector(args.patterns)
+    by_name = {r.identifier: r for r in ordered}
+    seen: List[str] = []
+
+    def walk(ident: str) -> None:
+        for dep in by_name[ident].dependencies:
+            if dep not in seen:
+                seen.append(dep)
+                walk(dep)
+
+    for rel in ordered:
+        if sel.match(rel.table_name):
+            walk(rel.identifier)
+            print(rel.identifier)
+    for ident in seen:
+        print(f"  <- {ident}")
+    return 0
+
+
+def cmd_create_schemas(args) -> int:
+    from .loader import create_schema
+
+    spark = _spark(args)
+    for rel in _relations(args):
+        create_schema(spark, rel.table_name.schema)
+    print("schemas created")
+    return 0
+
+
+def cmd_create_index(args) -> int:
+    rels = _relations(args, args.patterns)
+    print("# Relation index\n")
+    current_schema = None
+    for rel in rels:
+        if rel.table_name.schema != current_schema:
+            current_schema = rel.table_name.schema
+            print(f"\n## {current_schema}\n")
+        keys = [
+            f"{ctype}({', '.join(cols)})" for ctype, cols in rel.design.constraint_items()
+        ]
+        print(f"- **{rel.identifier}** ({rel.kind}) {' '.join(keys)}")
+        for c in rel.design.unskipped_columns:
+            print(f"  - `{c.name}` {c.type}")
+    return 0
+
+
+def cmd_bootstrap_transformations(args) -> int:
+    from .bootstrap import bootstrap_transformation_design
+    from .repo import write_design
+
+    spark = _spark(args)
+    with open(args.sql_file) as fh:
+        query = fh.read()
+    design = bootstrap_transformation_design(
+        spark, args.relation, query, as_view=args.as_view
+    )
+    path = write_design(args.repo, design.to_dict(), query)
+    print(f"wrote {path}")
+    return 0
+
+
+def cmd_bootstrap_sources(args) -> int:
+    from .bootstrap import bootstrap_source_design
+    from .repo import write_design
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.data)
+    design = bootstrap_source_design(df, args.relation, args.source_name or "static.local")
+    path = write_design(args.repo, design.to_dict())
+    print(f"wrote {path}")
+    return 0
+
+
+def cmd_sync(args) -> int:
+    print("sync: designs are local files in this engine; nothing to upload")
+    return 0
+
+
+def cmd_events(args) -> int:
+    from .monitor import EventStore
+
+    store = EventStore(os.path.join(args.repo, "events.jsonl"))
+    if args.command == "query_events":
+        rows = store.query(target=args.target)
+    elif args.command == "summarize_events":
+        rows = store.summarize()
+    else:
+        rows = store.tail(args.limit)
+    for row in rows:
+        print(json.dumps(row, sort_keys=True))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="arthur-spark", description=__doc__)
+    p.add_argument("--repo", default=".", help="design repository root")
+    p.add_argument("--version", action="version", version=__version__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add(name, fn, patterns=True, **kw):
+        sp = sub.add_parser(name, **kw)
+        if patterns:
+            sp.add_argument("patterns", nargs="*", help="schema[.table] glob patterns")
+        sp.set_defaults(fn=fn)
+        return sp
+
+    add("initialize", cmd_initialize, patterns=False)
+    add("ls", cmd_ls)
+    add("ping", cmd_ping, patterns=False)
+    add("selftest", cmd_selftest, patterns=False)
+    add("validate", cmd_validate)
+    sp = add("load", cmd_load)
+    sp.add_argument("--required", nargs="*", help="required-for-success patterns")
+    sp = add("upgrade", cmd_upgrade)
+    sp.add_argument("--only-selected", action="store_true")
+    sp.add_argument("--continue-from")
+    add("update", cmd_update)
+    sp = add("extract", cmd_extract)
+    sp.add_argument("--use-sampling", action="store_true")
+    sp = add("unload", cmd_unload)
+    sp.add_argument("--force", action="store_true")
+    sp = add("run_query", cmd_run_query, patterns=False)
+    sp.add_argument("relation")
+    sp.add_argument("--limit", type=int, default=20)
+    add("check_constraints", cmd_check_constraints)
+    add("explain", cmd_explain)
+    add("show_ddl", cmd_show_ddl)
+    add("show_downstream_dependents", cmd_show_downstream)
+    add("show_upstream_dependencies", cmd_show_upstream)
+    add("create_schemas", cmd_create_schemas)
+    add("create_index", cmd_create_index)
+    sp = add("bootstrap_transformations", cmd_bootstrap_transformations, patterns=False)
+    sp.add_argument("relation")
+    sp.add_argument("sql_file")
+    sp.add_argument("--as-view", action="store_true")
+    sp = add("bootstrap_sources", cmd_bootstrap_sources, patterns=False)
+    sp.add_argument("relation")
+    sp.add_argument("data")
+    sp.add_argument("--source-name")
+    add("sync", cmd_sync, patterns=False)
+    sp = add("query_events", cmd_events, patterns=False)
+    sp.add_argument("--target")
+    add("summarize_events", cmd_events, patterns=False)
+    sp = add("tail_events", cmd_events, patterns=False)
+    sp.add_argument("--limit", type=int, default=10)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,99 @@
+"""Structured Streaming surface for event data.
+
+The reference explicitly has no streaming (README: "Arthur is not designed
+to support streaming or micro-batch ETLs", SURVEY §2.10).  This module is
+the capability upgrade the Spark engine gets for free: the same event
+rollups the batch workload computes (hourly counts, sessionization) as
+incremental streaming queries with watermarked late-data handling.
+
+Scale notes: the windowed aggregation is keyed by (window, event_type) —
+state is bounded by the watermark horizon; sessionization uses
+``session_window`` (native gap-based session windows, state cleaned by
+watermark), not a driver-side loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-based event stream (each new file is a micro-batch)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming analog of the batch ``hourly_event_rollup`` query.
+
+    Watermark bounds state: late events beyond the horizon are dropped, the
+    rest update their hour bucket incrementally.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_ts"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization: native gap-based session windows per user.
+
+    Matches the batch ``event_sessions`` semantics (a session ends after
+    ``gap`` of inactivity) with watermark-driven state cleanup.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, table_name: str, output_mode: str = "append"
+) -> "StreamingQuery":
+    """Drive a streaming DataFrame into an in-memory sink (tests/debug)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,92 @@
+"""CLI surface tests — the non-Spark commands run fast and in-process."""
+
+import os
+
+import pytest
+
+from arthur_redshift_etl_spark.cli import main
+from arthur_redshift_etl_spark.repo import write_design
+
+
+@pytest.fixture()
+def design_repo(tmp_path):
+    root = str(tmp_path / "repo")
+    os.makedirs(root, exist_ok=True)
+    write_design(
+        root,
+        {
+            "name": "src.orders",
+            "source_name": "up.public.orders",
+            "columns": [
+                {"name": "o_orderkey", "type": "long", "not_null": True},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+            "constraints": [{"primary_key": ["o_orderkey"]}],
+            "extract_settings": {"split_by": ["o_orderkey"], "num_partitions": 4},
+        },
+    )
+    write_design(
+        root,
+        {
+            "name": "dw.totals",
+            "source_name": "CTAS",
+            "columns": [{"name": "total", "type": "double"}],
+            "depends_on": ["src.orders"],
+            "attributes": {"distribution": ["total"], "compound_sort": ["total"]},
+        },
+        query="SELECT SUM(o_totalprice) AS total FROM src.orders",
+    )
+    return root
+
+
+def test_initialize_and_ls(design_repo, capsys):
+    assert main(["--repo", design_repo, "initialize"]) == 0
+    assert main(["--repo", design_repo, "ls"]) == 0
+    out = capsys.readouterr().out
+    assert "T src.orders" in out and "C dw.totals" in out
+
+
+def test_ls_with_pattern(design_repo, capsys):
+    main(["--repo", design_repo, "ls", "dw.*"])
+    out = capsys.readouterr().out
+    assert "dw.totals" in out and "src.orders" not in out
+
+
+def test_selftest(design_repo, capsys):
+    assert main(["--repo", design_repo, "selftest"]) == 0
+    assert "OK" in capsys.readouterr().out
+
+
+def test_extract_plan(design_repo, capsys):
+    assert main(["--repo", design_repo, "extract"]) == 0
+    out = capsys.readouterr().out
+    assert '"partition_column": "o_orderkey"' in out
+    assert '"num_partitions": 4' in out
+
+
+def test_show_ddl(design_repo, capsys):
+    assert main(["--repo", design_repo, "show_ddl"]) == 0
+    out = capsys.readouterr().out
+    assert "CREATE TABLE src.orders" in out
+    assert "o_orderkey BIGINT NOT NULL" in out
+    assert "'constraint.primary_key' = 'o_orderkey'" in out
+    assert "'distribution' = 'total'" in out
+
+
+def test_show_downstream_and_upstream(design_repo, capsys):
+    assert main(["--repo", design_repo, "show_downstream_dependents", "src.orders"]) == 0
+    out = capsys.readouterr().out
+    assert "src.orders" in out and "dw.totals" in out
+    assert main(["--repo", design_repo, "show_upstream_dependencies", "dw.totals"]) == 0
+    out = capsys.readouterr().out
+    assert "<- src.orders" in out
+
+
+def test_create_index(design_repo, capsys):
+    assert main(["--repo", design_repo, "create_index"]) == 0
+    out = capsys.readouterr().out
+    assert "## src" in out and "primary_key(o_orderkey)" in out
+
+
+def test_events_empty(design_repo, capsys):
+    assert main(["--repo", design_repo, "tail_events"]) == 0

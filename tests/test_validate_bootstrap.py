@@ -1,0 +1,101 @@
+"""Plan-based dependency extraction, dry-run validation, bootstrap, lint."""
+
+import pytest
+
+from arthur_redshift_etl_spark.bootstrap import (
+    bootstrap_source_design,
+    bootstrap_transformation_design,
+)
+from arthur_redshift_etl_spark.design import ColumnDefinition, TableDesign
+from arthur_redshift_etl_spark.plans.deps import query_dependencies
+from arthur_redshift_etl_spark.plans.lint import lint_plan, scan_pushdown_report
+from arthur_redshift_etl_spark.relations import Relation
+from arthur_redshift_etl_spark.validate import diff_column_lists, validate_transformation
+
+
+def test_query_dependencies_parsed_plan(spark):
+    q = """
+    WITH x AS (SELECT * FROM dw.fact f JOIN src.orders o ON f.k = o.k)
+    SELECT * FROM x JOIN other.dim d ON x.k = d.k
+    """
+    deps = query_dependencies(spark, q)
+    assert deps == ["dw.fact", "other.dim", "src.orders"]
+
+
+def test_query_dependencies_excludes_ctes(spark):
+    q = "WITH a AS (SELECT 1 AS x) SELECT * FROM a JOIN src.t ON a.x = src.t.x"
+    assert query_dependencies(spark, q) == ["src.t"]
+
+
+def test_validate_transformation_column_and_dep_diff(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("v_nation")
+    rel = Relation(
+        design=TableDesign(
+            name="dw.t",
+            source_name="CTAS",
+            columns=[ColumnDefinition("n_name"), ColumnDefinition("wrong_col")],
+            depends_on=["dw.ghost"],
+        ),
+        query="SELECT n_name, n_nationkey FROM v_nation",
+    )
+    issues = validate_transformation(spark, rel)
+    kinds = sorted(i.kind for i in issues)
+    assert kinds == ["column_mismatch", "dependency_mismatch", "dependency_mismatch"]
+
+
+def test_validate_query_error(spark):
+    rel = Relation(
+        design=TableDesign(
+            name="dw.bad", source_name="CTAS", columns=[ColumnDefinition("x")]
+        ),
+        query="SELECT FROM nothing WHERE",
+    )
+    issues = validate_transformation(spark, rel)
+    assert issues and issues[0].kind == "query_error"
+
+
+def test_diff_column_lists():
+    assert diff_column_lists(["a", "b"], ["a", "b"]) is None
+    d = diff_column_lists(["a", "b", "c"], ["a", "c"])
+    assert "- b" in d
+
+
+def test_bootstrap_source_design(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    design = bootstrap_source_design(df, "src.orders", "up.public.orders", ["o_orderkey"])
+    by = {c.name: c for c in design.columns}
+    assert by["o_orderkey"].type == "long"
+    assert by["o_totalprice"].type == "double"
+    assert by["o_orderdate"].type == "timestamp"
+    assert design.constraint_items() == [("primary_key", ["o_orderkey"])]
+
+
+def test_bootstrap_transformation_design(spark, sf_dir):
+    spark.sql("CREATE DATABASE IF NOT EXISTS srcboot")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.mode("overwrite").saveAsTable(
+        "srcboot.nation"
+    )
+    design = bootstrap_transformation_design(
+        spark,
+        "dw.nations",
+        "SELECT n_nationkey, upper(n_name) AS name_upper FROM srcboot.nation",
+    )
+    assert [c.name for c in design.columns] == ["n_nationkey", "name_upper"]
+    assert design.depends_on == ["srcboot.nation"]
+    assert design.kind == "CTAS"
+    view = bootstrap_transformation_design(
+        spark, "dw.v", "SELECT n_nationkey FROM srcboot.nation", as_view=True
+    )
+    assert view.kind == "VIEW"
+    spark.sql("DROP DATABASE srcboot CASCADE")
+
+
+def test_lint_flags_cartesian_and_pushdown(spark, sf_dir):
+    a = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    b = spark.read.parquet(f"{sf_dir}/region.parquet")
+    warnings = lint_plan(a.crossJoin(b))
+    assert any(w.code in ("CARTESIAN", "NL_JOIN") for w in warnings)
+
+    filtered = a.filter("n_nationkey > 5").select("n_name")
+    report = scan_pushdown_report(filtered)
+    assert any("PushedFilters" in line for line in report)
