@@ -82,7 +82,12 @@ def lint_plan(df: DataFrame, broadcast_row_hint: int = 10_000_000) -> List[LintW
                 "an Arrow-batched pandas UDF (10-100x)",
             )
         )
-    if "InMemoryTableScan" not in text and "WholeStageCodegen" not in text:
+    if (
+        "InMemoryTableScan" not in text
+        and "WholeStageCodegen" not in text
+        # pre-execution AQE plans don't show codegen spans yet
+        and "AdaptiveSparkPlan" not in text
+    ):
         warnings.append(
             LintWarning("NO_CODEGEN", "no whole-stage codegen spans in plan")
         )

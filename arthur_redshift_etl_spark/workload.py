@@ -404,10 +404,13 @@ def top_customers(spark, sf_dir):
         .groupBy("c_custkey", "c_name")
         .agg(sum_money(disc_price(), "revenue"))
     )
+    # distributed top-k first (TakeOrderedAndProject: per-partition heaps,
+    # no global single-task window over all customers), then rank the 10
+    # survivors — identical result, scale-safe.
+    top = rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
     return (
-        rev.withColumn("revenue_rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("revenue_rank") <= 10)
+        top.withColumn("revenue_rank", F.row_number().over(w).cast("int"))
         .select("revenue_rank", "c_custkey", "c_name", "revenue")
     )
 
@@ -615,7 +618,9 @@ def dim_customer(spark, sf_dir):
         ],
         constraints=[{"surrogate_key": ["customer_key"]}, {"natural_key": ["c_custkey"]}],
     )
-    return build_dimension(base, design, order_by=["c_custkey"])
+    # distributed=True: identity via range-partition + per-partition ranks +
+    # prefix-sum of partition counts — no single-task global window
+    return build_dimension(base, design, order_by=["c_custkey"], distributed=True)
 
 
 @query(
