@@ -325,6 +325,24 @@ def cmd_bootstrap_sources(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    from .loader import vacuum_lake
+
+    spark = _spark(args)
+    removed = vacuum_lake(spark, os.path.join(args.repo, "lake"))
+    print(f"vacuum: removed {len(removed)} unreferenced lake version(s)")
+    return 0
+
+
+def cmd_promote_schemas(args) -> int:
+    from .loader import promote_schemas
+
+    spark = _spark(args)
+    promote_schemas(_ctx(args, spark), _relations(args, args.patterns))
+    print("promoted staging schemas to production")
+    return 0
+
+
 def cmd_sync(args) -> int:
     print("sync: designs are local files in this engine; nothing to upload")
     return 0
@@ -382,6 +400,8 @@ def build_parser() -> argparse.ArgumentParser:
     add("show_downstream_dependents", cmd_show_downstream)
     add("show_upstream_dependencies", cmd_show_upstream)
     add("create_schemas", cmd_create_schemas)
+    add("promote_schemas", cmd_promote_schemas)
+    add("vacuum", cmd_vacuum, patterns=False)
     add("create_index", cmd_create_index)
     sp = add("bootstrap_transformations", cmd_bootstrap_transformations, patterns=False)
     sp.add_argument("relation")

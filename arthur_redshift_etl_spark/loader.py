@@ -64,6 +64,7 @@ class LoadContext:
     etl_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
     max_concurrency: int = 4
     skip_copy: bool = False  # structural smoke mode (--skip-copy)
+    analyze: bool = True  # ANALYZE TABLE after load (reference load.py:554-561)
 
     def table_location(self, table_name: TableName) -> str:
         return f"{self.data_root}/{self.etl_id}/{table_name.schema}/{table_name.table}"
@@ -129,6 +130,12 @@ def materialize_dataframe(ctx: LoadContext, rel: Relation, df: DataFrame, db: st
     writer_df.write.mode("overwrite").parquet(location)
     _drop_relation(ctx, db, rel.table_name.table)
     _register_external_table(ctx, db, rel.table_name.table, location)
+    if ctx.analyze:
+        # stats feed Catalyst's CBO (broadcast decisions, join reordering)
+        ctx.spark.sql(
+            f"ANALYZE TABLE {_quote(db)}.{_quote(rel.table_name.table)} "
+            "COMPUTE STATISTICS"
+        )
     return ctx.spark.read.parquet(location).count()
 
 
@@ -297,6 +304,13 @@ def publish(ctx: LoadContext, relations: Sequence[Relation]) -> None:
         location = loc[0]["data_type"]
         _drop_relation(ctx, tn.schema, tn.table)
         _register_external_table(ctx, tn.schema, tn.table, location)
+        if ctx.analyze:
+            # re-registration discards staging stats; recompute on the
+            # production name so the CBO sees sizes (metadata-only scan)
+            ctx.spark.sql(
+                f"ANALYZE TABLE {_quote(tn.schema)}.{_quote(tn.table)} "
+                "COMPUTE STATISTICS"
+            )
     for rel in views:
         tn = rel.table_name
         full = f"{_quote(tn.schema)}.{_quote(tn.table)}"
@@ -384,3 +398,95 @@ def update_warehouse(
             drop_schema(ctx.spark, as_staging(schema))
         raise RequiredRelationLoadError([r.identifier for r in failed])
     publish(ctx, rels)
+
+
+def promote_schemas(ctx: LoadContext, relations: Sequence[Relation]) -> None:
+    """Standalone staging→production promotion (reference promote_schemas,
+    commands.py:1436): publish whatever currently sits in staging."""
+    publish(ctx, list(relations))
+
+
+def vacuum_lake(spark: SparkSession, data_root: str) -> List[str]:
+    """Garbage-collect lake versions no production/staging table references.
+
+    The blue-green scheme leaves one directory tree per etl_id; after a few
+    publishes most are unreferenced.  Metadata-only scan + directory removal
+    (the reference's VACUUM maps to storage reclamation here; Spark stats
+    refresh is ANALYZE, done at load time).
+    """
+    import os
+    import shutil
+
+    referenced = set()
+    for db_row in spark.sql("SHOW DATABASES").collect():
+        db = db_row["namespace"]
+        for t in spark.catalog.listTables(db):
+            try:
+                loc_rows = (
+                    spark.sql(f"DESCRIBE FORMATTED `{db}`.`{t.name}`")
+                    .filter("col_name = 'Location'")
+                    .collect()
+                )
+                if loc_rows:
+                    loc = loc_rows[0]["data_type"]
+                    referenced.add(loc.replace("file:", ""))
+            except Exception:
+                continue
+    removed = []
+    if not os.path.isdir(data_root):
+        return removed
+    for etl_id in sorted(os.listdir(data_root)):
+        run_dir = os.path.join(data_root, etl_id)
+        if not os.path.isdir(run_dir):
+            continue
+        keep = any(ref.startswith(run_dir) for ref in referenced)
+        if not keep:
+            shutil.rmtree(run_dir)
+            removed.append(run_dir)
+    return removed
+
+
+def load_sources_as_extracted(
+    ctx: LoadContext,
+    relations: Sequence[Relation],
+    poll_interval: float = 0.2,
+    idle_timeout: float = 3600.0,
+) -> List[str]:
+    """Event-driven ("percolator") source loading: load each source table as
+    its extract-finish event lands in the event store.
+
+    Reference: load.py:790-988 — a poller watches per-table extract events
+    and dispatches loads concurrently; terminates after ``idle_timeout``
+    without progress (default 3600 s per default_settings.yaml:17).
+    Returns identifiers in the order they were loaded.
+    """
+    import time as _time
+
+    from .monitor import STEP_EXTRACT
+
+    pending = {r.identifier: r for r in relations if r.is_source_relation}
+    staging_ids = [r.identifier for r in relations]
+    loaded: List[str] = []
+    last_progress = _time.time()
+    with ThreadPoolExecutor(max_workers=ctx.max_concurrency) as pool:
+        futures = {}
+        while pending or futures:
+            for ident in list(pending):
+                if ctx.store.latest_finish(ident, STEP_EXTRACT) is not None:
+                    rel = pending.pop(ident)
+                    futures[ident] = pool.submit(
+                        build_one_relation, ctx, rel, True, staging_ids
+                    )
+            for ident, fut in list(futures.items()):
+                if fut.done():
+                    del futures[ident]
+                    fut.result()  # propagate errors
+                    loaded.append(ident)
+                    last_progress = _time.time()
+            if pending and not futures:
+                if _time.time() - last_progress > idle_timeout:
+                    raise ETLRuntimeError(
+                        f"idle timeout: no extract events for {sorted(pending)}"
+                    )
+                _time.sleep(poll_interval)
+    return loaded

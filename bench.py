@@ -30,8 +30,12 @@ DEFAULT_QUERIES = [
     "q04_order_priority",
     "q05_region_nation_revenue",
     "q06_forecast_revenue",
+    "q07_volume_shipping",
     "q10_returned_items",
+    "q13_customer_distribution",
     "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
     "top_customers_window",
     "segment_nation_rollup",
     "hourly_event_rollup",

@@ -1,0 +1,106 @@
+"""Vacuum, promote, percolator (event-driven load), ANALYZE stats."""
+
+import os
+import threading
+import time
+
+import pytest
+
+from arthur_redshift_etl_spark.design import ColumnDefinition, TableDesign
+from arthur_redshift_etl_spark.loader import (
+    LoadContext,
+    load_sources_as_extracted,
+    load_warehouse,
+    vacuum_lake,
+)
+from arthur_redshift_etl_spark.monitor import STEP_EXTRACT, EventStore, Monitor
+from arthur_redshift_etl_spark.relations import Relation
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def source_rel(spark, tmp_path, name, table):
+    d = str(tmp_path / "data" / name)
+    spark.read.parquet(f"{SF_DIR}/{table}.parquet").write.mode("overwrite").parquet(d)
+    cols = {
+        "nation": [
+            ColumnDefinition("n_nationkey", "int", not_null=True),
+            ColumnDefinition("n_name", "string"),
+        ],
+        "region": [
+            ColumnDefinition("r_regionkey", "int", not_null=True),
+            ColumnDefinition("r_name", "string"),
+        ],
+    }[table]
+    return Relation(
+        design=TableDesign(name=name, source_name=f"up.public.{table}", columns=cols),
+        data_location=d,
+    )
+
+
+@pytest.fixture()
+def clean_dbs(spark):
+    yield
+    for row in spark.sql("SHOW DATABASES").collect():
+        if row["namespace"] != "default":
+            spark.sql(f"DROP DATABASE IF EXISTS `{row['namespace']}` CASCADE")
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path, clean_dbs):
+    lake = str(tmp_path / "lake")
+    rels = [source_rel(spark, tmp_path, "vsrc.nation", "nation")]
+    ctx1 = LoadContext(spark=spark, data_root=lake, store=EventStore())
+    load_warehouse(ctx1, rels)
+    for _ in range(2):
+        rels_n = [source_rel(spark, tmp_path, "vsrc.nation", "nation")]
+        load_warehouse(
+            ctx := LoadContext(spark=spark, data_root=lake, store=EventStore()), rels_n
+        )
+    assert len(os.listdir(lake)) == 3
+    # production references the 3rd version, the backup db the 2nd;
+    # only the 1st is unreferenced
+    removed = vacuum_lake(spark, lake)
+    assert [os.path.basename(p) for p in removed] == [ctx1.etl_id]
+    # survivor still queryable
+    assert spark.table("vsrc.nation").count() > 0
+
+
+def test_percolator_loads_in_event_order(spark, tmp_path, clean_dbs):
+    store = EventStore()
+    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=store)
+    rels = [
+        source_rel(spark, tmp_path, "psrc.nation", "nation"),
+        source_rel(spark, tmp_path, "psrc.region", "region"),
+    ]
+
+    def emit_events():
+        time.sleep(0.3)
+        with Monitor(store, "psrc.region", STEP_EXTRACT):
+            pass
+        time.sleep(0.3)
+        with Monitor(store, "psrc.nation", STEP_EXTRACT):
+            pass
+
+    t = threading.Thread(target=emit_events)
+    t.start()
+    loaded = load_sources_as_extracted(ctx, rels, poll_interval=0.05)
+    t.join()
+    assert loaded == ["psrc.region", "psrc.nation"]
+
+
+def test_percolator_idle_timeout(spark, tmp_path, clean_dbs):
+    from arthur_redshift_etl_spark.errors import ETLRuntimeError
+
+    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=EventStore())
+    rels = [source_rel(spark, tmp_path, "tsrc.nation", "nation")]
+    with pytest.raises(ETLRuntimeError, match="idle timeout"):
+        load_sources_as_extracted(ctx, rels, poll_interval=0.05, idle_timeout=0.3)
+
+
+def test_analyze_populates_stats(spark, tmp_path, clean_dbs):
+    rels = [source_rel(spark, tmp_path, "asrc.nation", "nation")]
+    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=EventStore())
+    load_warehouse(ctx, rels)
+    detail = spark.sql("DESCRIBE EXTENDED asrc.nation").collect()
+    stats = [r for r in detail if r["col_name"] == "Statistics"]
+    assert stats, "ANALYZE should record table statistics"
