@@ -169,3 +169,55 @@ def cosine_dedup_pairs(
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def hyperplane_bucket(vec_col: Column, planes) -> Column:
+    """Random-hyperplane LSH bucket key: one sign bit per plane.
+
+    ``planes`` is a list of python float lists (deterministic, seeded by the
+    caller) — they compile to literal arrays, evaluated JVM-side.  Vectors
+    whose cosine is high land in the same bucket with probability
+    ``1 - theta/pi`` per bit.
+    """
+    bits = []
+    for plane in planes:
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(F.when(dot(vec_col, p) > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_search(
+    collection: DataFrame,
+    queries: DataFrame,
+    planes,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN search within random-hyperplane LSH buckets.
+
+    Returns (query_id, neighbor_id, rank) among same-bucket vectors.  The
+    bucket key is computed in one projection pass (no shuffle); the join is
+    keyed on the bucket so the pair space is bounded by bucket occupancy.
+    """
+    c = collection.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col(vec_col)).alias("cv"),
+        hyperplane_bucket(as_double_array(F.col(vec_col)), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(F.col(vec_col)).alias("qv"),
+        hyperplane_bucket(as_double_array(F.col(vec_col)), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

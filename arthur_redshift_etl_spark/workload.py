@@ -1359,3 +1359,151 @@ def q22(spark, sf_dir):
         F.count(F.lit(1)).alias("numcust"),
         sum_money(dec("c_acctbal"), "totacctbal"),
     )
+
+
+# ===========================================================================
+# Time-series, as-of join, LSH-ANN, BPE-ish token counting
+# ===========================================================================
+
+@query(
+    "five_min_rollup",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_ts,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+    description="hypertable-style fixed-width time buckets (5 min)",
+)
+def five_min_rollup(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sum_money(dec("value"), "total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("bucket_ts"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_asof_last_purchase",
+    oracle="""
+    SELECT event_id, user_id, ts, last_purchase_ts,
+           CASE WHEN last_purchase_ts IS NULL THEN NULL
+                ELSE epoch_us(ts) - epoch_us(last_purchase_ts) END AS gap_us
+    FROM (
+      SELECT event_id, user_id, ts,
+             last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_purchase_ts
+      FROM events
+    )
+    """,
+    description="as-of join: each event matched to the user's latest prior "
+    "purchase (windowed last-value formulation)",
+)
+def events_asof_last_purchase(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_purchase = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        last_purchase.alias("last_purchase_ts"),
+    ).withColumn(
+        "gap_us",
+        F.when(
+            F.col("last_purchase_ts").isNull(), F.lit(None).cast("long")
+        ).otherwise(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("last_purchase_ts").cast("timestamp"))
+        ),
+    )
+
+
+def _lsh_planes(num_planes: int = 8, dim: int = 64):
+    """Deterministic pseudo-random hyperplanes (fixed seed, no RNG state)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return [[round(float(x), 6) for x in rng.randn(dim)] for _ in range(num_planes)]
+
+
+def _lsh_oracle(num_planes: int = 8) -> str:
+    planes = _lsh_planes(num_planes)
+    bits = " || ".join(
+        "CASE WHEN list_dot_product(vv, [{vals}]) > 0 THEN '1' ELSE '0' END".format(
+            vals=", ".join(repr(x) for x in plane)
+        )
+        for plane in planes
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, vv, {bits} AS bucket FROM v),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.vv, c.vv) AS sim
+      FROM bucketed q JOIN bucketed c
+        ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS lsh_rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """
+
+
+@query(
+    "ann_lsh_search",
+    oracle=_lsh_oracle(),
+    description="ANN via random-hyperplane LSH buckets (sign-bit sketch)",
+)
+def ann_lsh_search(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.lsh_search(emb, queries, _lsh_planes(), k=3).withColumnRenamed(
+        "rank", "lsh_rank"
+    )
+
+
+_BPE_REGEX = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{_BPE_REGEX}'))) AS BIGINT)
+             AS bpe_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
+    FROM documents GROUP BY lang
+    """,
+    description="token counting: whitespace vs BPE-ish regex segmentation",
+)
+def text_bpe_token_count(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_REGEX), F.lit(0)))
+    ws = F.size(F.split(F.col("text"), " "))
+    return docs.groupBy("lang").agg(
+        F.sum(bpe.cast("long")).alias("bpe_tokens"),
+        F.sum(ws.cast("long")).alias("ws_tokens"),
+    )
