@@ -172,7 +172,38 @@ _SIMPLE_REWRITES = [
     ),
     # DATEADD(unit, n, ts) → dateadd(unit, n, ts) is native in Spark ≥ 3.3 —
     # normalize case only; DATEDIFF(unit, a, b) likewise native.
+    # reference's plpythonu UDF dw.f_sha256 (sql/001_ETL_create_f_sha256.sql)
+    (re.compile(r"\b(?:dw\.)?f_sha256\s*\(\s*([^()]+?)\s*\)", re.I), r"sha2(\1, 256)"),
 ]
+
+# Leader-node-only functions the reference's explain lint flags
+# (explain.py:24-52) — they have no distributed equivalent in Redshift and
+# deserve review when migrating SQL; most ARE distributable in Spark.
+LEADER_ONLY_FUNCTIONS = (
+    "CURRENT_SCHEMA",
+    "CURRENT_SCHEMAS",
+    "AGE",
+    "NOW",
+    "ASCII",
+    "GET_BIT",
+    "GET_BYTE",
+    "OCTET_LENGTH",
+    "SET_BIT",
+    "SET_BYTE",
+    "TO_ASCII",
+)
+
+
+def lint_leader_only_functions(sql: str):
+    """Names of reference leader-only functions appearing in the SQL."""
+    found = []
+    for chunk, is_literal in _split_literals(sql):
+        if is_literal:
+            continue
+        for fn in LEADER_ONLY_FUNCTIONS:
+            if re.search(rf"\b{fn}\s*\(", chunk, re.I):
+                found.append(fn)
+    return sorted(set(found))
 
 
 def rewrite_redshift_sql(sql: str) -> str:
