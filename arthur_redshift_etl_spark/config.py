@@ -1,0 +1,132 @@
+"""Warehouse configuration model.
+
+Reference parity: ``python/etl/config/dw.py`` — ``DataWarehouseSchema``
+(:53-177) classifies each namespace as database source (read_access DSN),
+static source (s3 path), external catalog schema, or transformation schema,
+with an optional unload target and a per-schema S3 data format (:33-50);
+``DataWarehouseConfig`` (:180-300) holds the ordered schema list, type maps,
+and the required-for-success selector (:215-216).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+from .errors import ETLConfigError
+from .names import TableSelector
+
+
+@dataclass
+class S3DataFormat:
+    """Per-schema lake data format (reference dw.py:33-50)."""
+
+    format: str = "parquet"  # CSV | JSON | AVRO | PARQUET
+    compression: Optional[str] = None  # GZIP | ZSTD | None
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "S3DataFormat":
+        return cls(
+            format=str(d.get("format", "parquet")).lower(),
+            compression=d.get("compression"),
+        )
+
+
+@dataclass
+class WarehouseSchema:
+    """One namespace and its role (reference dw.py:53-177)."""
+
+    name: str
+    read_access: Optional[str] = None  # DSN env-var name → database source
+    s3_path: Optional[str] = None  # → static source
+    is_external: bool = False  # external catalog (Spectrum analog)
+    unload_target: Optional[str] = None
+    data_format: S3DataFormat = field(default_factory=S3DataFormat)
+    groups: List[str] = field(default_factory=list)  # reader/writer groups
+
+    @property
+    def is_database_source(self) -> bool:
+        return self.read_access is not None
+
+    @property
+    def is_static_source(self) -> bool:
+        return self.s3_path is not None and self.read_access is None
+
+    @property
+    def is_upstream_source(self) -> bool:
+        return self.is_database_source or self.is_static_source
+
+    @property
+    def is_transformation(self) -> bool:
+        return not self.is_upstream_source and not self.is_external
+
+    @property
+    def kind(self) -> str:
+        if self.is_database_source:
+            return "database_source"
+        if self.is_static_source:
+            return "static_source"
+        if self.is_external:
+            return "external"
+        return "transformation"
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "WarehouseSchema":
+        if "name" not in d:
+            raise ETLConfigError("schema entry missing 'name'")
+        return cls(
+            name=str(d["name"]).lower(),
+            read_access=d.get("read_access"),
+            s3_path=d.get("s3_path"),
+            is_external=bool(d.get("external", False)),
+            unload_target=d.get("unload_target"),
+            data_format=S3DataFormat.from_dict(d.get("data_format", {})),
+            groups=list(d.get("groups", [])),
+        )
+
+
+@dataclass
+class WarehouseConfig:
+    """Ordered schema list + required-relation selector (dw.py:180-300)."""
+
+    schemas: List[WarehouseSchema] = field(default_factory=list)
+    required_patterns: List[str] = field(default_factory=list)
+    settings: Dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        names = [s.name for s in self.schemas]
+        if len(set(names)) != len(names):
+            raise ETLConfigError(f"duplicate schema names in config: {names}")
+
+    @property
+    def required_selector(self) -> TableSelector:
+        return TableSelector(self.required_patterns or ["__none__.__none__"])
+
+    def schema(self, name: str) -> WarehouseSchema:
+        for s in self.schemas:
+            if s.name == name.lower():
+                return s
+        raise ETLConfigError(f"unknown schema: {name}")
+
+    @property
+    def source_schemas(self) -> List[WarehouseSchema]:
+        return [s for s in self.schemas if s.is_upstream_source]
+
+    @property
+    def transformation_schemas(self) -> List[WarehouseSchema]:
+        return [s for s in self.schemas if s.is_transformation]
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "WarehouseConfig":
+        return cls(
+            schemas=[WarehouseSchema.from_dict(s) for s in d.get("schemas", [])],
+            required_patterns=list(d.get("required_for_success", [])),
+            settings=dict(d.get("settings", {})),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "WarehouseConfig":
+        with open(path) as fh:
+            return cls.from_dict(yaml.safe_load(fh) or {})

@@ -1507,3 +1507,33 @@ def text_bpe_token_count(spark, sf_dir):
         F.sum(bpe.cast("long")).alias("bpe_tokens"),
         F.sum(ws.cast("long")).alias("ws_tokens"),
     )
+
+
+@query(
+    "median_quantity_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS median_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="exact median (Redshift MEDIAN → percentile shim path)",
+)
+def median_quantity_by_flag(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "approx_distinct_customers",
+    oracle=None,  # approx sketches differ across engines → rows-only check
+    description="APPROXIMATE COUNT(DISTINCT …) analog: HLL++ sketch per segment",
+)
+def approx_distinct_customers(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.approx_count_distinct("c_custkey").alias("approx_customers")
+    )

@@ -127,3 +127,29 @@ def test_compat_dateadd_untouched_listagg_rewritten():
     assert rewrite_redshift_sql("SELECT dateadd(day, 1, d) FROM t") == (
         "SELECT dateadd(day, 1, d) FROM t"
     )
+
+
+def test_warehouse_config_model(tmp_path):
+    from arthur_redshift_etl_spark.config import WarehouseConfig
+
+    doc = {
+        "schemas": [
+            {"name": "erp", "read_access": "ERP_DSN", "data_format": {"format": "csv", "compression": "gzip"}},
+            {"name": "files", "s3_path": "/lake/files"},
+            {"name": "ext", "external": True},
+            {"name": "dw", "unload_target": "exports"},
+        ],
+        "required_for_success": ["dw.*"],
+    }
+    cfg = WarehouseConfig.from_dict(doc)
+    assert [s.kind for s in cfg.schemas] == [
+        "database_source", "static_source", "external", "transformation",
+    ]
+    assert cfg.schema("erp").data_format.format == "csv"
+    assert [s.name for s in cfg.source_schemas] == ["erp", "files"]
+    assert cfg.required_selector.match_schema("dw")
+    import pytest as _pytest
+    from arthur_redshift_etl_spark.errors import ETLConfigError
+
+    with _pytest.raises(ETLConfigError):
+        WarehouseConfig.from_dict({"schemas": [{"name": "a"}, {"name": "a"}]})
