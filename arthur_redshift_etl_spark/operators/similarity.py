@@ -45,6 +45,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def normalized(df: DataFrame, id_col: str, id_alias: str,
+               vec_col: str = "embedding", out_col: str = "vn") -> DataFrame:
+    """Project (id, unit-normalized vector).
+
+    Normalizing once per vector makes every subsequent pair similarity a
+    single dot product (vs 3 dots + sqrt per pair when cosine recomputes
+    norms) — the dominant cost in kNN/dedup at scale.  Two-step select so
+    the norm is evaluated once per row, not once per element.
+    """
+    v = as_double_array(F.col(vec_col))
+    staged = df.select(F.col(id_col).alias(id_alias), v.alias("__v")).withColumn(
+        "__n", norm(F.col("__v"))
+    )
+    return staged.select(
+        id_alias,
+        F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias(out_col),
+    )
+
+
 def brute_force_knn(
     collection: DataFrame,
     queries: DataFrame,
@@ -58,19 +77,15 @@ def brute_force_knn(
     collection — no shuffle until the (tiny) per-query top-k window.
     Ties break by neighbor id for determinism.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
-    )
-    c = collection.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
-    )
+    q = normalized(queries, id_col, "query_id", vec_col, "qv")
+    c = normalized(collection, id_col, "neighbor_id", vec_col, "cv")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+            dot(F.col("qv"), F.col("cv")).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -123,20 +138,16 @@ def ivf_search(
     Returns (query_id, neighbor_id, rank) among same-bucket vectors.
     """
     assign = ivf_assign(collection, centroids, id_col, vec_col, centroid_id_col)
-    coll = collection.join(assign, id_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(centroid_id_col),
-        as_double_array(F.col(vec_col)).alias("cv"),
+    coll = normalized(collection, id_col, "neighbor_id", vec_col, "cv").join(
+        assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
     )
-    q = queries.join(assign, id_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(centroid_id_col),
-        as_double_array(F.col(vec_col)).alias("qv"),
+    q = normalized(queries, id_col, "query_id", vec_col, "qv").join(
+        assign.withColumnRenamed(id_col, "query_id"), "query_id"
     )
     scored = (
         coll.join(F.broadcast(q), centroid_id_col)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -158,15 +169,14 @@ def cosine_dedup_pairs(
     Blocking (e.g. on an IVF bucket or label) keeps the pair space linear in
     the largest block rather than quadratic in the corpus.
     """
-    v = collection.select(
-        F.col(id_col), F.col(block_col).alias("__blk"), as_double_array(F.col(vec_col)).alias("v")
-    )
-    a = v.select(F.col(id_col).alias("id_a"), "__blk", F.col("v").alias("va"))
-    b = v.select(F.col(id_col).alias("id_b"), "__blk", F.col("v").alias("vb"))
+    blocks = collection.select(F.col(id_col), F.col(block_col).alias("__blk"))
+    vn = normalized(collection, id_col, id_col, vec_col, "v").join(blocks, id_col)
+    a = vn.select(F.col(id_col).alias("id_a"), "__blk", F.col("v").alias("va"))
+    b = vn.select(F.col(id_col).alias("id_b"), "__blk", F.col("v").alias("vb"))
     return (
         a.join(b, "__blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .select("id_a", "id_b", dot(F.col("va"), F.col("vb")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
@@ -200,20 +210,16 @@ def lsh_search(
     bucket key is computed in one projection pass (no shuffle); the join is
     keyed on the bucket so the pair space is bounded by bucket occupancy.
     """
-    c = collection.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double_array(F.col(vec_col)).alias("cv"),
-        hyperplane_bucket(as_double_array(F.col(vec_col)), planes).alias("bucket"),
+    c = normalized(collection, id_col, "neighbor_id", vec_col, "cv").withColumn(
+        "bucket", hyperplane_bucket(F.col("cv"), planes)
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double_array(F.col(vec_col)).alias("qv"),
-        hyperplane_bucket(as_double_array(F.col(vec_col)), planes).alias("bucket"),
+    q = normalized(queries, id_col, "query_id", vec_col, "qv").withColumn(
+        "bucket", hyperplane_bucket(F.col("qv"), planes)
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

@@ -1069,13 +1069,13 @@ def ann_ivf_search(spark, sf_dir):
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.vv, b.vv) >= 0.9
+    WHERE list_cosine_similarity(a.vv, b.vv) >= 0.4
     """,
-    description="embedding near-dup pairs (cosine ≥ 0.9, blocked by label)",
+    description="embedding near-dup pairs (cosine ≥ 0.4, blocked by label)",
 )
 def embedding_cosine_dedup(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
-    return sim.cosine_dedup_pairs(emb, "label", threshold=0.9).select("id_a", "id_b")
+    return sim.cosine_dedup_pairs(emb, "label", threshold=0.4).select("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -1537,3 +1537,125 @@ def approx_distinct_customers(spark, sf_dir):
     return cust.groupBy("c_mktsegment").agg(
         F.approx_count_distinct("c_custkey").alias("approx_customers")
     )
+
+
+@query(
+    "q15_top_suppliers",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, CAST(SUM({_DP}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    description="TPC-H Q15: top supplier via scalar MAX subquery over a CTE",
+)
+def q15(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = t(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(sum_money(disc_price(), "total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    description="CUBE grouping sets over orders",
+)
+def cube_status_priority(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_money(dec("o_totalprice"), "total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "cumulative_customer_revenue",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY c_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE c_custkey < 200
+    """,
+    description="running-total window frame per customer",
+)
+def cumulative_customer_revenue(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("c_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+        )
+    )
+
+
+@query(
+    "doc_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_transform(string_split(text, ' '),
+                            tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT & 4294967295),
+             (acc, x) -> (acc * 31 + x) % {dd.MERSENNE31}
+           ) AS BIGINT) AS rhash
+    FROM documents
+    """,
+    description="document fingerprint: polynomial rolling hash over tokens",
+)
+def doc_rolling_hash(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    arr = F.transform(
+        F.split(F.col("text"), " "),
+        lambda tk: dd.hash64(tk).bitwiseAND(F.lit(4294967295)),
+    )
+    rhash = F.aggregate(
+        F.slice(arr, F.lit(2), F.size(arr) - 1),
+        F.element_at(arr, 1),
+        lambda acc, x: (acc * F.lit(31) + x) % F.lit(dd.MERSENNE31),
+    )
+    return docs.select("doc_id", rhash.cast("long").alias("rhash"))
