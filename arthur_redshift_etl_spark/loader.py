@@ -112,6 +112,35 @@ def _drop_relation(ctx: LoadContext, db: str, table: str) -> None:
     ctx.spark.sql(f"DROP VIEW IF EXISTS {full}")
 
 
+def _bucket_spec(design: TableDesign):
+    """Optional bucket_by attribute: {"columns": [...], "buckets": N}."""
+    spec = design.attributes.get("bucket_by")
+    if not spec:
+        return None
+    return list(spec["columns"]), int(spec["buckets"])
+
+
+def _columns_ddl(design: TableDesign) -> str:
+    return ", ".join(
+        f"{c.name} {c.spark_type().simpleString()}" for c in design.unskipped_columns
+    )
+
+
+def _register_bucketed_table(
+    ctx: LoadContext, db: str, rel: Relation, location: str
+) -> None:
+    """Re-register a bucketed table at a location, preserving the bucket spec
+    (CLUSTERED BY ... INTO N BUCKETS) so co-located joins stay shuffle-free."""
+    cols, buckets = _bucket_spec(rel.design)
+    full = f"{_quote(db)}.{_quote(rel.table_name.table)}"
+    ctx.spark.sql(f"DROP TABLE IF EXISTS {full}")
+    ctx.spark.sql(
+        f"CREATE TABLE {full} ({_columns_ddl(rel.design)}) USING parquet "
+        f"CLUSTERED BY ({', '.join(cols)}) SORTED BY ({', '.join(cols)}) "
+        f"INTO {buckets} BUCKETS LOCATION '{location}'"
+    )
+
+
 def materialize_dataframe(ctx: LoadContext, rel: Relation, df: DataFrame, db: str) -> int:
     """Write the relation's data (versioned location) and register the table.
 
@@ -120,6 +149,27 @@ def materialize_dataframe(ctx: LoadContext, rel: Relation, df: DataFrame, db: st
     location = ctx.table_location(rel.table_name)
     sort_keys = rel.design.attributes.get("compound_sort") or []
     dist = rel.design.attributes.get("distribution")
+    bucket = _bucket_spec(rel.design)
+    if bucket:
+        # bucketed DISTKEY analog: hash-bucketed files + bucket metadata in
+        # the catalog ⇒ joins/aggregations on the bucket columns skip their
+        # shuffle entirely (verified: 0 Exchanges in the joined plan).
+        cols, buckets = bucket
+        _drop_relation(ctx, db, rel.table_name.table)
+        (
+            df.write.mode("overwrite")
+            .option("path", location)  # external: staging drop keeps files
+            .format("parquet")
+            .bucketBy(buckets, *cols)
+            .sortBy(*cols)
+            .saveAsTable(f"{_quote(db)}.{_quote(rel.table_name.table)}")
+        )
+        if ctx.analyze:
+            ctx.spark.sql(
+                f"ANALYZE TABLE {_quote(db)}.{_quote(rel.table_name.table)} "
+                "COMPUTE STATISTICS"
+            )
+        return ctx.spark.table(f"{_quote(db)}.{_quote(rel.table_name.table)}").count()
     writer_df = df
     if isinstance(dist, list) and dist:
         # DISTKEY analog: co-locate rows by the distribution column so
@@ -303,7 +353,10 @@ def publish(ctx: LoadContext, relations: Sequence[Relation]) -> None:
         )
         location = loc[0]["data_type"]
         _drop_relation(ctx, tn.schema, tn.table)
-        _register_external_table(ctx, tn.schema, tn.table, location)
+        if _bucket_spec(rel.design):
+            _register_bucketed_table(ctx, tn.schema, rel, location)
+        else:
+            _register_external_table(ctx, tn.schema, tn.table, location)
         if ctx.analyze:
             # re-registration discards staging stats; recompute on the
             # production name so the CBO sees sizes (metadata-only scan)

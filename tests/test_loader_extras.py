@@ -104,3 +104,41 @@ def test_analyze_populates_stats(spark, tmp_path, clean_dbs):
     detail = spark.sql("DESCRIBE EXTENDED asrc.nation").collect()
     stats = [r for r in detail if r["col_name"] == "Statistics"]
     assert stats, "ANALYZE should record table statistics"
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path, clean_dbs):
+    """bucket_by attribute → co-located join: zero Exchanges after publish."""
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.plans.lint import plan_text
+
+    def rel_with_buckets(name, table, key):
+        d = str(tmp_path / "data" / name)
+        spark.read.parquet(f"{SF_DIR}/{table}.parquet").write.mode("overwrite").parquet(d)
+        from arthur_redshift_etl_spark.bootstrap import bootstrap_source_design
+
+        design = bootstrap_source_design(
+            spark.read.parquet(d), name, f"up.public.{table}"
+        )
+        design.attributes["bucket_by"] = {"columns": [key], "buckets": 4}
+        return Relation(design=design, data_location=d)
+
+    rels = [
+        rel_with_buckets("bsrc.lineitem", "lineitem", "l_orderkey"),
+        rel_with_buckets("bsrc.orders", "orders", "o_orderkey"),
+    ]
+    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=EventStore())
+    load_warehouse(ctx, rels)
+
+    li, orders = spark.table("bsrc.lineitem"), spark.table("bsrc.orders")
+    assert li.count() > 0 and orders.count() > 0
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        text = plan_text(joined)
+        assert "Exchange" not in text, "bucketed join should not shuffle"
+        n = joined.count()
+        assert n == li.count()  # every lineitem has an order at this SF? verify below
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
