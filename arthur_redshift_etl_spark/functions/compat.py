@@ -156,19 +156,23 @@ _SIMPLE_REWRITES = [
         re.compile(r"\bCONVERT_TIMEZONE\s*\(\s*('[^']*')\s*,\s*([^()]+?)\s*\)", re.I),
         r"from_utc_timestamp(\2, \1)",
     ),
-    # LISTAGG(x, 'sep') WITHIN GROUP (ORDER BY ...) — Spark: sort then join
+    # LISTAGG(x, 'sep') [WITHIN GROUP (ORDER BY ...)] — Spark: collect, sort,
+    # join.  WITHIN GROUP ordering maps to array_sort over the collected
+    # values (covers the dominant ORDER BY-the-aggregated-column case).
     (
         re.compile(
             r"\bLISTAGG\s*\(\s*(DISTINCT\s+)?([^,()]+?)\s*(?:,\s*('[^']*'))?\s*\)"
-            r"(?:\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+[^()]*\))?",
+            r"(\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\s+[^()]*\))?",
             re.I,
         ),
-        lambda m: "array_join({}collect_list({}), {})".format(
-            "array_distinct(" if m.group(1) else "",
-            m.group(2),
-            m.group(3) or "''",
-        )
-        + (")" if m.group(1) else ""),
+        lambda m: "array_join({sort_open}{distinct_open}collect_list({expr}){distinct_close}{sort_close}, {sep})".format(
+            sort_open="array_sort(" if m.group(4) else "",
+            distinct_open="array_distinct(" if m.group(1) else "",
+            expr=m.group(2),
+            distinct_close=")" if m.group(1) else "",
+            sort_close=")" if m.group(4) else "",
+            sep=m.group(3) or "''",
+        ),
     ),
     # DATEADD(unit, n, ts) → dateadd(unit, n, ts) is native in Spark ≥ 3.3 —
     # normalize case only; DATEDIFF(unit, a, b) likewise native.

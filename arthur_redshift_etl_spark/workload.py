@@ -1659,3 +1659,93 @@ def doc_rolling_hash(spark, sf_dir):
         lambda acc, x: (acc * F.lit(31) + x) % F.lit(dd.MERSENNE31),
     )
     return docs.select("doc_id", rhash.cast("long").alias("rhash"))
+
+
+# ===========================================================================
+# Redshift-dialect queries executed through the compat shim (the reference's
+# user-SQL path: raw dialect SQL → rewrite → spark.sql)
+# ===========================================================================
+
+from .functions.compat import rewrite_redshift_sql as _compat
+
+
+def _run_dialect(spark, sf_dir, tables, redshift_sql):
+    for name in tables:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_compat(redshift_sql))
+
+
+@query(
+    "dialect_listagg_nations",
+    oracle="""
+    SELECT r_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+    description="Redshift LISTAGG WITHIN GROUP → array_sort+array_join shim",
+)
+def dialect_listagg_nations(spark, sf_dir):
+    return _run_dialect(
+        spark,
+        sf_dir,
+        ["nation", "region"],
+        """
+        SELECT r_regionkey,
+               LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_regionkey
+        """,
+    )
+
+
+@query(
+    "dialect_decode_status",
+    oracle="""
+    SELECT CASE WHEN o_orderstatus = 'O' THEN 'open'
+                WHEN o_orderstatus = 'F' THEN 'finished'
+                ELSE 'partial' END AS status_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(coalesce(o_totalprice, 0) AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE TIMESTAMP '2000-01-01 00:00:00' > TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    description="Redshift DECODE/NVL/GETDATE through the shim",
+)
+def dialect_decode_status(spark, sf_dir):
+    return _run_dialect(
+        spark,
+        sf_dir,
+        ["orders"],
+        """
+        SELECT DECODE(o_orderstatus, 'O', 'open', 'F', 'finished', 'partial')
+                 AS status_name,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(NVL(o_totalprice, 0) AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        WHERE GETDATE() > TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY 1
+        """,
+    )
+
+
+@query(
+    "dialect_sha256_fingerprint",
+    oracle="""
+    SELECT lower(sha256(c_name)) AS name_hash, c_custkey
+    FROM customer WHERE c_custkey < 100
+    """,
+    description="Redshift plpythonu f_sha256 UDF → built-in sha2 shim",
+)
+def dialect_sha256_fingerprint(spark, sf_dir):
+    return _run_dialect(
+        spark,
+        sf_dir,
+        ["customer"],
+        "SELECT f_sha256(c_name) AS name_hash, c_custkey FROM customer WHERE c_custkey < 100",
+    )

@@ -123,7 +123,10 @@ def test_compat_dateadd_untouched_listagg_rewritten():
 
     sql = "SELECT LISTAGG(name, ', ') WITHIN GROUP (ORDER BY name) FROM t GROUP BY g"
     out = rewrite_redshift_sql(sql)
-    assert "array_join(collect_list(name), ', ')" in out
+    assert "array_join(array_sort(collect_list(name)), ', ')" in out
+    # no WITHIN GROUP → no sort
+    out2 = rewrite_redshift_sql("SELECT LISTAGG(name, ',') FROM t GROUP BY g")
+    assert "array_join(collect_list(name), ',')" in out2
     assert rewrite_redshift_sql("SELECT dateadd(day, 1, d) FROM t") == (
         "SELECT dateadd(day, 1, d) FROM t"
     )
