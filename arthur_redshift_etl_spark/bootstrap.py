@@ -46,3 +46,36 @@ def bootstrap_transformation_design(
         design = TableDesign.from_spark_schema(name, "CTAS", schema)
     design.depends_on = query_dependencies(spark, compat_query)
     return design
+
+
+def discover_sources(
+    spark: SparkSession,
+    database: str,
+    include: Optional[List[str]] = None,
+    exclude: Optional[List[str]] = None,
+) -> List[str]:
+    """List candidate source tables in a catalog database, glob-filtered.
+
+    Reference parity: ``design/bootstrap.py:27-82`` walks ``pg_class`` with
+    include/exclude patterns; here the Spark catalog plays that role (for
+    JDBC sources the same globs apply to ``information_schema`` listings).
+    """
+    import fnmatch
+
+    names = [
+        t.name
+        for t in spark.catalog.listTables(database)
+        # session temp views appear in every database listing — not sources
+        if getattr(t, "tableType", "") != "TEMPORARY" and not t.isTemporary
+    ]
+    if include:
+        names = [
+            n for n in names if any(fnmatch.fnmatchcase(n, p.lower()) for p in include)
+        ]
+    if exclude:
+        names = [
+            n
+            for n in names
+            if not any(fnmatch.fnmatchcase(n, p.lower()) for p in exclude)
+        ]
+    return sorted(names)

@@ -126,6 +126,22 @@ def _columns_ddl(design: TableDesign) -> str:
     )
 
 
+def _register_partitioned_table(
+    ctx: LoadContext, db: str, rel: Relation, location: str
+) -> None:
+    """Register a hive-style partitioned external table and recover its
+    partitions — downstream filters on the partition column prune at the
+    directory level (PartitionFilters in the scan)."""
+    part_cols = list(rel.design.attributes.get("partition_by") or [])
+    full = f"{_quote(db)}.{_quote(rel.table_name.table)}"
+    ctx.spark.sql(f"DROP TABLE IF EXISTS {full}")
+    ctx.spark.sql(
+        f"CREATE TABLE {full} ({_columns_ddl(rel.design)}) USING parquet "
+        f"PARTITIONED BY ({', '.join(part_cols)}) LOCATION '{location}'"
+    )
+    ctx.spark.sql(f"ALTER TABLE {full} RECOVER PARTITIONS")
+
+
 def _register_bucketed_table(
     ctx: LoadContext, db: str, rel: Relation, location: str
 ) -> None:
@@ -177,9 +193,16 @@ def materialize_dataframe(ctx: LoadContext, rel: Relation, df: DataFrame, db: st
         writer_df = writer_df.repartition(*dist)
     if sort_keys:
         writer_df = writer_df.sortWithinPartitions(*sort_keys)
-    writer_df.write.mode("overwrite").parquet(location)
+    part_cols = list(rel.design.attributes.get("partition_by") or [])
+    writer = writer_df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(location)
     _drop_relation(ctx, db, rel.table_name.table)
-    _register_external_table(ctx, db, rel.table_name.table, location)
+    if part_cols:
+        _register_partitioned_table(ctx, db, rel, location)
+    else:
+        _register_external_table(ctx, db, rel.table_name.table, location)
     if ctx.analyze:
         # stats feed Catalyst's CBO (broadcast decisions, join reordering)
         ctx.spark.sql(
@@ -355,6 +378,8 @@ def publish(ctx: LoadContext, relations: Sequence[Relation]) -> None:
         _drop_relation(ctx, tn.schema, tn.table)
         if _bucket_spec(rel.design):
             _register_bucketed_table(ctx, tn.schema, rel, location)
+        elif rel.design.attributes.get("partition_by"):
+            _register_partitioned_table(ctx, tn.schema, rel, location)
         else:
             _register_external_table(ctx, tn.schema, tn.table, location)
         if ctx.analyze:

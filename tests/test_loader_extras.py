@@ -142,3 +142,44 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path, clean_dbs):
         assert n == li.count()  # every lineitem has an order at this SF? verify below
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_table_prunes(spark, tmp_path, clean_dbs):
+    """partition_by attribute → hive layout + PartitionFilters pruning."""
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.bootstrap import bootstrap_source_design
+    from arthur_redshift_etl_spark.plans.lint import plan_text
+
+    d = str(tmp_path / "data" / "orders_p")
+    (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    design = bootstrap_source_design(
+        spark.read.parquet(d), "psrc2.orders", "up.public.orders"
+    )
+    design.attributes["partition_by"] = ["order_month"]
+    rels = [Relation(design=design, data_location=d)]
+    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=EventStore())
+    load_warehouse(ctx, rels)
+
+    table = spark.table("psrc2.orders")
+    assert table.count() == spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    filtered = table.filter("order_month = '1997-03'")
+    text = plan_text(filtered)
+    assert "PartitionFilters" in text and "order_month" in text.split("PartitionFilters")[1][:200]
+    assert 0 < filtered.count() < table.count()
+    # update (staged refresh) keeps the partitioned registration working
+    from arthur_redshift_etl_spark.loader import update_warehouse
+    from arthur_redshift_etl_spark.names import TableSelector
+
+    design2 = bootstrap_source_design(
+        spark.read.parquet(d), "psrc2.orders", "up.public.orders"
+    )
+    design2.attributes["partition_by"] = ["order_month"]
+    ctx2 = LoadContext(spark=spark, data_root=ctx.data_root, store=EventStore())
+    update_warehouse(ctx2, [Relation(design=design2, data_location=d)], TableSelector([]))
+    assert spark.table("psrc2.orders").filter("order_month = '1997-03'").count() > 0

@@ -99,3 +99,22 @@ def test_lint_flags_cartesian_and_pushdown(spark, sf_dir):
     filtered = a.filter("n_nationkey > 5").select("n_name")
     report = scan_pushdown_report(filtered)
     assert any("PushedFilters" in line for line in report)
+
+
+def test_discover_sources_globs(spark, sf_dir):
+    from arthur_redshift_etl_spark.bootstrap import discover_sources
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS disc")
+    for name in ("orders", "orders_archive", "lineitem"):
+        spark.read.parquet(f"{sf_dir}/orders.parquet").limit(1).write.mode(
+            "overwrite"
+        ).saveAsTable(f"disc.{name}")
+    assert discover_sources(spark, "disc", include=["orders*"]) == [
+        "orders",
+        "orders_archive",
+    ]
+    assert discover_sources(spark, "disc", exclude=["*_archive"]) == [
+        "lineitem",
+        "orders",
+    ]
+    spark.sql("DROP DATABASE disc CASCADE")
