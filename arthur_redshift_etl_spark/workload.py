@@ -1749,3 +1749,76 @@ def dialect_sha256_fingerprint(spark, sf_dir):
         ["customer"],
         "SELECT f_sha256(c_name) AS name_hash, c_custkey FROM customer WHERE c_custkey < 100",
     )
+
+
+from .operators.rangejoin import bucketed_interval_join, gapfill_time_buckets
+
+
+@query(
+    "range_join_error_context",
+    oracle="""
+    SELECT a.event_id AS err_id, b.event_id AS other_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id != a.event_id
+     AND abs(CAST(epoch(a.ts) AS BIGINT) - CAST(epoch(b.ts) AS BIGINT)) <= 300
+    WHERE a.event_type = 'error'
+    """,
+    description="range join: events within ±5 min of each error, same user "
+    "(bucketed equi-join, no cartesian)",
+)
+def range_join_error_context(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    others = ev.select(
+        "user_id", F.col("event_id").alias("other_id"), F.col("ts").alias("other_ts")
+    )
+    joined = bucketed_interval_join(
+        errors, others, "err_ts", "other_ts", max_gap_seconds=300, extra_keys=["user_id"]
+    )
+    return joined.filter(F.col("other_id") != F.col("err_id")).select(
+        "err_id", "other_id"
+    )
+
+
+@query(
+    "gapfilled_hourly_by_type",
+    oracle="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(time_bucket(INTERVAL '1 hour', ts)) AS lo,
+             max(time_bucket(INTERVAL '1 hour', ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket_ts
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT spine.bucket_ts, types.event_type, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_events
+    FROM spine CROSS JOIN types
+    LEFT JOIN agg ON agg.bucket_ts = spine.bucket_ts AND agg.event_type = types.event_type
+    """,
+    description="gap-filled hourly series per event type (zero rows for "
+    "empty buckets, distributed sequence spine)",
+)
+def gapfilled_hourly_by_type(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    filled = gapfill_time_buckets(
+        ev,
+        "ts",
+        3600,
+        group_cols=["event_type"],
+        agg_exprs=[F.count(F.lit(1)).alias("n")],
+    )
+    return filled.select(
+        "bucket_ts",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+    )
