@@ -43,6 +43,9 @@ def build_session(
         # ANSI off: Redshift-style permissive casts in user SQL.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # runtime bloom-filter pushdown: selective join sides prune the
+        # probe-side scan before the shuffle — large wins on star joins
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Independent relation builds may submit jobs from multiple threads.
         .config("spark.scheduler.mode", "FAIR")
     )

@@ -49,6 +49,10 @@ def query(name: str, oracle: Optional[str] = None, description: str = ""):
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # oracle parity assumes UTC timestamps and permissive (Redshift-style)
+    # casts — enforce even when the caller's session was built elsewhere
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read nanos as long and truncate to microseconds
