@@ -1826,3 +1826,18 @@ def gapfilled_hourly_by_type(spark, sf_dir):
         "event_type",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
     )
+
+
+@query(
+    "kmeans_embedding_clusters",
+    oracle=None,  # iterative fixpoint — not SQL-expressible; rows-only check
+    description="iterative Lloyd k-means over embeddings (3 rounds, k=8)",
+)
+def kmeans_embedding_clusters(spark, sf_dir):
+    from .operators.clustering import kmeans
+
+    emb = t(spark, sf_dir, "embeddings")
+    assignment, _ = kmeans(emb, k=8, iterations=3)
+    return assignment.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )

@@ -49,3 +49,20 @@ def test_vectorized_knn_matches_jvm(spark):
         for r in brute_force_knn_vectorized(emb, q_local, k=5).collect()
     }
     assert jvm == vec
+
+
+def test_kmeans_invariants(spark):
+    from arthur_redshift_etl_spark.operators.clustering import kmeans
+    from arthur_redshift_etl_spark.operators.similarity import as_double_array, dot
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    assignment, centroids = kmeans(emb, k=8, iterations=2)
+    counts = assignment.groupBy("centroid_id").count().collect()
+    assert sum(r["count"] for r in counts) == n  # partition of the data
+    assert assignment.select("vec_id").distinct().count() == n
+    assert 1 <= len(counts) <= 8
+    assert centroids.count() == len(counts)
+    # centroids are 64-dim vectors
+    dims = centroids.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [64]
