@@ -75,8 +75,13 @@ def should_sample(table_size_bytes: int) -> bool:
 
 
 def sampling_condition(key: str) -> str:
-    """10%-of-rows predicate: ``("key" % 10) = 1`` (extractor :150-153)."""
-    return f"(({key} % 10) = 1)"
+    """10%-of-rows predicate (extractor :150-153).
+
+    The reference emits ``("key" % 10) = 1``; we use the ANSI ``MOD``
+    function so the predicate parses on every upstream dialect we extract
+    from (Postgres, MySQL, Redshift, Derby).
+    """
+    return f"(MOD({key}, 10) = 1)"
 
 
 def find_partition_key(design: TableDesign) -> Optional[str]:

@@ -59,7 +59,7 @@ def test_plan_extract_condition_and_sampling():
         table_size_bytes=200 * 1024 * 1024,
         use_sampling=True,
     )
-    assert "WHERE (o_totalprice > 0) AND ((o_orderkey % 10) = 1)" in plan.query
+    assert "WHERE (o_totalprice > 0) AND (MOD(o_orderkey, 10) = 1)" in plan.query
     assert plan.num_partitions == 1  # 200MiB / 4 < 100MiB sampled floor
 
 
