@@ -22,6 +22,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
+from pyspark.sql.window import Window
 
 from .text import tokens_col
 
@@ -238,6 +239,62 @@ def minhash_dedup_pairs(
     pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, rows_per_band)
     jac = jaccard_from_shingles(sh, pairs, id_col)
     return jac.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join: every (id_a < id_b, jaccard)
+    pair with shingle-set Jaccard ≥ threshold — no LSH approximation.
+
+    Scale path is prefix filtering (the AllPairs/PPJoin family): shingles
+    get a global order by document frequency (rarest first); for
+    J(A,B) ≥ t the intersection is ≥ t·|A| (since |∩| ≤ |B| and
+    |∪| ≥ |A| force |B| ≥ t·|A|), so if the first
+    |A| − ⌈t·|A|⌉ + 1 prefix shingles of A miss B entirely the pair
+    cannot qualify.  The candidate self-join therefore runs only on prefix
+    shingles — the posting lists of common shingles (the quadratic blowup
+    in a naive shared-shingle join) never enter the join.  A length filter
+    (t·|B| ≤ |A| ≤ |B|/t) prunes further before exact verification.
+
+    Unlike MinHash+LSH (recall < 1 by design) this returns exactly the
+    same rows as the naive all-shared-shingle SQL — which is what the
+    DuckDB oracle runs.
+    """
+    sh = doc_shingles(df, id_col, text_col, shingle_size).persist()
+    sh.count()  # shared by ranking, candidate build, and verification
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    order = Window.partitionBy(id_col).orderBy("doc_freq", "shingle")
+    prefix_len = F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(order))
+        .join(sizes, id_col)
+        .filter(F.col("rn") <= prefix_len)
+        .select(id_col, "shingle", "set_size")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("set_size").alias("size_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("set_size").alias("size_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("size_a") * F.lit(threshold) <= F.col("size_b"))
+        .filter(F.col("size_b") * F.lit(threshold) <= F.col("size_a"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_from_shingles(sh, cand, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def simhash(

@@ -940,6 +940,48 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tokens) - 1),
+                      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+                 AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT ta.doc_id AS id_a, tb.doc_id AS id_b
+      FROM toks ta JOIN toks tb
+        ON ta.shingle = tb.shingle AND ta.doc_id < tb.doc_id
+    ),
+    inter AS (
+      SELECT id_a, id_b, COUNT(*) AS inter_size
+      FROM cand
+      JOIN toks ta ON ta.doc_id = id_a
+      JOIN toks tb ON tb.doc_id = id_b AND tb.shingle = ta.shingle
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             CAST(inter_size AS DOUBLE)
+               / CAST(sa.set_size + sb.set_size - inter_size AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= 0.5
+    """,
+    description="EXACT n-gram Jaccard similarity join (prefix-filtered "
+    "AllPairs; oracle runs the naive shared-shingle join — same rows)",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_join(docs, "doc_id", "text", threshold=0.5)
+
+
+@query(
     "dedup_simhash",
     oracle="""
     WITH toks AS (
