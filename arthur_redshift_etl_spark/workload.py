@@ -1883,3 +1883,349 @@ def kmeans_embedding_clusters(spark, sf_dir):
     return assignment.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+# ===========================================================================
+# Remaining TPC-H family (adapted to available columns: no partsupp table,
+# no l_commitdate/l_receiptdate, no s_comment/p_mfgr — see TESTDATA.md).
+# The part-supplier relation is derived as DISTINCT (l_partkey, l_suppkey).
+# ===========================================================================
+
+@query(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY 1, 2
+    ), eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+    FROM part
+    JOIN offers ON p_partkey = offers.partkey
+    JOIN eu ON offers.suppkey = eu.s_suppkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+      AND unit_cost = (
+        SELECT MIN(o2.unit_cost)
+        FROM offers o2 JOIN eu e2 ON o2.suppkey = e2.s_suppkey
+        WHERE o2.partkey = p_partkey
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+    description=(
+        "TPC-H Q2-style: min-cost supplier per part via correlated MIN, "
+        "decorrelated as a per-part window min (offers derived from lineitem)"
+    ),
+)
+def q02(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    offers = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    eu = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_brand")
+    )
+    # the correlated MIN is per-part over EUROPE offers only; restricting to
+    # filtered parts first keeps the window input small (semi-filter pushdown)
+    eu_offers = offers.join(F.broadcast(eu), F.col("suppkey") == F.col("s_suppkey")).join(
+        F.broadcast(part), F.col("partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("partkey")
+    return (
+        eu_offers.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q08_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(COALESCE(SUM(CASE WHEN nation = 'NATION_3' THEN volume END), 0) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             {_DP} AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    description=(
+        "TPC-H Q8: national market share — 8-way join, two roles for nation, "
+        "conditional aggregation ratio"
+    ),
+)
+def q08(spark, sf_dir):
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    supp = t(spark, sf_dir, "supplier")
+    n1 = nation.alias("n1")
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    all_nations = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            disc_price().alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    return all_nations.groupBy("o_year").agg(
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))),
+                F.lit(0),
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q09_product_type_profit",
+    oracle=f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             {_DP} AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    description=(
+        "TPC-H Q9-style: profit by supplier nation and year (amount = "
+        "discounted price; no ps_supplycost in the dataset)"
+    ),
+)
+def q09(spark, sf_dir):
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+    profit = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            disc_price().alias("amount"),
+        )
+    )
+    return profit.groupBy("nation", "o_year").agg(
+        F.sum("amount").cast("double").alias("sum_profit")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    description=(
+        "TPC-H Q16-style: supplier counts per part group, NOT-IN anti-join "
+        "against complained-about suppliers (negative balance)"
+    ),
+)
+def q16(spark, sf_dir):
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), ps.suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), ps.partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_2', 'NATION_5', 'NATION_8', 'NATION_11', 'NATION_14')
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 40
+      )
+    """,
+    description=(
+        "TPC-H Q20-style: nested IN over a grouped HAVING subquery "
+        "(suppliers with surplus stock of promotable parts) as a semi-join"
+    ),
+)
+def q20(spark, sf_dir):
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(
+            F.col("n_name").isin("NATION_2", "NATION_5", "NATION_8", "NATION_11", "NATION_14")
+        )
+    )
+    return supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi").select(
+        "s_name", "s_acctbal"
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s_name
+    """,
+    description=(
+        "TPC-H Q21-style: suppliers who shipped last in multi-supplier "
+        "orders, late vs order date. EXISTS/NOT EXISTS hand-decorrelated: "
+        "per-(order,supplier) max-ship + per-order top-2 distinct supplier "
+        "maxima, so the plan is two aggregations co-partitioned on "
+        "l_orderkey instead of three correlated lineitem scans"
+    ),
+)
+def q21(spark, sf_dir):
+    # One explicit repartition on l_orderkey feeds BOTH derivations below:
+    # hash(l_orderkey) satisfies the clustering needed by the
+    # groupBy(l_orderkey, l_suppkey) aggregation, the window, and the final
+    # (l_orderkey, l_suppkey) join — lineitem is scanned and shuffled once.
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition("l_orderkey")
+    )
+    w = Window.partitionBy("l_orderkey")
+    # per-(order, supplier) latest shipment, then per-order stats via windows
+    # over the same partitioning (no extra shuffle): number of suppliers,
+    # top supplier-max v1, achiever count cnt1, second distinct value v2
+    stats = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("my_max"))
+        .withColumn("nsupp", F.count(F.lit(1)).over(w))
+        .withColumn("v1", F.max("my_max").over(w))
+        .withColumn(
+            "cnt1", F.sum(F.when(F.col("my_max") == F.col("v1"), 1).otherwise(0)).over(w)
+        )
+        .withColumn(
+            "v2", F.max(F.when(F.col("my_max") < F.col("v1"), F.col("my_max"))).over(w)
+        )
+        .filter(F.col("nsupp") > 1)
+        # max ship among the OTHER suppliers of the order
+        .withColumn(
+            "other_max",
+            F.when(
+                (F.col("my_max") < F.col("v1")) | (F.col("cnt1") > 1), F.col("v1")
+            ).otherwise(F.col("v2")),
+        )
+        .select("l_orderkey", "l_suppkey", "other_max")
+    )
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+        .join(stats, ["l_orderkey", "l_suppkey"])
+        .filter(F.col("l_shipdate") >= F.col("other_max"))
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
