@@ -65,3 +65,66 @@ def kmeans(
         assignment = ivf_assign(collection, centroids, id_col, vec_col)
         centroids = recompute_centroids(collection, assignment, id_col, vec_col)
     return assignment, centroids
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation (hash-min).
+
+    Returns (node, component) where component is the minimum node id
+    reachable from the node.  Each iteration: every node takes the min of
+    its own label and its neighbors' labels — converges in
+    graph-diameter rounds, with an early stop when no label changes.
+    Near-duplicate graphs (the intended input: dedup candidate pairs)
+    have tiny diameters, so this typically runs 2-4 rounds.
+
+    Scale notes: each round is one shuffle keyed by node id (the
+    groupBy-min), plus the convergence count.  localCheckpoint truncates
+    the lineage every round — without it the plan doubles per iteration
+    and the optimizer re-derives the whole history each pass.  For
+    graphs with huge diameters (paths), switch to large-star/small-star
+    (Kiveris et al.), which converges in O(log n) rounds; near-dup
+    clustering never needs that.
+    """
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=False)
+    # materialize the edge list once — upstream edge producers (e.g. a
+    # similarity join) are expensive, and the loop re-reads bidir every round
+    bidir = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            bidir.join(labels, bidir.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

@@ -365,3 +365,26 @@ def simhash_near_pairs(
         "id_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: list,
+    order_cols: list,
+) -> DataFrame:
+    """Latest-record resolution (CDC-style upsert dedup): keep exactly one
+    row per key, the maximum under ``order_cols`` (descending, e.g.
+    [timestamp, sequence_id] — the trailing columns break ties so the
+    result is deterministic even with equal timestamps).
+
+    One shuffle on the key columns; the window's rank and filter pipeline
+    into the same stage.  This is the standard change-data-capture
+    compaction: at 100 TB it is a single hash repartition — prefer it over
+    ``ORDER BY ... DROP DUPLICATES`` formulations that imply a global sort.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,90 @@
+"""Deterministic sampling and dataset-split operators.
+
+Training-data pipelines need splits and samples that are (a) reproducible
+across runs and engines, (b) computable without a global shuffle or a
+driver-side random state.  Everything here keys off a multiplicative
+integer hash of the row id — pure BIGINT arithmetic, so a SQL oracle
+computes bit-identical assignments (no engine-specific rand()/hash()).
+
+Reference parity: the reference's only sampling operator is the extract
+sampling predicate ``("key" % 10) = 1`` (extract/database_extractor.py:38-40,
+141-154 in harrystech/arthur-redshift-etl) — the same idea (deterministic,
+pushdown-able arithmetic on a key), generalized here to bucketed splits and
+per-group exact-fraction samples.
+
+Scale notes:
+- ``hash_bucket``/``split_assign`` are narrow (per-row projection, no
+  shuffle); they survive any data size and push down to scans.
+- ``stratified_sample_exact`` needs one shuffle per group (window over the
+  stratum key) — for heavily skewed strata prefer ``split_assign`` with a
+  per-stratum threshold, which stays shuffle-free at the cost of only
+  approximating the fraction.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+from pyspark.sql.window import Window
+
+# Knuth's multiplicative constant (2^32 / phi); spreads consecutive ids
+KNUTH = 2654435761
+MOD = 1 << 32
+
+
+def hash_bucket(id_col: Column, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer id.
+
+    BIGINT-safe for ids < 2^31 (product < 2^63); identical arithmetic in
+    any ANSI SQL engine: ``(id * 2654435761) % 4294967296 % buckets``.
+    """
+    return (id_col.cast("long") * F.lit(KNUTH)) % F.lit(MOD) % F.lit(buckets)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: int = 80,
+    valid: int = 10,
+) -> DataFrame:
+    """Add ``bucket`` and ``split`` (train/valid/test) columns.
+
+    train/valid are percentage cut points; the remainder is test.
+    Narrow transformation — no shuffle, safe at any scale.
+    """
+    bucket = hash_bucket(F.col(id_col))
+    return df.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < train, "train")
+        .when(F.col("bucket") < train + valid, "valid")
+        .otherwise("test"),
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum_cols: Sequence[str],
+    id_col: str = "doc_id",
+    fraction: float = 0.2,
+) -> DataFrame:
+    """Exactly ⌈fraction·|stratum|⌉ rows per stratum, deterministically.
+
+    Rows are ranked inside each stratum by (hash_bucket, id) — a stable
+    pseudo-random order — and the top ⌈fraction·n⌉ are kept.  One shuffle
+    on the stratum key; rank and count share the same window partitioning.
+    """
+    w = Window.partitionBy(*stratum_cols)
+    ranked = (
+        df.withColumn("_hb", hash_bucket(F.col(id_col)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(w.orderBy(F.col("_hb"), F.col(id_col))),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+    )
+    return ranked.filter(
+        F.col("_rn") <= F.ceil(F.lit(fraction) * F.col("_n"))
+    ).drop("_hb", "_rn", "_n")

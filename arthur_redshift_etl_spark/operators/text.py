@@ -126,3 +126,39 @@ def with_fingerprint(
     """
     base = F.col(text_col) if prefix_len <= 0 else F.substring(F.col(text_col), 1, prefix_len)
     return df.withColumn("fingerprint", F.md5(base))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k most characteristic terms per document by tf-idf ordering.
+
+    Ranks each document's terms by (term frequency desc, document
+    frequency asc, term asc) — the same ordering tf·idf induces for any
+    monotone idf, expressed entirely in integer arithmetic so a SQL
+    oracle reproduces it bit-for-bit (no float log()).
+
+    Plan shape: explode → two partial-aggregated groupBys (tf keyed by
+    (doc, term), df keyed by term) → broadcast-friendly join on term →
+    per-doc window.  The df table is |vocabulary| rows — small relative
+    to the corpus — so Catalyst/AQE broadcasts it.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(dfreq, "token")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "token", "tf", "df", "rk")
+    )

@@ -2229,3 +2229,175 @@ def q21(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+# ===========================================================================
+# Training-data pipeline: CDC compaction, deterministic splits/samples,
+# tf-idf term ranking, near-dup graph clustering
+# ===========================================================================
+
+@query(
+    "cdc_latest_event",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    description=(
+        "CDC-style latest-record compaction: one row per (user, event "
+        "type), max (ts, event_id) — single hash shuffle, no global sort"
+    ),
+)
+def cdc_latest_event(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return dd.keep_latest(ev, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+
+
+@query(
+    "split_train_valid_test",
+    oracle="""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+      FROM documents
+    )
+    """,
+    description=(
+        "deterministic train/valid/test split via multiplicative integer "
+        "hash — narrow, shuffle-free, reproducible across engines and runs"
+    ),
+)
+def split_train_valid_test(spark, sf_dir):
+    from .operators.sampling import split_assign
+
+    docs = t(spark, sf_dir, "documents")
+    return split_assign(docs, "doc_id").select("doc_id", "bucket", "split")
+
+
+@query(
+    "stratified_sample_by_source",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 4294967296 % 100, doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ) WHERE rn <= CEIL(0.2 * n)
+    """,
+    description=(
+        "exact-fraction stratified sample: ceil(20%) of each source "
+        "stratum in deterministic hash order (one shuffle on the stratum)"
+    ),
+)
+def stratified_sample_by_source(spark, sf_dir):
+    from .operators.sampling import stratified_sample_exact
+
+    docs = t(spark, sf_dir, "documents")
+    return stratified_sample_exact(docs, ["source"], "doc_id", 0.2).select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      ) WHERE token <> ''
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+    SELECT doc_id, token, tf, df, rk FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC
+             ) AS INTEGER) AS rk
+      FROM tf JOIN dfreq ON tf.token = dfreq.token
+    ) WHERE rk <= 3
+    """,
+    description=(
+        "top-3 characteristic terms per document by tf-idf ordering "
+        "(integer (tf desc, df asc) — same order as tf·idf for any "
+        "monotone idf, float-free for oracle parity)"
+    ),
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@query(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tokens) - 1),
+                      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+                 AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT ta.doc_id AS id_a, tb.doc_id AS id_b
+      FROM toks ta JOIN toks tb
+        ON ta.shingle = tb.shingle AND ta.doc_id < tb.doc_id
+    ),
+    inter AS (
+      SELECT id_a, id_b, COUNT(*) AS inter_size
+      FROM cand
+      JOIN toks ta ON ta.doc_id = id_a
+      JOIN toks tb ON tb.doc_id = id_b AND tb.shingle = ta.shingle
+      GROUP BY id_a, id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               CAST(inter_size AS DOUBLE)
+                 / CAST(sa.set_size + sb.set_size - inter_size AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      ) WHERE jaccard >= 0.5
+    ),
+    bidir AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, reach.r FROM bidir e JOIN reach ON e.b = reach.node
+    )
+    SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    """,
+    description=(
+        "near-duplicate clustering: exact Jaccard pairs (>= 0.5) as edges, "
+        "connected components by iterative min-label propagation with "
+        "early stop; oracle computes the same components via a recursive "
+        "transitive closure"
+    ),
+)
+def dedup_connected_components(spark, sf_dir):
+    from .operators.clustering import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_join(docs, "doc_id", "text", threshold=0.5)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components(nodes, edges)

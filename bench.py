@@ -34,8 +34,10 @@ DEFAULT_QUERIES = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q14_promo_revenue",
+    "q08_market_share",
     "q18_large_orders",
     "q19_disjunctive_predicates",
+    "q21_waiting_suppliers",
     "top_customers_window",
     "segment_nation_rollup",
     "hourly_event_rollup",

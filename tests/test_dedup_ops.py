@@ -63,3 +63,68 @@ def test_ngram_jaccard_prefix_prunes_common_shingles(spark):
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     got = {(r.id_a, r.id_b) for r in dd.ngram_jaccard_join(df, threshold=0.5).collect()}
     assert got == {(100, 101)}
+
+
+class TestKeepLatest:
+    def test_keeps_max_order_per_key(self, spark):
+        rows = [
+            (1, "a", 10, 100.0),
+            (1, "a", 20, 200.0),   # winner for (1, a): higher seq
+            (1, "b", 5, 50.0),
+            (2, "a", 20, 999.0),
+            (2, "a", 20, 111.0),   # same seq — needs a deterministic tiebreak
+        ]
+        df = spark.createDataFrame(rows, ["k", "sub", "seq", "val"])
+        out = dd.keep_latest(df, ["k", "sub"], ["seq", "val"])
+        got = {(r["k"], r["sub"]): (r["seq"], r["val"]) for r in out.collect()}
+        assert got == {
+            (1, "a"): (20, 200.0),
+            (1, "b"): (5, 50.0),
+            (2, "a"): (20, 999.0),  # val desc breaks the seq tie
+        }
+
+
+class TestConnectedComponents:
+    def test_path_graph_needs_iterations(self, spark):
+        # a 6-node path: min-label must propagate the full diameter
+        from arthur_redshift_etl_spark.operators.clustering import (
+            connected_components,
+        )
+
+        nodes = spark.createDataFrame([(i,) for i in range(1, 10)], ["node"])
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (8, 9)], ["src", "dst"]
+        )
+        out = {
+            r["node"]: r["component"]
+            for r in connected_components(nodes, edges).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 7, 8: 8, 9: 8}
+
+
+class TestSampling:
+    def test_split_is_deterministic_and_partitions(self, spark):
+        from arthur_redshift_etl_spark.operators.sampling import split_assign
+
+        df = spark.createDataFrame([(i,) for i in range(1000)], ["doc_id"])
+        out = split_assign(df, "doc_id").groupBy("split").count().collect()
+        counts = {r["split"]: r["count"] for r in out}
+        assert sum(counts.values()) == 1000
+        # multiplicative hash is roughly uniform: train ~800, valid/test ~100
+        assert 700 < counts["train"] < 900
+        assert 50 < counts["valid"] < 150
+        assert 50 < counts["test"] < 150
+
+    def test_stratified_exact_fraction(self, spark):
+        from arthur_redshift_etl_spark.operators.sampling import (
+            stratified_sample_exact,
+        )
+
+        rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = stratified_sample_exact(df, ["source"], "doc_id", 0.2)
+        counts = {
+            r["source"]: r["count"]
+            for r in out.groupBy("source").count().collect()
+        }
+        assert counts == {"big": 18, "small": 2}  # ceil(0.2 * 90), ceil(0.2 * 10)
