@@ -400,13 +400,23 @@ def q14(spark, sf_dir):
 )
 def top_customers(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem")
+    # Aggregate the fact first (lineitem ⋈ orders on orderkey, reduce to one
+    # row per customer key), THEN attach the customer dimension by broadcast.
+    # The alternative (customer ⋈ orders ⋈ lineitem, groupBy(custkey, name))
+    # drags c_name through two shuffles of fact-table width; this shape
+    # shuffles only (custkey, revenue) partials and joins the dim against
+    # ~|customers| rows. c_custkey is the PK, so grouping by key alone is
+    # equivalent to the oracle's GROUP BY c_custkey, c_name.
     rev = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(sum_money(disc_price(), "revenue"))
+        li.select("l_orderkey", disc_price().alias("_dp"))
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(sum_money(F.col("_dp"), "revenue"))
+        .join(F.broadcast(cust.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue")
     )
     # distributed top-k first (TakeOrderedAndProject: per-partition heaps,
     # no global single-task window over all customers), then rank the 10
@@ -2401,3 +2411,385 @@ def dedup_connected_components(spark, sf_dir):
     nodes = docs.select(F.col("doc_id").alias("node"))
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     return connected_components(nodes, edges)
+
+
+# ===========================================================================
+# Analytics widening: pivot, ntile bucketing, funnel, SCD2 intervals,
+# first-touch attribution, histogram, grouping sets, per-group top-n,
+# cohort retention, salted skew join, embedding norm stats
+# ===========================================================================
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_event_type_daily",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+    """
+    + ",\n".join(
+        "  CAST(SUM(CASE WHEN event_type = '{et}' THEN CAST(value AS DECIMAL(12,2)) "
+        "ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS {et}_value".format(et=et)
+        for et in _EVENT_TYPES
+    )
+    + """
+    FROM events GROUP BY 1
+    """,
+    description=(
+        "pivot (long -> wide): daily sum of value per event type as "
+        "columns; Spark groupBy().pivot() with an explicit value list so "
+        "the plan is a single pass (no distinct-values pre-query) and one "
+        "shuffle on the day key"
+    ),
+)
+def pivot_event_type_daily(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    p = (
+        ev.withColumn("day", F.col("ts").cast("date"))
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(dec("value")).cast("double"))
+    )
+    return p.select(
+        "day",
+        *[
+            F.coalesce(F.col(et), F.lit(0.0)).alias(f"{et}_value")
+            for et in _EVENT_TYPES
+        ],
+    )
+
+
+@query(
+    "ntile_chars_quartiles",
+    oracle="""
+    SELECT quartile, COUNT(*) AS docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM (
+      SELECT n_chars, NTILE(4) OVER (ORDER BY n_chars, doc_id) AS quartile
+      FROM documents
+    ) GROUP BY quartile
+    """,
+    description=(
+        "quantile bucketing via NTILE over a strict total order. The global "
+        "window is a single-task sort — fine for dimension-sized inputs; at "
+        "fact scale swap to approx_percentile cutpoints + comparison "
+        "assignment (same output, fully parallel)"
+    ),
+)
+def ntile_chars_quartiles(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        docs.select("n_chars", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS tc FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.tv
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS tp FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.tc
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS viewed,
+           (SELECT COUNT(*) FROM c) AS clicked,
+           (SELECT COUNT(*) FROM p) AS purchased
+    """,
+    description=(
+        "ordered funnel (view -> click after -> purchase after): three "
+        "stage aggregations, each co-partitioned on user_id so AQE reuses "
+        "the shuffle; stage counts crossed into one row"
+    ),
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("clicked")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased")))
+    )
+
+
+@query(
+    "scd2_user_event_intervals",
+    oracle="""
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM events
+    """,
+    description=(
+        "SCD2-style effective-dating: each user event versioned with "
+        "[valid_from, valid_to) via LEAD over (user, time) — one hash "
+        "shuffle on user_id, sort within partitions only"
+    ),
+)
+def scd2_user_event_intervals(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+@query(
+    "first_touch_attribution",
+    oracle="""
+    SELECT user_id, event_type AS first_event_type, ts AS first_ts FROM (
+      SELECT user_id, event_type, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    description=(
+        "first-touch attribution as a sort-free argmin: min(struct(ts, "
+        "event_id, event_type)) per user collapses in the partial "
+        "aggregate (map-side combine), vs. the oracle's full window sort"
+    ),
+)
+def first_touch_attribution(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id", "event_type")).alias("f"))
+        .select(
+            "user_id",
+            F.col("f.event_type").alias("first_event_type"),
+            F.col("f.ts").alias("first_ts"),
+        )
+    )
+
+
+@query(
+    "event_value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+    description="fixed-width histogram (width_bucket-style binning), exact decimal sums",
+)
+def event_value_histogram(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            sum_money(dec("value"), "total_value"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_docs",
+    oracle="""
+    SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+           COUNT(*) AS docs, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY GROUPING SETS ((source), (lang), ())
+    """,
+    description=(
+        "explicit GROUPING SETS (neither cube nor rollup): per-source, "
+        "per-lang, and grand-total aggregates in one Expand + single "
+        "shuffle pass"
+    ),
+)
+def grouping_sets_docs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_gsets")
+    return spark.sql(
+        """
+        SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+               COUNT(*) AS docs, SUM(n_chars) AS total_chars
+        FROM documents_gsets GROUP BY GROUPING SETS ((source), (lang), ())
+        """
+    )
+
+
+@query(
+    "top_tokens_per_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (
+      SELECT lang, token, COUNT(*) AS n FROM toks
+      WHERE token <> '' GROUP BY 1, 2
+    )
+    SELECT lang, token, n, rk FROM (
+      SELECT lang, token, n,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n DESC, token
+             ) AS INTEGER) AS rk
+      FROM cnt
+    ) WHERE rk <= 3
+    """,
+    description=(
+        "per-group top-n (top tokens per language): token-count aggregate "
+        "then a window ranked within each small group — no global sort"
+    ),
+)
+def top_tokens_per_lang(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cnt = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        cnt.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "token", "n", "rk")
+    )
+
+
+@query(
+    "daily_cohort_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT cohort_day, COUNT(*) AS cohort_size,
+           CAST(SUM(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS retained_next_day
+    FROM first_day f
+    LEFT JOIN act r
+      ON r.user_id = f.user_id AND r.day = f.cohort_day + INTERVAL 1 DAY
+    GROUP BY 1
+    """,
+    description=(
+        "daily cohort retention: first-seen day per user, left join to "
+        "next-day activity (both sides pre-aggregated to user grain before "
+        "the join, so the join input is |users| not |events|)"
+    ),
+)
+def daily_cohort_retention(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = ev.distinct().select(
+        F.col("user_id").alias("a_user"), F.col("day").alias("a_day")
+    )
+    joined = first_day.join(
+        act,
+        (F.col("a_user") == F.col("user_id"))
+        & (F.col("a_day") == F.date_add(F.col("cohort_day"), 1)),
+        "left",
+    )
+    return (
+        joined.groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).alias("cohort_size"),
+            F.sum(F.when(F.col("a_user").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("retained_next_day"),
+        )
+    )
+
+
+@query(
+    "salted_join_status_revenue",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    description=(
+        "skew-safe salted equi-join (fact side salted, dim side exploded "
+        "salt_factor x) — result identical to the plain join; spreads a "
+        "hot orderkey over salt_factor reducers when AQE skew handling "
+        "can't kick in (reference has no join engine; this is the Spark "
+        "scale path)"
+    ),
+)
+def salted_join_status_revenue(spark, sf_dir):
+    from .operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(li, orders, "l_orderkey", salt_factor=4)
+    return joined.groupBy("o_orderstatus").agg(
+        sum_money(dec("l_extendedprice"), "revenue"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+@query(
+    "embedding_label_norms",
+    oracle="""
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(SQRT(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000)
+               AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+    description=(
+        "per-label embedding L2-norm stats. Per-row norms are sequential "
+        "double folds (identical in both engines); cross-row aggregation "
+        "quantizes to integer micro-units first so the sum is exact and "
+        "order-independent — the float-parity convention for vector stats"
+    ),
+)
+def embedding_label_norms(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    q = F.floor(sim.norm(sim.as_double_array(F.col("embedding"))) * 1000000).cast(
+        "long"
+    )
+    return (
+        emb.select("label", q.alias("q"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("sq"))
+        .select(
+            "label",
+            "n",
+            (F.col("sq").cast("double") / F.col("n") / F.lit(1000000.0)).alias(
+                "avg_norm"
+            ),
+        )
+    )
