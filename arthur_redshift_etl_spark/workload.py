@@ -2793,3 +2793,86 @@ def embedding_label_norms(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "dedup_keep_first",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tokens) - 1),
+                      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+                 AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT ta.doc_id AS id_a, tb.doc_id AS id_b
+      FROM toks ta JOIN toks tb
+        ON ta.shingle = tb.shingle AND ta.doc_id < tb.doc_id
+    ),
+    inter AS (
+      SELECT id_a, id_b, COUNT(*) AS inter_size
+      FROM cand
+      JOIN toks ta ON ta.doc_id = id_a
+      JOIN toks tb ON tb.doc_id = id_b AND tb.shingle = ta.shingle
+      GROUP BY id_a, id_b
+    ),
+    dropped AS (
+      SELECT DISTINCT id_b FROM (
+        SELECT id_a, id_b,
+               CAST(inter_size AS DOUBLE)
+                 / CAST(sa.set_size + sb.set_size - inter_size AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      ) WHERE jaccard >= 0.5
+    )
+    SELECT doc_id, source FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+    """,
+    description=(
+        "apply the near-dup join: keep the lowest-id member of every "
+        "qualifying pair, drop the rest (left-anti join of the corpus "
+        "against higher-id pair members) — the materialization step of a "
+        "dedup pipeline, not just the pair list"
+    ),
+)
+def dedup_keep_first(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_join(docs, "doc_id", "text", threshold=0.5)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(dropped, "doc_id", "left_anti").select("doc_id", "source")
+
+
+@query(
+    "user_value_rolling_7d",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_7d_value
+    FROM events
+    """,
+    description=(
+        "time-RANGE window frame: per-user rolling 7-day sum (RANGE "
+        "BETWEEN INTERVAL ... PRECEDING). One hash shuffle on user_id, "
+        "in-partition time sort; exact decimal arithmetic inside the frame"
+    ),
+)
+def user_value_rolling_7d(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_rolling")
+    return spark.sql(
+        """
+        SELECT user_id, event_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS rolling_7d_value
+        FROM events_rolling
+        """
+    )
