@@ -141,3 +141,41 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+PAYLOAD_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_md5", T.StringType()),
+    ]
+)
+
+
+def payload_stats(df: DataFrame, id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched byte-level stats over binary payloads.
+
+    The oracle-checkable slice of the decode pipeline: bytes stream through
+    the same ``mapInPandas`` contract as ``extract_features`` (binary Arrow
+    batches per partition, no driver round-trip), computing per-payload
+    length + digest — deterministic, so it verifies the plumbing that the
+    stubbed media codecs plug into.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [p if p is not None else b"" for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": [len(p) for p in payloads],
+                    "payload_md5": [hashlib.md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, PAYLOAD_STATS_SCHEMA)

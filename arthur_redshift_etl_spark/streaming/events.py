@@ -97,3 +97,50 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value_cents", T.LongType()),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("cents", T.LongType())]
+)
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState``.
+
+    The built-in aggregations cover windowed/sessionized state; this is the
+    arbitrary-state escape hatch (SURVEY §2.10 stretch goal) — per-key state
+    is a (count, value-cents) pair carried across micro-batches, values
+    quantized to integer cents so the running sum is exact and
+    batch/stream-order independent.  State is partitioned by user_id (one
+    shuffle per micro-batch); memory is O(distinct users), not O(events).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].fillna(0.0).mul(100).round().sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        RUNNING_TOTALS_SCHEMA,
+        _RUNNING_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -2876,3 +2876,26 @@ def user_value_rolling_7d(spark, sf_dir):
         FROM events_rolling
         """
     )
+
+
+@query(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    description=(
+        "multimodal plumbing, oracle-checked: documents' text as opaque "
+        "binary payloads streamed through Arrow-batched mapInPandas "
+        "(the exact contract the stubbed image/audio decoders plug into), "
+        "computing byte length + md5 per payload"
+    ),
+)
+def multimodal_payload_stats(spark, sf_dir):
+    from .operators.multimodal import payload_stats
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return payload_stats(docs)

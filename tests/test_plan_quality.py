@@ -1,0 +1,85 @@
+"""Physical-plan quality gates for headline queries.
+
+The engine's scale story is only real if the plans show it: filters reach
+the parquet scans, projections prune columns, small dimensions broadcast,
+top-k avoids global windows, and nothing falls back to cartesian products
+or row-at-a-time Python.  These tests pin those properties so a regression
+in query construction (or a Spark upgrade changing defaults) fails loudly.
+"""
+
+import re
+
+import pytest
+
+from arthur_redshift_etl_spark.plans.lint import plan_text
+from arthur_redshift_etl_spark.workload import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(spark, name):
+    return plan_text(REGISTRY[name].fn(spark, SF))
+
+
+def test_q06_pushdown_and_pruning(spark):
+    p = plan(spark, "q06_forecast_revenue")
+    # predicates reach the scan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan", p), p
+    # projection pruned: the scan reads only the 4 needed lineitem columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and len(m.group(1).split(",")) <= 4, m.group(1) if m else p
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    p = plan(spark, "q05_region_nation_revenue")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_revenue_by_nation_no_cartesian_no_python(spark):
+    p = plan(spark, "revenue_by_nation")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python in the hot path
+
+
+def test_top_customers_uses_take_ordered_not_global_window(spark):
+    p = plan(spark, "top_customers_window")
+    assert "TakeOrderedAndProject" in p, p
+    # the window consumes the top-k output (appears above TakeOrdered in the
+    # tree), and nothing funnels the full aggregate into one partition
+    tree = p.split("(1) Scan")[0]
+    assert tree.index("Window") < tree.index("TakeOrderedAndProject"), tree
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_q01_partial_aggregation(spark):
+    p = plan(spark, "q01_pricing_summary")
+    # map-side combine: two HashAggregates (partial + final)
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
+
+
+def test_first_touch_is_aggregate_not_window_sort(spark):
+    p = plan(spark, "first_touch_attribution")
+    assert "Window" not in p, p
+    assert "HashAggregate" in p or "SortAggregate" in p
+
+
+def test_q03_no_single_partition_funnel(spark):
+    p = plan(spark, "q03_top_orders")
+    assert "Exchange SinglePartition" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_cdc_sorts_within_partitions_only(spark):
+    p = plan(spark, "cdc_latest_event")
+    # window sort must be per-partition (global=false): no all-data sort
+    assert not re.search(r"Sort \[[^\]]*\], true", p), p
+
+
+def test_whole_stage_codegen_present(spark):
+    # codegen spans appear in the executed adaptive plan
+    df = REGISTRY["q03_top_orders"].fn(spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # codegen'd operators carry the *(N) whole-stage marker
+    assert re.search(r"\*\(\d+\)", executed), executed[:2000]

@@ -116,3 +116,30 @@ def test_frame_sample_plan(spark):
     )
     frames = frame_sample_plan(video, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_running_user_totals_stateful_stream(spark, event_dir):
+    """applyInPandasWithState carries exact per-user state across batches."""
+    from arthur_redshift_etl_spark.streaming.events import running_user_totals_stream
+
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    q = run_to_memory(running_user_totals_stream(stream), "running_sink", "update")
+    q.awaitTermination(120)
+    emitted = spark.table("running_sink")
+    # multiple micro-batches -> most users emit more than one running row
+    assert emitted.count() > emitted.select("user_id").distinct().count()
+    # the LAST emission per user must equal the batch aggregate
+    final = (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value_cents").alias("total_value_cents"),
+        )
+    )
+    batch = load_table(spark, SF, "events")
+    expect = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_value_cents"),
+    )
+    diff = final.exceptAll(expect).count() + expect.exceptAll(final).count()
+    assert diff == 0
