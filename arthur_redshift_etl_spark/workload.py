@@ -2899,3 +2899,129 @@ def multimodal_payload_stats(spark, sf_dir):
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return payload_stats(docs)
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS transitions
+    FROM (
+      SELECT event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    description=(
+        "behavioral Markov transition counts: LAG over per-user time order "
+        "(one shuffle on user_id, in-partition sort), then a tiny "
+        "(types x types) aggregate"
+    ),
+)
+def event_transition_matrix(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+
+
+@query(
+    "table_checksum_orders",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+             || '|' || o_orderstatus), 1, 15))::BIGINT) AS VARCHAR) AS checksum
+    FROM orders
+    """,
+    description=(
+        "order-independent whole-table checksum: per-row md5 folded to a "
+        "60-bit int, summed commutatively — the content-equality probe the "
+        "blue-green publish and unload round-trip can use to compare "
+        "tables without sorting or co-locating them (reference verifies "
+        "loads via constraint queries + row counts; this is the Spark-scale "
+        "content check). Fully partial-aggregatable: one number per "
+        "partition, no shuffle of row data"
+    ),
+)
+def table_checksum_orders(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("decimal(20,0)")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(h.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").cast("string").alias("checksum"),
+        )
+    )
+
+
+@query(
+    "dedup_levenshtein_blocked",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars, substr(text, 1, 30) AS head FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_distance
+    FROM d a JOIN d b
+      ON a.lang = b.lang
+     AND (a.n_chars // 16) = (b.n_chars // 16)
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 5
+    """,
+    description=(
+        "edit-distance near-dup with blocking: candidate pairs only within "
+        "(lang, length-bucket) blocks — the quadratic verify runs inside "
+        "blocks, never across the corpus; the scale path swaps the length "
+        "bucket for an LSH band as the block key (same join shape)"
+    ),
+)
+def dedup_levenshtein_blocked(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 16).cast("long").alias("len_bucket"),
+        F.substring("text", 1, 30).alias("head"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("len_bucket").alias("bucket_a"),
+        F.col("head").alias("head_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("len_bucket").alias("bucket_b"),
+        F.col("head").alias("head_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("bucket_a") == F.col("bucket_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn(
+            "edit_distance", F.levenshtein("head_a", "head_b").cast("int")
+        )
+        .filter(F.col("edit_distance") <= 5)
+        .select("id_a", "id_b", "edit_distance")
+    )
