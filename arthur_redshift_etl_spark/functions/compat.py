@@ -19,6 +19,7 @@ full SQL parser.  Rewrites only touch code outside string literals.
 | DATEDIFF(unit, t1, t2)         | datediff(unit, t1, t2) — native ≥3.3    |
 | STRTOL(x, 16)                  | conv(x, 16, 10)                         |
 | len(x)                         | length(x)                               |
+| QUALIFY <window-pred>          | inner SELECT + outer WHERE (* EXCEPT)   |
 
 ``::type`` casts and ``DATE_PART`` parse natively in Spark ≥ 3.4.
 """
@@ -142,6 +143,105 @@ def _rewrite_decode(code: str) -> str:
         pos = m.start()
 
 
+def _find_top_level(code: str, pattern: "re.Pattern", start: int = 0):
+    """First match of ``pattern`` at paren depth 0, skipping literals."""
+    depth, i = 0, start
+    n = len(code)
+    while i < n:
+        c = code[i]
+        if c == "'":
+            i = _skip_literal(code, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pattern.match(code, i)
+            if m:
+                return m
+        i += 1
+    return None
+
+
+_QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.I)
+_QUALIFY_END_RE = re.compile(r"\b(ORDER\s+BY|LIMIT|OFFSET|WINDOW)\b", re.I)
+_FROM_RE = re.compile(r"\bFROM\b", re.I)
+
+
+def _rewrite_qualify(code: str) -> str:
+    """Rewrite Redshift/Teradata-style QUALIFY into Spark SQL.
+
+    ``SELECT cols FROM ... QUALIFY <pred> [ORDER BY/LIMIT ...]`` becomes::
+
+        SELECT * EXCEPT (__qualify) FROM (
+          SELECT cols, (<pred>) AS __qualify FROM ...
+        ) WHERE __qualify [ORDER BY/LIMIT ...]
+
+    The window predicate is evaluated in the inner SELECT list (where window
+    functions are legal), the outer filter keeps Spark happy, and
+    ``* EXCEPT`` drops the helper column so the output schema matches the
+    original query.  Handles QUALIFY in parenthesized subqueries by
+    recursion; set-operation branches with QUALIFY are left untouched
+    (conservative: no top-level UNION rewrite).
+    """
+    # recurse into parenthesized groups first
+    out, i, n = [], 0, len(code)
+    while i < n:
+        c = code[i]
+        if c == "'":
+            j = _skip_literal(code, i)
+            out.append(code[i:j])
+            i = j
+            continue
+        if c == "(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if code[j] == "'":
+                    j = _skip_literal(code, j)
+                    continue
+                if code[j] == "(":
+                    depth += 1
+                elif code[j] == ")":
+                    depth -= 1
+                j += 1
+            inner = code[i + 1 : j - 1] if depth == 0 else code[i + 1 :]
+            out.append("(" + _rewrite_qualify(inner) + (")" if depth == 0 else ""))
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    code = "".join(out)
+
+    m = _find_top_level(code, _QUALIFY_RE)
+    if m is None:
+        return code
+    if _find_top_level(code, re.compile(r"\b(UNION|INTERSECT|EXCEPT)\b", re.I)):
+        return code  # set-op branches: leave for the user to parenthesize
+    head = code[: m.start()]
+    rest = code[m.end() :]
+    endm = _find_top_level(rest, _QUALIFY_END_RE)
+    pred, tail = (
+        (rest[: endm.start()], rest[endm.start() :]) if endm else (rest, "")
+    )
+    fromm = _find_top_level(head, _FROM_RE)
+    if fromm is None:
+        return code
+    inner = (
+        head[: fromm.start()].rstrip()
+        + ", ("
+        + pred.strip()
+        + ") AS __qualify "
+        + head[fromm.start() :]
+    )
+    return (
+        "SELECT * EXCEPT (__qualify) FROM ("
+        + inner.strip()
+        + ") WHERE __qualify "
+        + tail.strip()
+    ).strip()
+
+
 _SIMPLE_REWRITES = [
     (re.compile(r"\bGETDATE\s*\(\s*\)", re.I), "current_timestamp()"),
     (re.compile(r"\bSYSDATE\b", re.I), "current_timestamp()"),
@@ -221,6 +321,9 @@ def rewrite_redshift_sql(sql: str) -> str:
     "SELECT 'GETDATE()' AS lit"
     >>> rewrite_redshift_sql("SELECT MEDIAN(price) FROM t")
     'SELECT percentile(price, 0.5) FROM t'
+    >>> rewrite_redshift_sql(
+    ...     "SELECT a FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1")
+    'SELECT * EXCEPT (__qualify) FROM (SELECT a, (ROW_NUMBER() OVER (ORDER BY a) = 1) AS __qualify FROM t) WHERE __qualify'
     """
     # Mask literals/comments with unique placeholders so rewrites never touch
     # or get confused by their contents; string literals keep their quotes so
@@ -242,6 +345,7 @@ def rewrite_redshift_sql(sql: str) -> str:
     for pat, repl in _SIMPLE_REWRITES:
         code = pat.sub(repl, code)
     code = _rewrite_decode(code)
+    code = _rewrite_qualify(code)
     for key, orig in restore.items():
         code = code.replace(key, orig)
     return code

@@ -3025,3 +3025,36 @@ def dedup_levenshtein_blocked(spark, sf_dir):
         .filter(F.col("edit_distance") <= 5)
         .select("id_a", "id_b", "edit_distance")
     )
+
+
+@query(
+    "dialect_qualify_largest_order",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+    ) = 1
+    """,
+    description=(
+        "Redshift QUALIFY clause through the shim: rewritten to an inner "
+        "SELECT computing the window predicate + outer WHERE with "
+        "* EXCEPT(helper) — largest order per customer, identical schema "
+        "to the original query (DuckDB oracle runs QUALIFY natively)"
+    ),
+)
+def dialect_qualify_largest_order(spark, sf_dir):
+    return _run_dialect(
+        spark,
+        sf_dir,
+        ["orders"],
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        ) = 1
+        """,
+    )
