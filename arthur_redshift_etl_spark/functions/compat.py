@@ -278,7 +278,156 @@ _SIMPLE_REWRITES = [
     # normalize case only; DATEDIFF(unit, a, b) likewise native.
     # reference's plpythonu UDF dw.f_sha256 (sql/001_ETL_create_f_sha256.sql)
     (re.compile(r"\b(?:dw\.)?f_sha256\s*\(\s*([^()]+?)\s*\)", re.I), r"sha2(\1, 256)"),
+    # Redshift LEN → length
+    (re.compile(r"\bLEN\s*\(", re.I), "length("),
+    # bare VARCHAR casts (Redshift defaults the length; Spark requires one)
+    (re.compile(r"\bAS\s+VARCHAR\s*(?![\s]*\()", re.I), "AS STRING"),
+    (re.compile(r"::\s*VARCHAR\b(?![\s]*\()", re.I), "::string"),
 ]
+
+
+def _rewrite_call(code: str, name: str, transform) -> str:
+    """Rewrite every ``name(args...)`` call outside string literals.
+
+    Splits arguments at top-level commas (paren- and literal-aware) and
+    replaces the call with ``transform(args) -> str`` (return None to leave
+    the call untouched).
+    """
+    pattern = re.compile(rf"\b{name}\s*\(", re.I)
+    pos = 0
+    while True:
+        m = None
+        scan = pos
+        while scan < len(code):
+            if code[scan] == "'":
+                scan = _skip_literal(code, scan)
+                continue
+            m = pattern.match(code, scan)
+            if m:
+                break
+            scan += 1
+        if m is None:
+            return code
+        depth, i = 1, m.end()
+        args, start = [], m.end()
+        while i < len(code) and depth:
+            c = code[i]
+            if c == "'":
+                i = _skip_literal(code, i)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(code[start:i].strip())
+                    break
+            elif c == "," and depth == 1:
+                args.append(code[start:i].strip())
+                start = i + 1
+            i += 1
+        if depth:
+            return code
+        repl = transform(args)
+        if repl is None:
+            pos = i + 1
+            continue
+        code = code[: m.start()] + repl + code[i + 1 :]
+        pos = m.start() + len(repl)
+
+# Redshift TO_CHAR/TO_DATE datetime format tokens → Spark datetime pattern
+# letters.  Longest-first so e.g. HH24 wins over HH.  Unmapped alphabetic
+# runs are left as-is (punctuation/separators pass through).
+_DATETIME_TOKEN_MAP = [
+    ("YYYY", "yyyy"),
+    ("YY", "yy"),
+    ("MM", "MM"),
+    ("MON", "MMM"),
+    ("DD", "dd"),
+    ("HH24", "HH"),
+    ("HH12", "hh"),
+    ("HH", "hh"),  # Redshift HH is 12-hour
+    ("MI", "mm"),
+    ("SS", "ss"),
+    ("MS", "SSS"),
+    ("AM", "a"),
+    ("PM", "a"),
+]
+_DATETIME_TOKEN_RE = re.compile(
+    "|".join(
+        re.escape(k)
+        for k in sorted({k for k, _ in _DATETIME_TOKEN_MAP}, key=len, reverse=True)
+    ),
+    re.I,
+)
+_DATETIME_TOKEN_LOOKUP = {k.upper(): v for k, v in _DATETIME_TOKEN_MAP}
+
+
+def _translate_datetime_format(fmt: str) -> str:
+    """Redshift format literal (sans quotes) → Spark datetime pattern."""
+    return _DATETIME_TOKEN_RE.sub(
+        lambda m: _DATETIME_TOKEN_LOOKUP[m.group(0).upper()], fmt
+    )
+
+
+_TO_CHAR_RE = re.compile(r"\b(TO_CHAR|TO_DATE|TO_TIMESTAMP)\s*\(", re.I)
+_TO_FN_MAP = {
+    "TO_CHAR": "date_format",
+    "TO_DATE": "to_date",
+    "TO_TIMESTAMP": "to_timestamp",
+}
+
+
+def _rewrite_to_char(code: str) -> str:
+    """TO_CHAR/TO_DATE/TO_TIMESTAMP(expr, 'fmt') with Redshift tokens →
+    date_format/to_date/to_timestamp(expr, '<translated fmt>').
+
+    Runs on the UNMASKED string (it must read the format literal), scanning
+    literal-safely.  Single-argument TO_DATE/TO_TIMESTAMP and non-literal
+    formats are left untouched.
+    """
+    pos = 0
+    while True:
+        m = None
+        scan = pos
+        while scan < len(code):
+            if code[scan] == "'":
+                scan = _skip_literal(code, scan)
+                continue
+            m = _TO_CHAR_RE.match(code, scan)
+            if m:
+                break
+            scan += 1
+        if m is None:
+            return code
+        depth, i = 1, m.end()
+        args, start = [], m.end()
+        while i < len(code) and depth:
+            c = code[i]
+            if c == "'":
+                i = _skip_literal(code, i)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(code[start:i].strip())
+                    break
+            elif c == "," and depth == 1:
+                args.append(code[start:i].strip())
+                start = i + 1
+            i += 1
+        if depth:
+            return code  # unbalanced; bail
+        if len(args) == 2 and args[1].startswith("'") and args[1].endswith("'"):
+            fn = _TO_FN_MAP[m.group(1).upper()]
+            fmt = _translate_datetime_format(args[1][1:-1])
+            repl = f"{fn}({args[0]}, '{fmt}')"
+            code = code[: m.start()] + repl + code[i + 1 :]
+            pos = m.start() + len(repl)
+        else:
+            pos = i + 1
 
 # Leader-node-only functions the reference's explain lint flags
 # (explain.py:24-52) — they have no distributed equivalent in Redshift and
@@ -345,7 +494,16 @@ def rewrite_redshift_sql(sql: str) -> str:
     for pat, repl in _SIMPLE_REWRITES:
         code = pat.sub(repl, code)
     code = _rewrite_decode(code)
+    # CHARINDEX(substr, str) → instr(str, substr): argument order swaps
+    code = _rewrite_call(
+        code,
+        "CHARINDEX",
+        lambda a: f"instr({a[1]}, {a[0]})" if len(a) == 2 else None,
+    )
     code = _rewrite_qualify(code)
     for key, orig in restore.items():
         code = code.replace(key, orig)
+    # TO_CHAR/TO_DATE format translation must see literal contents → after
+    # restore, with its own literal-safe scanner.
+    code = _rewrite_to_char(code)
     return code

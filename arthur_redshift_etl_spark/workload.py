@@ -3058,3 +3058,36 @@ def dialect_qualify_largest_order(spark, sf_dir):
         ) = 1
         """,
     )
+
+
+@query(
+    "dialect_to_char_monthly",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE instr(CAST(o_orderkey AS VARCHAR), '7') > 0
+      AND length(o_orderstatus) = 1
+    GROUP BY 1
+    """,
+    description=(
+        "Redshift TO_CHAR datetime-format tokens (YYYY-MM -> yyyy-MM), "
+        "CHARINDEX (arg-swapped to instr), and LEN through the shim"
+    ),
+)
+def dialect_to_char_monthly(spark, sf_dir):
+    return _run_dialect(
+        spark,
+        sf_dir,
+        ["orders"],
+        """
+        SELECT TO_CHAR(o_orderdate, 'YYYY-MM') AS order_month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM orders
+        WHERE CHARINDEX('7', CAST(o_orderkey AS VARCHAR)) > 0
+          AND LEN(o_orderstatus) = 1
+        GROUP BY 1
+        """,
+    )
