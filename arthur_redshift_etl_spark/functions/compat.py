@@ -90,57 +90,21 @@ def _skip_literal(code: str, i: int) -> int:
     return n
 
 
-def _rewrite_decode(code: str) -> str:
-    """DECODE(expr, s1, r1 [, s2, r2 ...] [, default]) → CASE expression.
+def _decode_to_case(args):
+    """DECODE(expr, s1, r1 [, s2, r2 ...] [, default]) → CASE expression."""
+    if len(args) < 3:
+        return None
+    expr, rest = args[0], list(args[1:])
+    default = rest.pop() if len(rest) % 2 == 1 else None
+    whens = " ".join(
+        f"WHEN {expr} = {rest[k]} THEN {rest[k + 1]}" for k in range(0, len(rest), 2)
+    )
+    return f"CASE {whens}" + (f" ELSE {default}" if default else "") + " END"
 
-    Literal-aware: DECODE inside string literals is untouched, and commas or
-    parens inside literal arguments don't confuse the argument scanner.
-    """
-    pattern = re.compile(r"\bDECODE\s*\(", re.I)
-    pos = 0
-    while True:
-        # find the next match outside a string literal
-        m = None
-        scan = pos
-        while scan < len(code):
-            if code[scan] == "'":
-                scan = _skip_literal(code, scan)
-                continue
-            m = pattern.match(code, scan)
-            if m:
-                break
-            scan += 1
-        if m is None:
-            return code
-        # find the matching close paren, splitting top-level commas
-        depth, i = 1, m.end()
-        args, start = [], m.end()
-        while i < len(code) and depth:
-            c = code[i]
-            if c == "'":
-                i = _skip_literal(code, i)
-                continue
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-                if depth == 0:
-                    args.append(code[start:i].strip())
-                    break
-            elif c == "," and depth == 1:
-                args.append(code[start:i].strip())
-                start = i + 1
-            i += 1
-        if depth:
-            return code  # unbalanced; leave untouched
-        expr, rest = args[0], args[1:]
-        default = rest.pop() if len(rest) % 2 == 1 else None
-        whens = " ".join(
-            f"WHEN {expr} = {rest[k]} THEN {rest[k + 1]}" for k in range(0, len(rest), 2)
-        )
-        case = f"CASE {whens}" + (f" ELSE {default}" if default else "") + " END"
-        code = code[: m.start()] + case + code[i + 1 :]
-        pos = m.start()
+
+def _rewrite_decode(code: str) -> str:
+    """Literal-aware DECODE → CASE (see ``_rewrite_call``)."""
+    return _rewrite_call(code, "DECODE", _decode_to_case)
 
 
 def _find_top_level(code: str, pattern: "re.Pattern", start: int = 0):
@@ -333,7 +297,10 @@ def _rewrite_call(code: str, name: str, transform) -> str:
             pos = i + 1
             continue
         code = code[: m.start()] + repl + code[i + 1 :]
-        pos = m.start() + len(repl)
+        # re-scan from the replacement: nested calls inside the arguments
+        # (e.g. DECODE within DECODE) still need rewriting.  Transforms must
+        # not emit the call name they match, or this would loop.
+        pos = m.start()
 
 # Redshift TO_CHAR/TO_DATE datetime format tokens → Spark datetime pattern
 # letters.  Longest-first so e.g. HH24 wins over HH.  Unmapped alphabetic

@@ -144,3 +144,18 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(events: DataFrame, keys=("event_id",),
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once-per-key dedup within the watermark horizon.
+
+    The training-pipeline ingest guard: duplicate deliveries of the same
+    event (at-least-once sources, retried batches) are dropped as long as
+    the duplicate arrives within the watermark of the original.  State is
+    one entry per key, expired by the watermark — bounded, unlike batch
+    ``dropDuplicates`` which would hold all keys forever on a stream.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

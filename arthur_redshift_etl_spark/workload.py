@@ -3091,3 +3091,77 @@ def dialect_to_char_monthly(spark, sf_dir):
         GROUP BY 1
         """,
     )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+@query(
+    "profile_orders_columns",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+    description=(
+        "per-column data profile (rows/nulls/exact distincts/min/max) in "
+        "ONE table scan: side-by-side aggregates + stack unpivot, vs the "
+        "oracle's one-subquery-per-column UNION; at fact scale swap exact "
+        "distincts for approx_count_distinct (same single-scan shape)"
+    ),
+)
+def profile_orders_columns(spark, sf_dir):
+    from .operators.profile import profile_columns
+
+    return profile_columns(t(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+@query(
+    "daily_event_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean,
+             CAST(SUM(n * n) AS DOUBLE) / COUNT(*) AS m2
+      FROM daily
+    )
+    SELECT day, n,
+           CAST((n - mean) / sqrt(m2 - mean * mean) AS DOUBLE) AS zscore,
+           (ABS(n - mean) > 2 * sqrt(m2 - mean * mean)) AS is_anomaly
+    FROM daily, stats
+    """,
+    description=(
+        "volume anomaly detection: z-score of daily event counts against "
+        "the global mean/stddev. Moments come from exact integer sums "
+        "(sum, sum-of-squares) so the float math is engine-identical; the "
+        "single-row stats side is a broadcast cross join"
+    ),
+)
+def daily_event_anomaly_zscore(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean"),
+        (F.sum(F.col("n") * F.col("n")).cast("double") / F.count(F.lit(1))).alias(
+            "m2"
+        ),
+    )
+    sd = F.sqrt(F.col("m2") - F.col("mean") * F.col("mean"))
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            "day",
+            "n",
+            ((F.col("n") - F.col("mean")) / sd).cast("double").alias("zscore"),
+            (F.abs(F.col("n") - F.col("mean")) > 2 * sd).alias("is_anomaly"),
+        )
+    )

@@ -143,3 +143,25 @@ def test_running_user_totals_stateful_stream(spark, event_dir):
     )
     diff = final.exceptAll(expect).count() + expect.exceptAll(final).count()
     assert diff == 0
+
+
+def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark removes duplicate deliveries."""
+    from arthur_redshift_etl_spark.streaming.events import (
+        dedup_stream,
+        read_event_stream,
+    )
+
+    d = str(tmp_path / "dup-events")
+    ev = load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).limit(500)
+    # deliver everything twice (two files → two micro-batches)
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    ev.coalesce(1).write.mode("append").parquet(d)
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    q = run_to_memory(dedup_stream(stream), "dedup_sink", "append")
+    q.awaitTermination(120)
+    got = spark.table("dedup_sink")
+    assert got.count() == 500
+    assert got.select("event_id").distinct().count() == 500
