@@ -3165,3 +3165,46 @@ def daily_event_anomaly_zscore(spark, sf_dir):
             (F.abs(F.col("n") - F.col("mean")) > 2 * sd).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    description=(
+        "incremental aggregate maintenance: the rollup is maintained as "
+        "algebraic partials (count, exact decimal sum) — a 'base' aggregate "
+        "over history and a 'delta' aggregate over the refresh window are "
+        "merged by re-aggregating the unioned partials, provably equal to "
+        "the full recompute (the oracle). This is the refresh-run analog "
+        "of the reference's full-rebuild-then-update cycle: the nightly "
+        "100 TB scan becomes a delta-sized scan + a merge over the "
+        "aggregate table"
+    ),
+)
+def incremental_rollup_merge(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    split = F.lit("2024-01-20 00:00:00").cast("timestamp")
+
+    def partials(df):
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"), F.col("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum(dec("value")).alias("p_sum"),  # stays decimal: mergeable & exact
+        )
+
+    base = partials(ev.filter(F.col("ts") < split))
+    delta = partials(ev.filter(F.col("ts") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("hour_ts", "event_type")
+        .agg(
+            F.sum("p_n").cast("long").alias("n_events"),
+            F.sum("p_sum").cast("double").alias("total_value"),
+        )
+    )
