@@ -34,6 +34,10 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce shuffle partitions INSIDE cached plans too —
+        # persisted intermediates (e.g. the dedup shingle set) otherwise pin
+        # the full configured partition count on every downstream stage
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow transfer for pandas_udf/applyInPandas paths (dedup, similarity).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
