@@ -3208,3 +3208,39 @@ def incremental_rollup_merge(spark, sf_dir):
             F.sum("p_sum").cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "merge_upsert_latest_events",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    description=(
+        "join-based MERGE (plain-parquet upsert): the pre-split snapshot "
+        "upserted with the post-split delta — anti-join keeps unmatched "
+        "base rows, union appends the updates; provably equal to the "
+        "full-history compaction (the oracle). With the loader's "
+        "versioned-location publish this is the refresh-run MERGE INTO "
+        "for tables without a lakehouse format"
+    ),
+)
+def merge_upsert_latest_events(spark, sf_dir):
+    from .operators.merge import upsert
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    split = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    keys = ["user_id", "event_type"]
+    base = dd.keep_latest(ev.filter(F.col("ts") < split), keys, ["ts", "event_id"])
+    delta = dd.keep_latest(ev.filter(F.col("ts") >= split), keys, ["ts", "event_id"])
+    return upsert(base, delta, keys).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )

@@ -128,3 +128,40 @@ class TestSampling:
             for r in out.groupBy("source").count().collect()
         }
         assert counts == {"big": 18, "small": 2}  # ceil(0.2 * 90), ceil(0.2 * 10)
+
+
+def test_merge_upsert_and_scd2(spark):
+    from arthur_redshift_etl_spark.operators.merge import (
+        latest_per_key,
+        scd2_merge,
+        upsert,
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, amt int"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 21), (4, "d", 40)], "k int, v string, amt int"
+    )
+    got = {tuple(r) for r in upsert(base, updates, ["k"]).collect()}
+    assert got == {(1, "a", 10), (2, "B", 21), (3, "c", 30), (4, "d", 40)}
+
+    cdc = spark.createDataFrame(
+        [(1, 5, "x"), (1, 7, "y"), (2, 3, "z")], "k int, seq int, v string"
+    )
+    latest = {tuple(r) for r in latest_per_key(cdc, ["k"], ["seq"]).collect()}
+    assert latest == {(1, 7, "y"), (2, 3, "z")}
+
+    hist = spark.createDataFrame(
+        [(1, "old", 0, None), (2, "keep", 0, None)],
+        "k int, v string, valid_from int, valid_to int",
+    )
+    upd = spark.createDataFrame([(1, "new", 5)], "k int, v string, ts int")
+    merged = scd2_merge(hist, upd, ["k"], "ts", "valid_from", "valid_to")
+    rows = {tuple(r) for r in merged.select("k", "v", "valid_from", "valid_to").collect()}
+    assert rows == {
+        (1, "old", 0, 5),   # closed by the update
+        (2, "keep", 0, None),
+        (1, "new", 5, None),
+    }
