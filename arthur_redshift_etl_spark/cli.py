@@ -137,10 +137,22 @@ def cmd_upgrade(args) -> int:
 
 
 def cmd_update(args) -> int:
-    from .loader import update_warehouse
+    from .loader import merge_update_table, update_warehouse
 
     spark = _spark(args)
     ctx = _ctx(args, spark)
+    if getattr(args, "merge_delta", None):
+        # delta MERGE path: upsert a parquet delta into each selected table
+        # instead of rebuilding it from sources
+        keys = [k.strip() for k in args.merge_keys.split(",")]
+        selector = TableSelector(args.patterns)
+        for rel in _relations(args):
+            if not selector.match(rel.table_name):
+                continue
+            delta = spark.read.parquet(args.merge_delta)
+            n = merge_update_table(ctx, rel, delta, keys)
+            print(f"merged {rel.identifier}: {n} rows")
+        return 0
     update_warehouse(ctx, _relations(args), TableSelector(args.patterns))
     print("update complete")
     return 0
@@ -386,7 +398,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("upgrade", cmd_upgrade)
     sp.add_argument("--only-selected", action="store_true")
     sp.add_argument("--continue-from")
-    add("update", cmd_update)
+    sp = add("update", cmd_update)
+    sp.add_argument("--merge-delta", help="parquet path of a delta to MERGE")
+    sp.add_argument("--merge-keys", default="", help="comma-separated merge keys")
     sp = add("extract", cmd_extract)
     sp.add_argument("--use-sampling", action="store_true")
     sp = add("unload", cmd_unload)

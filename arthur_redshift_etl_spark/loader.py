@@ -478,6 +478,36 @@ def update_warehouse(
     publish(ctx, rels)
 
 
+def merge_update_table(
+    ctx: LoadContext,
+    rel: Relation,
+    updates: DataFrame,
+    keys: Sequence[str],
+    db: str | None = None,
+) -> int:
+    """MERGE refresh: upsert a delta into a production table in place of a
+    full rebuild.
+
+    The reference's ``update`` verb delete-then-reloads entire tables inside
+    a Redshift transaction (load.py:1308-1367); at 100 TB a key-scoped delta
+    should not rescan sources.  This reads the CURRENT table, merges the
+    delta with the join-based upsert (operators/merge.py), writes to a NEW
+    versioned location under this context's etl_id, and re-registers the
+    table — readers see the old or the new version, never a partial write
+    (same atomicity story as publish).  Constraints are verified on the
+    merged result before registration counts as done.
+    """
+    from .operators.merge import upsert
+
+    db = db or rel.table_name.schema
+    fq = f"{_quote(db)}.{_quote(rel.table_name.table)}"
+    current = ctx.spark.table(fq)
+    merged = upsert(current, updates.select(*current.columns), keys)
+    n = materialize_dataframe(ctx, rel, merged, db)
+    check_all_constraints(ctx.spark.table(fq), rel.design)
+    return n
+
+
 def promote_schemas(ctx: LoadContext, relations: Sequence[Relation]) -> None:
     """Standalone staging→production promotion (reference promote_schemas,
     commands.py:1436): publish whatever currently sits in staging."""

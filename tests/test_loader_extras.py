@@ -183,3 +183,77 @@ def test_partitioned_table_prunes(spark, tmp_path, clean_dbs):
     ctx2 = LoadContext(spark=spark, data_root=ctx.data_root, store=EventStore())
     update_warehouse(ctx2, [Relation(design=design2, data_location=d)], TableSelector([]))
     assert spark.table("psrc2.orders").filter("order_month = '1997-03'").count() > 0
+
+
+def test_merge_update_table_upserts_atomically(spark, tmp_path, clean_dbs):
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.loader import merge_update_table
+
+    lake = str(tmp_path / "lake")
+    rel = source_rel(spark, tmp_path, "msrc.nation", "nation")
+    ctx = LoadContext(spark=spark, data_root=lake, store=EventStore())
+    load_warehouse(ctx, [rel])
+    before = spark.table("msrc.nation")
+    n_before = before.count()
+    old_location = before.inputFiles()[0]
+
+    # delta: rename one existing nation (update) + add one new key (insert)
+    updates = spark.createDataFrame(
+        [(0, "RENAMED"), (9999, "ATLANTIS")], "n_nationkey int, n_name string"
+    )
+    ctx2 = LoadContext(spark=spark, data_root=lake, store=EventStore())
+    n_after = merge_update_table(ctx2, rel, updates, ["n_nationkey"])
+    assert n_after == n_before + 1
+    got = spark.table("msrc.nation")
+    assert got.filter("n_nationkey = 0").collect()[0]["n_name"] == "RENAMED"
+    assert got.filter("n_nationkey = 9999").count() == 1
+    # new versioned location — the old files were never touched
+    assert ctx2.etl_id in got.inputFiles()[0]
+    assert ctx.etl_id in old_location
+
+
+def test_cli_update_merge_delta_e2e(spark, tmp_path, clean_dbs, capsys):
+    """Full CLI drive: load a source table, then MERGE a parquet delta."""
+    import os
+
+    from arthur_redshift_etl_spark.cli import main
+    from arthur_redshift_etl_spark.repo import write_design
+
+    root = str(tmp_path / "repo")
+    os.makedirs(root, exist_ok=True)
+    write_design(
+        root,
+        {
+            "name": "msch.nation",
+            "source_name": "up.public.nation",
+            "columns": [
+                {"name": "n_nationkey", "type": "long", "not_null": True},
+                {"name": "n_name", "type": "string"},
+            ],
+            "constraints": [{"primary_key": ["n_nationkey"]}],
+        },
+    )
+    data_dir = os.path.join(root, "data", "msch", "nation")
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    ).write.mode("overwrite").parquet(data_dir)
+    assert main(["--repo", root, "load"]) == 0
+    n0 = spark.table("msch.nation").count()
+
+    delta_dir = str(tmp_path / "delta")
+    spark.createDataFrame(
+        [(0, "RENAMED"), (777, "NEWLAND")], "n_nationkey long, n_name string"
+    ).write.mode("overwrite").parquet(delta_dir)
+    assert (
+        main(
+            ["--repo", root, "update", "msch.nation",
+             "--merge-delta", delta_dir, "--merge-keys", "n_nationkey"]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "merged msch.nation" in out
+    got = spark.table("msch.nation")
+    assert got.count() == n0 + 1
+    assert got.filter("n_nationkey = 0").collect()[0]["n_name"] == "RENAMED"
