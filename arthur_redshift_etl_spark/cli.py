@@ -236,6 +236,24 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_show_lineage(args) -> int:
+    """Column-level lineage: which source columns feed each output column."""
+    import json
+
+    from .functions.compat import rewrite_redshift_sql
+    from .plans.lineage import column_lineage
+
+    spark = _spark(args)
+    for rel in _relations(args, args.patterns):
+        if not rel.is_transformation:
+            continue
+        df = spark.sql(rewrite_redshift_sql(rel.sql()))
+        print(f"-- {rel.identifier}")
+        for col, srcs in column_lineage(df).items():
+            print(f"  {col} <- {', '.join(srcs) if srcs else '(derived)'}")
+    return 0
+
+
 def cmd_show_ddl(args) -> int:
     from .ddl import render_ddl
 
@@ -410,6 +428,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=20)
     add("check_constraints", cmd_check_constraints)
     add("explain", cmd_explain)
+    add("show_lineage", cmd_show_lineage)
     add("show_ddl", cmd_show_ddl)
     add("show_downstream_dependents", cmd_show_downstream)
     add("show_upstream_dependencies", cmd_show_upstream)

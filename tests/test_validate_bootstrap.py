@@ -118,3 +118,43 @@ def test_discover_sources_globs(spark, sf_dir):
         "orders",
     ]
     spark.sql("DROP DATABASE disc CASCADE")
+
+
+def test_column_lineage_joins_aggregates_windows(spark, sf_dir):
+    from arthur_redshift_etl_spark.plans.lineage import column_lineage
+    from arthur_redshift_etl_spark.workload import t as load_table
+
+    for v in ["nation", "customer"]:
+        load_table(spark, sf_dir, v).createOrReplaceTempView(v)
+    df = spark.sql(
+        """
+        SELECT n_name AS nation, COUNT(*) AS n_cust, SUM(c_acctbal) AS total_bal,
+               1 AS const_col
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+    lin = column_lineage(df)
+    assert lin["nation"] == ["nation.n_name"]
+    assert lin["total_bal"] == ["customer.c_acctbal"]
+    assert lin["n_cust"] == []         # COUNT(*) references nothing
+    assert lin["const_col"] == []      # literal
+    # explode + window flow through Generate and Window nodes
+    df2 = spark.sql(
+        """
+        SELECT tok, rk FROM (
+          SELECT explode(split(n_name, ' ')) AS tok,
+                 ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rk
+          FROM nation
+        )
+        """
+    )
+    lin2 = column_lineage(df2)
+    assert lin2["tok"] == ["nation.n_name"]
+    assert lin2["rk"] == ["nation.n_nationkey"]
+    # union maps positionally onto every branch
+    df3 = spark.sql(
+        "SELECT n_name AS x FROM nation UNION ALL SELECT c_name FROM customer"
+    )
+    lin3 = column_lineage(df3)
+    assert lin3["x"] == ["customer.c_name", "nation.n_name"]
