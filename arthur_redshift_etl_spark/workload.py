@@ -3244,3 +3244,47 @@ def merge_upsert_latest_events(spark, sf_dir):
     return upsert(base, delta, keys).select(
         "user_id", "event_type", "event_id", "ts", "value"
     )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(v * 1000000) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1000000.0 AS centroid
+    FROM ex GROUP BY label, dim
+    """,
+    description=(
+        "element-wise centroid per label (the k-means building block): "
+        "posexplode to (label, dim, value), micro-unit quantization for "
+        "order-independent exact sums, one shuffle on (label, dim). At "
+        "100 TB dims stay with their vector partition until the partial "
+        "aggregate, so the exchange carries labels x dims rows, not rows"
+    ),
+)
+def embedding_label_centroids(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(sim.as_double_array(F.col("embedding"))).alias("dim0", "v"),
+    ).select("label", (F.col("dim0") + 1).cast("int").alias("dim"), "v")
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("v") * 1000000).cast("long")).alias("sq"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n",
+            (F.col("sq").cast("double") / F.col("n") / F.lit(1000000.0)).alias(
+                "centroid"
+            ),
+        )
+    )

@@ -165,3 +165,38 @@ def test_merge_upsert_and_scd2(spark):
         (2, "keep", 0, None),
         (1, "new", 5, None),
     }
+
+
+def test_merge_properties_random(spark):
+    """Property: upsert(base, delta) == per-key last-writer-wins model.
+
+    Random key/value tables checked against a pure-Python dict model —
+    hypothesis-style coverage without per-example Spark session cost (one
+    session, many random tables would be slow; a seeded sweep hits the same
+    edge cases: empty sides, full overlap, no overlap, duplicate update
+    keys collapsed first).
+    """
+    import random
+
+    from arthur_redshift_etl_spark.operators.merge import latest_per_key, upsert
+
+    rng = random.Random(42)
+    for trial in range(8):
+        n_base, n_upd = rng.choice([(0, 5), (5, 0), (8, 8), (20, 6)])
+        base_rows = [(k, f"b{trial}_{k}") for k in rng.sample(range(30), n_base)]
+        upd_rows = [
+            (rng.randrange(30), f"u{trial}_{i}", i) for i in range(n_upd)
+        ]
+        base = spark.createDataFrame(base_rows, "k int, v string") if base_rows else \
+            spark.createDataFrame([], "k int, v string")
+        upd = spark.createDataFrame(upd_rows, "k int, v string, seq int") if upd_rows else \
+            spark.createDataFrame([], "k int, v string, seq int")
+        collapsed = latest_per_key(upd, ["k"], ["seq"]).drop("seq")
+        got = {(r.k, r.v) for r in upsert(base, collapsed, ["k"]).collect()}
+        model = dict(base_rows)
+        best = {}
+        for k, v, seq in upd_rows:
+            if k not in best or seq >= best[k][1]:
+                best[k] = (v, seq)
+        model.update({k: v for k, (v, _) in best.items()})
+        assert got == set(model.items()), f"trial {trial}"
