@@ -503,9 +503,11 @@ def merge_update_table(
     fq = f"{_quote(db)}.{_quote(rel.table_name.table)}"
     current = ctx.spark.table(fq)
     merged = upsert(current, updates.select(*current.columns), keys)
-    n = materialize_dataframe(ctx, rel, merged, db)
-    check_all_constraints(ctx.spark.table(fq), rel.design)
-    return n
+    # constraints gate BEFORE the table is re-pointed: a bad delta must leave
+    # production untouched (costs one extra pass over the merged result —
+    # the price of atomicity without a transactional table format)
+    check_all_constraints(merged, rel.design)
+    return materialize_dataframe(ctx, rel, merged, db)
 
 
 def promote_schemas(ctx: LoadContext, relations: Sequence[Relation]) -> None:

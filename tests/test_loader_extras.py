@@ -257,3 +257,30 @@ def test_cli_update_merge_delta_e2e(spark, tmp_path, clean_dbs, capsys):
     got = spark.table("msch.nation")
     assert got.count() == n0 + 1
     assert got.filter("n_nationkey = 0").collect()[0]["n_name"] == "RENAMED"
+
+
+def test_merge_update_bad_delta_leaves_production_untouched(spark, tmp_path, clean_dbs):
+    """A delta that breaks the PK constraint must not re-point the table."""
+    import pytest as _pytest
+
+    from arthur_redshift_etl_spark.errors import FailedConstraintError
+    from arthur_redshift_etl_spark.loader import merge_update_table
+
+    lake = str(tmp_path / "lake")
+    rel = source_rel(spark, tmp_path, "bsrc.nation", "nation")
+    rel.design.constraints.append({"primary_key": ["n_nationkey"]})
+    ctx = LoadContext(spark=spark, data_root=lake, store=EventStore())
+    load_warehouse(ctx, [rel])
+    before_files = set(spark.table("bsrc.nation").inputFiles())
+    n_before = spark.table("bsrc.nation").count()
+
+    # duplicate key in the delta → merged result violates the primary key
+    bad = spark.createDataFrame(
+        [(0, "DUP-A"), (0, "DUP-B")], "n_nationkey int, n_name string"
+    )
+    ctx2 = LoadContext(spark=spark, data_root=lake, store=EventStore())
+    with _pytest.raises(FailedConstraintError):
+        merge_update_table(ctx2, rel, bad, ["n_nationkey"])
+    after = spark.table("bsrc.nation")
+    assert set(after.inputFiles()) == before_files  # still the old version
+    assert after.count() == n_before
