@@ -460,3 +460,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def main_entry() -> None:  # console-script entry point (pyproject.toml)
+    sys.exit(main())

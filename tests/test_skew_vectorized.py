@@ -66,3 +66,63 @@ def test_kmeans_invariants(spark):
     # centroids are 64-dim vectors
     dims = centroids.select(F.size("embedding").alias("d")).distinct().collect()
     assert [r["d"] for r in dims] == [64]
+
+
+def test_morton_interleave_matches_python_model(spark):
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.operators.zorder import morton_interleave
+
+    def py_morton(a, b, bits=21):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(3, 5), (0, 0), (2**21 - 1, 2**21 - 1), (123456, 654321), (1, 0), (0, 1)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select(
+        "a", "b", morton_interleave(F.col("a"), F.col("b")).alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == py_morton(r.a, r.b), (r.a, r.b)
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Files of a z-ordered write are tight in BOTH key dimensions."""
+    from arthur_redshift_etl_spark.operators.zorder import write_zordered
+    from arthur_redshift_etl_spark.workload import t as load_table
+
+    path = str(tmp_path / "zordered")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    write_zordered(orders, path, ["o_orderkey", "o_custkey"], num_files=8)
+    import pyarrow.parquet as pq
+    import glob as g
+
+    files = sorted(g.glob(path + "/part-*.parquet"))
+    assert len(files) >= 4
+    n_rows = orders.count()
+    # per-file spans: z-ordering should make every file cover a fraction of
+    # BOTH dimensions (a single-column sort would leave the other column's
+    # span ≈ the full domain in every file)
+    spans_a, spans_b = [], []
+    for f in files:
+        t = pq.read_table(f, columns=["o_orderkey", "o_custkey"])
+        a = t.column("o_orderkey").to_pylist()
+        b = t.column("o_custkey").to_pylist()
+        if len(a) < n_rows / 32:   # ignore tiny tail files
+            continue
+        spans_a.append((max(a) - min(a)))
+        spans_b.append((max(b) - min(b)))
+    full_a = max(spans_a) if spans_a else 1
+    # at least half the substantial files span < 70% of each dimension
+    import statistics
+
+    dom_a = orders.agg({"o_orderkey": "max"}).collect()[0][0]
+    dom_b = orders.agg({"o_custkey": "max"}).collect()[0][0]
+    frac_a = statistics.median(s / dom_a for s in spans_a)
+    frac_b = statistics.median(s / dom_b for s in spans_b)
+    assert frac_a < 0.7 and frac_b < 0.7, (frac_a, frac_b)
