@@ -3288,3 +3288,78 @@ def embedding_label_centroids(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "user_event_window_suite",
+    oracle="""
+    SELECT user_id, event_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           NTH_VALUE(event_type, 2) OVER w AS second_type,
+           LAG(event_id) OVER w AS prev_event_id,
+           CAST(PERCENT_RANK() OVER (
+             PARTITION BY user_id ORDER BY value, event_id
+           ) AS DOUBLE) AS value_pct_rank
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+    description=(
+        "window-function surface in one pass: FIRST_VALUE / NTH_VALUE with "
+        "an explicit ROWS frame, LAG, and PERCENT_RANK over a second "
+        "ordering — two in-partition sorts, one shuffle on user_id"
+    ),
+)
+def user_event_window_suite(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.lag("event_id").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_event_id"),
+        F.percent_rank().over(wv).cast("double").alias("value_pct_rank"),
+    )
+
+
+@query(
+    "customer_order_flags",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             AS has_orders,
+           EXISTS (SELECT 1 FROM orders
+                   WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+             AS has_open_orders
+    FROM customer
+    """,
+    description=(
+        "EXISTS as a SELECT-list flag (not a filter): two correlated "
+        "existence probes decorrelated by Catalyst into left-semi-derived "
+        "boolean joins — no per-row subquery execution"
+    ),
+)
+def customer_order_flags(spark, sf_dir):
+    for name in ("customer", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_flags")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               EXISTS (SELECT 1 FROM orders_flags WHERE o_custkey = c_custkey)
+                 AS has_orders,
+               EXISTS (SELECT 1 FROM orders_flags
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+                 AS has_open_orders
+        FROM customer_flags
+        """
+    )
