@@ -374,7 +374,53 @@ def cmd_promote_schemas(args) -> int:
 
 
 def cmd_sync(args) -> int:
-    print("sync: designs are local files in this engine; nothing to upload")
+    """Validate designs, then deploy them to the target directory.
+
+    Reference parity: ``sync`` validates and uploads design files to the S3
+    bucket the ETL reads at run time (``commands.py:916``).  Here the
+    "bucket" is any directory (NFS/object-store mount): designs are
+    syntax+semantics validated first, then copied atomically
+    (tmp + rename per file).  Without ``--to``, validation only.
+    """
+    import shutil
+
+    from .design.validate import load_design
+    from .errors import ETLConfigError
+
+    import glob as _glob
+
+    import yaml as _yaml
+
+    design_paths = sorted(
+        _glob.glob(os.path.join(args.repo, "schemas", "*", "*.yaml"))
+    )
+    bad = 0
+    for p in design_paths:
+        try:
+            with open(p) as fh:
+                load_design(_yaml.safe_load(fh))
+        except (ETLConfigError, Exception) as exc:  # noqa: BLE001
+            bad += 1
+            print(f"INVALID {p}: {exc}")
+    if bad:
+        print(f"sync aborted: {bad} invalid design(s)")
+        return 1
+    if not getattr(args, "to", None):
+        print(f"sync: {len(design_paths)} design(s) valid (no --to target given)")
+        return 0
+    for p in design_paths:
+        rel_path = os.path.relpath(p, args.repo)
+        dest = os.path.join(args.to, rel_path)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        tmp = dest + ".tmp"
+        shutil.copyfile(p, tmp)
+        os.replace(tmp, dest)  # atomic per file
+        sql = p[: -len(".yaml")] + ".sql"
+        if os.path.exists(sql):
+            sql_dest = dest[: -len(".yaml")] + ".sql"
+            shutil.copyfile(sql, sql_dest + ".tmp")
+            os.replace(sql_dest + ".tmp", sql_dest)
+    print(f"synced {len(design_paths)} design(s) to {args.to}")
     return 0
 
 
@@ -444,7 +490,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("relation")
     sp.add_argument("data")
     sp.add_argument("--source-name")
-    add("sync", cmd_sync, patterns=False)
+    sp = add("sync", cmd_sync, patterns=False)
+    sp.add_argument("--to", help="deploy target directory (validate-only if omitted)")
     sp = add("query_events", cmd_events, patterns=False)
     sp.add_argument("--target")
     add("summarize_events", cmd_events, patterns=False)

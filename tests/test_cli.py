@@ -90,3 +90,20 @@ def test_create_index(design_repo, capsys):
 
 def test_events_empty(design_repo, capsys):
     assert main(["--repo", design_repo, "tail_events"]) == 0
+
+
+def test_sync_validates_and_deploys(design_repo, tmp_path, capsys):
+    target = str(tmp_path / "deployed")
+    assert main(["--repo", design_repo, "sync", "--to", target]) == 0
+    out = capsys.readouterr().out
+    assert "synced 2 design(s)" in out
+    assert os.path.exists(os.path.join(target, "schemas", "dw", "totals.yaml"))
+    assert os.path.exists(os.path.join(target, "schemas", "dw", "totals.sql"))
+
+    # invalid design blocks the deploy
+    bad = os.path.join(design_repo, "schemas", "dw", "broken.yaml")
+    with open(bad, "w") as fh:
+        fh.write("name: dw.broken\n")  # missing source_name/columns
+    assert main(["--repo", design_repo, "sync", "--to", target]) == 1
+    assert not os.path.exists(os.path.join(target, "schemas", "dw", "broken.yaml"))
+    os.remove(bad)
