@@ -3363,3 +3363,119 @@ def customer_order_flags(spark, sf_dir):
         FROM customer_flags
         """
     )
+
+
+@query(
+    "ann_ivf_recall_eval",
+    oracle=_IVF_ASSIGN_CTE
+    + """
+    , exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.vv, c.vv) DESC, c.vec_id
+               ) AS rk
+        FROM v q, v c
+        WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+      ) WHERE rk <= 5
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_cosine_similarity(qv.vv, cv.vv) DESC, c.vec_id
+               ) AS rk
+        FROM assign a
+        JOIN assign c ON a.centroid_id = c.centroid_id AND c.vec_id != a.vec_id
+        JOIN v qv ON qv.vec_id = a.vec_id
+        JOIN v cv ON cv.vec_id = c.vec_id
+        WHERE a.vec_id < 10
+      ) WHERE rk <= 5
+    )
+    SELECT e.query_id, COUNT(*) AS n_exact,
+           SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    description=(
+        "ANN quality harness: recall@5 of IVF search against the exact "
+        "brute-force ground truth, per query — the eval loop that keeps an "
+        "approximate index honest; integer overlap counts, no float "
+        "comparisons"
+    ),
+)
+def ann_ivf_recall_eval(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim.brute_force_knn(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = sim.ivf_search(emb, centroids, queries, k=5).select(
+        F.col("query_id").alias("a_query"), F.col("neighbor_id").alias("a_nb")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_nb")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.when(F.col("a_nb").isNotNull(), 1).otherwise(0)).alias(
+                "n_matched"
+            ),
+        )
+    )
+
+
+@query(
+    "part_brand_cooccurrence",
+    oracle="""
+    WITH order_brands AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           COUNT(*) AS n_orders
+    FROM order_brands a
+    JOIN order_brands b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    """,
+    description=(
+        "market-basket co-occurrence: brand pairs bought in the same "
+        "order. The self-join is co-partitioned on l_orderkey (one "
+        "shuffle, reused by both sides) and the pair space is bounded by "
+        "per-order distinct brands, not corpus size — the co-occurrence "
+        "matrix pattern for association mining at scale"
+    ),
+)
+def part_brand_cooccurrence(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .repartition("l_orderkey")
+    )
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("brand_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("ok_b"))
+            & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
