@@ -337,6 +337,20 @@ def _translate_datetime_format(fmt: str) -> str:
     )
 
 
+def _json_path_to_get_json(args):
+    """JSON_EXTRACT_PATH_TEXT(j, 'k1', 'k2', ...) → get_json_object(j,
+    '$.k1.k2...').  Non-literal path elements bail (left untouched)."""
+    if len(args) < 2:
+        return None
+    keys = []
+    for a in args[1:]:
+        if not (a.startswith("'") and a.endswith("'")):
+            return None
+        keys.append(a[1:-1])
+    path = "$." + ".".join(keys)
+    return f"get_json_object({args[0]}, '{path}')"
+
+
 _TO_CHAR_RE = re.compile(r"\b(TO_CHAR|TO_DATE|TO_TIMESTAMP)\s*\(", re.I)
 _TO_FN_MAP = {
     "TO_CHAR": "date_format",
@@ -470,7 +484,8 @@ def rewrite_redshift_sql(sql: str) -> str:
     code = _rewrite_qualify(code)
     for key, orig in restore.items():
         code = code.replace(key, orig)
-    # TO_CHAR/TO_DATE format translation must see literal contents → after
-    # restore, with its own literal-safe scanner.
+    # TO_CHAR/TO_DATE format translation and JSON path building must see
+    # literal contents → after restore, with the literal-safe scanners.
     code = _rewrite_to_char(code)
+    code = _rewrite_call(code, "JSON_EXTRACT_PATH_TEXT", _json_path_to_get_json)
     return code

@@ -3479,3 +3479,33 @@ def part_brand_cooccurrence(spark, sf_dir):
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query(
+    "dialect_json_extract_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+    description=(
+        "Redshift JSON_EXTRACT_PATH_TEXT through the shim -> "
+        "get_json_object with a built JSONPath — semi-structured access "
+        "without a UDF"
+    ),
+)
+def dialect_json_extract_props(spark, sf_dir):
+    return _run_dialect(
+        spark,
+        sf_dir,
+        ["events"],
+        """
+        SELECT CAST(JSON_EXTRACT_PATH_TEXT(props, 'k') AS BIGINT) AS k_value,
+               COUNT(*) AS n_events
+        FROM events
+        WHERE JSON_EXTRACT_PATH_TEXT(props, 'k') IS NOT NULL
+        GROUP BY 1
+        """,
+    )
