@@ -9,7 +9,7 @@ full SQL parser.  Rewrites only touch code outside string literals.
 | Redshift                       | Spark                                   |
 |--------------------------------|-----------------------------------------|
 | GETDATE() / SYSDATE            | current_timestamp()                     |
-| NVL(a, b), NVL2 via CASE       | coalesce / CASE                         |
+| NVL(a, b)                      | coalesce (NVL2 is native in Spark)      |
 | DECODE(e, s1, r1, ..., d)      | CASE WHEN ... (functional rewrite)      |
 | LISTAGG(x [,sep]) WITHIN GROUP | array_join(collect_list(x), sep)        |
 | MEDIAN(x)                      | percentile(x, 0.5)                      |

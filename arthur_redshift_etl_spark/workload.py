@@ -3509,3 +3509,61 @@ def dialect_json_extract_props(spark, sf_dir):
         GROUP BY 1
         """,
     )
+
+
+@query(
+    "corpus_prep_pipeline",
+    oracle="""
+    WITH filtered AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+      WHERE n_chars >= 60 AND lang IN ('en', 'de', 'fr', 'es')
+    ),
+    deduped AS (
+      SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM filtered
+      ) WHERE rn = 1
+    )
+    SELECT CASE
+             WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+             WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'valid'
+             ELSE 'test'
+           END AS split,
+           lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM deduped
+    GROUP BY 1, 2
+    """,
+    description=(
+        "end-to-end training-corpus prep in ONE declarative plan: length + "
+        "language filter (pushed to the scan) -> exact content dedup "
+        "(md5 keep-first, one shuffle on the digest) -> deterministic "
+        "80/10/10 hash split -> per-(split, lang) accounting. The "
+        "composition stays a single Catalyst plan: no materialization "
+        "between stages, filters prune before the dedup shuffle"
+    ),
+)
+def corpus_prep_pipeline(spark, sf_dir):
+    from .operators.sampling import hash_bucket
+
+    docs = t(spark, sf_dir, "documents")
+    filtered = docs.filter(
+        (F.col("n_chars") >= 60) & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bucket = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        deduped.groupBy(split.alias("split"), F.col("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
