@@ -3567,3 +3567,91 @@ def corpus_prep_pipeline(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "date_dimension_spine",
+    oracle="""
+    SELECT CAST(d AS DATE) AS day,
+           CAST(isodow(d) AS INTEGER) AS iso_dow,
+           CAST(week(d) AS INTEGER) AS iso_week,
+           CAST(month(d) AS INTEGER) AS month,
+           (isodow(d) >= 6) AS is_weekend
+    FROM generate_series(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 DAY) t(d)
+    """,
+    description=(
+        "calendar-dimension generation from nothing: sequence() date spine "
+        "exploded executor-side (no driver loop, no source scan) with ISO "
+        "day-of-week/week attributes — the standard warehouse date dim, "
+        "generated instead of loaded"
+    ),
+)
+def date_dimension_spine(spark, sf_dir):
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    iso_dow = (F.weekday("day") + 1).cast("int")
+    return spine.select(
+        "day",
+        iso_dow.alias("iso_dow"),
+        F.weekofyear("day").cast("int").alias("iso_week"),
+        F.month("day").cast("int").alias("month"),
+        (iso_dow >= 6).alias("is_weekend"),
+    )
+
+
+@query(
+    "nation_revenue_share",
+    oracle=f"""
+    WITH nat AS (
+      SELECT n_name, r_name,
+             CAST(SUM({_DP}) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY n_name, r_name
+    )
+    SELECT n_name, r_name, revenue,
+           CAST(revenue / SUM(revenue) OVER (PARTITION BY r_name) AS DOUBLE)
+             AS region_share
+    FROM nat
+    """,
+    description=(
+        "percent-of-total via an unordered window aggregate: per-nation "
+        "revenue divided by its region's windowed sum — shares computed "
+        "over the small aggregate, never over fact rows; exact decimal "
+        "sums make the division engine-identical"
+    ),
+)
+def nation_revenue_share(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        li.select("l_orderkey", disc_price().alias("_dp"))
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(sum_money(F.col("_dp"), "revenue"))
+    )
+    w = Window.partitionBy("r_name")
+    return nat.select(
+        "n_name",
+        "r_name",
+        "revenue",
+        (F.col("revenue") / F.sum("revenue").over(w)).cast("double").alias(
+            "region_share"
+        ),
+    )
