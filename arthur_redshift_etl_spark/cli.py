@@ -230,7 +230,7 @@ def cmd_explain(args) -> int:
             continue
         df = spark.sql(rewrite_redshift_sql(rel.sql()))
         print(f"-- {rel.identifier}")
-        print(plan_text(df))
+        print(plan_text(df, mode="cost" if args.cost else "formatted"))
         for w in lint_plan(df):
             print(f"WARNING {w}")
     return 0
@@ -473,7 +473,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("relation")
     sp.add_argument("--limit", type=int, default=20)
     add("check_constraints", cmd_check_constraints)
-    add("explain", cmd_explain)
+    sp = add("explain", cmd_explain)
+    sp.add_argument("--cost", action="store_true",
+                    help="show CBO row-count/size statistics per operator")
     add("show_lineage", cmd_show_lineage)
     add("show_ddl", cmd_show_ddl)
     add("show_downstream_dependents", cmd_show_downstream)

@@ -50,6 +50,10 @@ def build_session(
         # runtime bloom-filter pushdown: selective join sides prune the
         # probe-side scan before the shuffle — large wins on star joins
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # cost-based optimization: consume the ANALYZE stats the loader
+        # computes at publish (join reordering needs them; no-op without)
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         # Independent relation builds may submit jobs from multiple threads.
         .config("spark.scheduler.mode", "FAIR")
     )

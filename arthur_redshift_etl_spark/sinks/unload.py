@@ -34,13 +34,21 @@ def unload(
     path: str,
     allow_overwrite: bool = False,
     fmt: str = "csv",
+    order_by: "list[str] | None" = None,
 ) -> str:
     """Write the DataFrame as quoted gzip CSV (or parquet) + manifest.
 
     Returns the manifest path.  Matches reference CSV conventions so a
     reloaded relation round-trips: quoteAll, backslash escape, ``\\N`` NULL
     marker, gzip.
+
+    ``order_by`` produces globally ordered output without a single-task
+    sort: rows are range-partitioned on the sort key (files own contiguous
+    key ranges, in file order) and sorted within each partition — the scale
+    path for Redshift ``UNLOAD ... ORDER BY``-style consumers.
     """
+    if order_by:
+        df = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
     mode = "overwrite" if allow_overwrite else "errorifexists"
     writer = df.write.mode(mode)
     if fmt == "csv":

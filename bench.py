@@ -85,6 +85,9 @@ def main() -> None:
         n = df.count() if df.isStreaming is False else -1
         elapsed = time.perf_counter() - start
         timings[name] = round(elapsed, 4)
+        # free per-query persisted intermediates (e.g. the dedup shingle
+        # cache) so queries don't inherit each other's memory pressure
+        spark.catalog.clearCache()
         total += elapsed
         print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
 

@@ -165,3 +165,23 @@ def test_monitor_events_and_summary(tmp_path):
     assert by[("load", "finish")]["rows"] == 42
     assert len(store.tail(2)) == 2
     assert store.query(target="src.orders") and not store.query(target="nope.x")
+
+
+def test_unload_order_by_produces_globally_ordered_files(spark, tmp_path):
+    import glob as g
+    import gzip
+
+    from arthur_redshift_etl_spark.sinks.unload import unload
+    from arthur_redshift_etl_spark.workload import t as load_table
+
+    path = str(tmp_path / "ordered-unload")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey"
+    ).repartition(8)
+    unload(orders, path, allow_overwrite=True, order_by=["o_orderkey"])
+    keys = []
+    for f in sorted(g.glob(path + "/part-*.csv.gz")):
+        with gzip.open(f, "rt") as fh:
+            keys.extend(int(line.strip().strip('"')) for line in fh if line.strip())
+    assert len(keys) == orders.count()
+    assert keys == sorted(keys)  # file-name order == global key order
