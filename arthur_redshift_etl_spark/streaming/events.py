@@ -159,3 +159,63 @@ def dedup_stream(events: DataFrame, keys=("event_id",),
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def rollup_to_table_stream(
+    events: DataFrame,
+    target_path: str,
+    checkpoint: str,
+) -> "StreamingQuery":
+    """Continuously maintain the hourly rollup TABLE from an event stream.
+
+    ``foreachBatch`` + the algebraic-merge pattern
+    (``workload.incremental_rollup_merge``): each micro-batch aggregates to
+    partials (count, exact decimal sum — mergeable), merges with the current
+    rollup by re-aggregation, and overwrites atomically via a staged write.
+    State lives in the TABLE, not the stream (no watermark bound needed);
+    restart recovery comes from the checkpoint. The streaming analog of the
+    reference's percolator refresh loop.
+    """
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partials = (
+            batch_df.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+                F.col("event_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("p_n"),
+                F.sum(F.col("value").cast("decimal(12,2)")).alias("p_sum"),
+            )
+        )
+        try:
+            current = spark.read.parquet(target_path)
+        except Exception:
+            current = None
+        merged = (
+            partials if current is None else current.unionByName(partials)
+        )
+        result = (
+            merged.groupBy("hour_ts", "event_type")
+            .agg(
+                F.sum("p_n").cast("long").alias("p_n"),
+                F.sum("p_sum").cast("decimal(22,2)").alias("p_sum"),
+            )
+        )
+        # stage + swap: readers of target_path never see a partial write
+        tmp = target_path + f".tmp-{batch_id}"
+        result.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(target_path, ignore_errors=True)
+        import os
+
+        os.rename(tmp, target_path)
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

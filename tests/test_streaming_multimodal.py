@@ -165,3 +165,37 @@ def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
     got = spark.table("dedup_sink")
     assert got.count() == 500
     assert got.select("event_id").distinct().count() == 500
+
+
+def test_rollup_to_table_stream_matches_batch(spark, event_dir, tmp_path):
+    """foreachBatch-maintained rollup table == batch aggregate after drain."""
+    from arthur_redshift_etl_spark.streaming.events import (
+        read_event_stream,
+        rollup_to_table_stream,
+    )
+
+    target = str(tmp_path / "rollup-table")
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    q = rollup_to_table_stream(stream, target, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(target)
+        .select(
+            "hour_ts",
+            "event_type",
+            F.col("p_n").alias("n_events"),
+            F.col("p_sum").cast("double").alias("total_value"),
+        )
+    )
+    batch = load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    expect = batch.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )
+    assert {tuple(map(str, r)) for r in got.collect()} == {
+        tuple(map(str, r)) for r in expect.collect()
+    }
