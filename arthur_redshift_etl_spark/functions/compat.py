@@ -247,6 +247,12 @@ _SIMPLE_REWRITES = [
     # bare VARCHAR casts (Redshift defaults the length; Spark requires one)
     (re.compile(r"\bAS\s+VARCHAR\s*(?![\s]*\()", re.I), "AS STRING"),
     (re.compile(r"::\s*VARCHAR\b(?![\s]*\()", re.I), "::string"),
+    # epoch extraction (no-literal form; the DATE_PART('epoch', x) form needs
+    # literal contents and runs post-restore — see _POST_RESTORE_REWRITES)
+    (
+        re.compile(r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+([^()]+?)\s*\)", re.I),
+        r"unix_timestamp(\1)",
+    ),
 ]
 
 
@@ -335,6 +341,17 @@ def _translate_datetime_format(fmt: str) -> str:
     return _DATETIME_TOKEN_RE.sub(
         lambda m: _DATETIME_TOKEN_LOOKUP[m.group(0).upper()], fmt
     )
+
+
+# rules whose patterns include literal text — applied AFTER literal restore
+# (safe because the replacement introduces no quotes that could confuse later
+# rules; this list runs last)
+_POST_RESTORE_REWRITES = [
+    (
+        re.compile(r"\bDATE_PART\s*\(\s*'epoch'\s*,\s*([^()]+?)\s*\)", re.I),
+        r"unix_timestamp(\1)",
+    ),
+]
 
 
 def _json_path_to_get_json(args):
@@ -484,8 +501,10 @@ def rewrite_redshift_sql(sql: str) -> str:
     code = _rewrite_qualify(code)
     for key, orig in restore.items():
         code = code.replace(key, orig)
-    # TO_CHAR/TO_DATE format translation and JSON path building must see
-    # literal contents → after restore, with the literal-safe scanners.
+    # TO_CHAR/TO_DATE format translation, JSON path building, and rules
+    # keyed on literal arguments must see literal contents → after restore.
     code = _rewrite_to_char(code)
     code = _rewrite_call(code, "JSON_EXTRACT_PATH_TEXT", _json_path_to_get_json)
+    for pat, repl in _POST_RESTORE_REWRITES:
+        code = pat.sub(repl, code)
     return code
