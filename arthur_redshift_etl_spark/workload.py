@@ -3655,3 +3655,56 @@ def nation_revenue_share(spark, sf_dir):
             "region_share"
         ),
     )
+
+
+@query(
+    "dialect_kitchen_sink",
+    oracle="""
+    SELECT order_month,
+           status_name,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+             AS priorities,
+           COUNT(*) AS n_orders
+    FROM (
+      SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+             CASE WHEN o_orderstatus = 'O' THEN 'open'
+                  WHEN o_orderstatus = 'F' THEN 'final'
+                  ELSE coalesce(NULL, 'other') END AS status_name,
+             o_orderpriority, o_custkey, o_totalprice, o_orderkey
+      FROM orders
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+      ) <= 3
+    )
+    GROUP BY 1, 2
+    """,
+    description=(
+        "dialect kitchen sink: one Redshift-flavored statement combining "
+        "TO_CHAR, DECODE, NVL, LISTAGG DISTINCT WITHIN GROUP, and QUALIFY "
+        "— every shim rewrite firing in a single query, oracle-matched"
+    ),
+)
+def dialect_kitchen_sink(spark, sf_dir):
+    return _run_dialect(
+        spark,
+        sf_dir,
+        ["orders"],
+        """
+        SELECT order_month,
+               status_name,
+               LISTAGG(DISTINCT o_orderpriority, '|')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+               COUNT(*) AS n_orders
+        FROM (
+          SELECT TO_CHAR(o_orderdate, 'YYYY-MM') AS order_month,
+                 DECODE(o_orderstatus, 'O', 'open', 'F', 'final',
+                        NVL(NULL, 'other')) AS status_name,
+                 o_orderpriority, o_custkey, o_totalprice, o_orderkey
+          FROM orders
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+          ) <= 3
+        )
+        GROUP BY 1, 2
+        """,
+    )
