@@ -198,7 +198,12 @@ def cmd_run_query(args) -> int:
     rels = {r.identifier: r for r in _relations(args)}
     rel = rels[args.relation.lower()]
     spark = _spark(args)
-    spark.sql(rewrite_redshift_sql(rel.sql())).limit(args.limit).show(truncate=False)
+    df = spark.sql(rewrite_redshift_sql(rel.sql())).limit(args.limit)
+    df.show(truncate=False)
+    if args.metrics:
+        from .plans.metrics import scan_summary
+
+        print(json.dumps(scan_summary(df)))
     return 0
 
 
@@ -471,6 +476,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--force", action="store_true")
     sp = add("run_query", cmd_run_query, patterns=False)
     sp.add_argument("relation")
+    sp.add_argument("--metrics", action="store_true",
+                    help="print scan/output SQLMetrics of the executed plan")
     sp.add_argument("--limit", type=int, default=20)
     add("check_constraints", cmd_check_constraints)
     sp = add("explain", cmd_explain)

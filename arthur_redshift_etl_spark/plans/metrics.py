@@ -1,0 +1,86 @@
+"""Execution metrics from the executed physical plan.
+
+Reference parity: after each COPY the reference queries ``stl_load_commits`` /
+``stl_load_errors`` for rows, files, slices, and MB moved
+(``dialect/redshift.py:372-432``).  Spark's equivalent telemetry lives on
+the executed plan's SQLMetrics (numOutputRows, numFiles, bytes written,
+shuffle sizes) — this module harvests them after an action, pure plan
+inspection through py4j, no listener registration needed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+from pyspark.sql import DataFrame
+
+
+def _walk(node, out: List[Tuple[str, str, int]]) -> None:
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        # descend into the final adaptive plan (method name per Spark 3.2+)
+        for accessor in ("finalPhysicalPlan", "executedPlan"):
+            try:
+                _walk(getattr(node, accessor)(), out)
+                return
+            except Exception:
+                continue
+    try:
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            out.append((name, kv._1(), kv._2().value()))
+    except Exception:
+        pass
+    # materialized AQE stages and reused exchanges wrap their subtree in
+    # .plan()/.child() rather than children()
+    if name.endswith("QueryStage"):
+        try:
+            _walk(node.plan(), out)
+            return
+        except Exception:
+            pass
+    cit = node.children().iterator()
+    while cit.hasNext():
+        _walk(cit.next(), out)
+
+
+def executed_metrics(df: DataFrame) -> List[Tuple[str, str, int]]:
+    """(operator, metric, value) triples from the executed plan.
+
+    Only meaningful AFTER an action ran on this exact DataFrame; metrics of
+    never-executed operators read 0/-1.
+    """
+    out: List[Tuple[str, str, int]] = []
+    _walk(df._jdf.queryExecution().executedPlan(), out)
+    return out
+
+
+def scan_summary(df: DataFrame) -> Dict[str, int]:
+    """COPY-report analog: rows/files/bytes scanned + final output rows.
+
+    Sums scan-node SQLMetrics across the executed plan — the per-load
+    observability the reference pulled from stl tables (rows, file count,
+    MB).  ``output_rows`` is the root-most operator's numOutputRows
+    (pre-order first).
+    """
+    rows_scanned = files_read = bytes_read = 0
+    output_rows = -1
+    for op, metric, value in executed_metrics(df):
+        if value is None or value < 0:
+            continue
+        if op.startswith("Scan"):
+            if metric == "numOutputRows":
+                rows_scanned += value
+            elif metric == "numFiles":
+                files_read += value
+            elif metric == "filesSize":
+                bytes_read += value
+        if output_rows < 0 and metric == "numOutputRows":
+            output_rows = value
+    return {
+        "rows_scanned": rows_scanned,
+        "files_read": files_read,
+        "bytes_read": bytes_read,
+        "output_rows": max(output_rows, 0),
+    }

@@ -158,3 +158,22 @@ def test_column_lineage_joins_aggregates_windows(spark, sf_dir):
     )
     lin3 = column_lineage(df3)
     assert lin3["x"] == ["customer.c_name", "nation.n_name"]
+
+
+def test_executed_metrics_scan_summary(spark, sf_dir):
+    from arthur_redshift_etl_spark.plans.metrics import executed_metrics, scan_summary
+    from arthur_redshift_etl_spark.workload import REGISTRY
+
+    df = REGISTRY["revenue_by_nation"].fn(spark, sf_dir)
+    n = len(df.collect())
+    m = executed_metrics(df)
+    assert len(m) > 20  # scans, exchanges, aggregates all reporting
+    s = scan_summary(df)
+    # 4 tables scanned, each one parquet file; root outputs the result rows
+    assert s["files_read"] == 4
+    assert s["bytes_read"] > 0
+    assert s["output_rows"] == n
+    # scans saw at least all lineitem rows
+    from arthur_redshift_etl_spark.workload import t as load_table
+
+    assert s["rows_scanned"] >= load_table(spark, sf_dir, "lineitem").count()
