@@ -107,3 +107,25 @@ def test_boundary_query_roundtrip(spark, derby_url):
     assert (lo, hi) == (0, N_ROWS - 1)
     df = plan.read(spark, derby_url, lower_bound=lo, upper_bound=hi + 1)
     assert df.count() == N_ROWS
+
+
+def test_jdbc_writeback_roundtrip(spark, derby_url):
+    """Sink side: export a result table over JDBC, read it back (SURVEY §2.2)."""
+    from arthur_redshift_etl_spark.sinks.jdbc import write_jdbc
+
+    agg = (
+        plan_extract(orders_design(num_partitions=4))
+        .read(spark, derby_url, lower_bound=0, upper_bound=N_ROWS)
+        .groupBy("o_status")
+        .count()
+    )
+    n = write_jdbc(agg, derby_url, "status_counts", num_partitions=1)
+    assert n == 3
+    back = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "status_counts")
+        .load()
+    )
+    assert back.count() == 3
+    assert {r[0] for r in back.select("o_status").collect()} == {"O", "F", "P"}
