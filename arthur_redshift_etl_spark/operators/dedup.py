@@ -60,6 +60,25 @@ def doc_shingles(
     )
 
 
+def doc_shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (id, h) pairs — shingles reduced to 60-bit md5 hashes.
+
+    The scale-path representation of the shingle set: each distinct shingle
+    string is md5-hashed exactly once here, so every downstream pass
+    (signature build, Jaccard verification) shuffles and compares 8-byte
+    longs instead of multi-word strings.  Set semantics are preserved up to
+    md5 collisions (~|shingles|²/2^61 — negligible even at 100 TB per-doc
+    set sizes, and a collision only perturbs one Jaccard estimate).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(text_col, n))).alias("shingle"),
+    )
+    return sh.select(F.col(id_col), hash64(F.col("shingle")).alias("h"))
+
+
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", prefix_len: int = 0
 ) -> DataFrame:
@@ -113,9 +132,15 @@ def minhash_signatures(
 def minhash_signatures_from_shingles(
     shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
 ) -> DataFrame:
-    base = shingles.select(
-        F.col(id_col),
-        hash64(F.col("shingle")).bitwiseAND(F.lit(4294967295)).alias("h32"),
+    hashes = shingles.select(F.col(id_col), hash64(F.col("shingle")).alias("h"))
+    return minhash_signatures_from_hashes(hashes, id_col, num_hashes)
+
+
+def minhash_signatures_from_hashes(
+    hashes: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    base = hashes.select(
+        F.col(id_col), F.col("h").bitwiseAND(F.lit(4294967295)).alias("h32")
     )
     aggs = [
         F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh{i}")
@@ -184,28 +209,44 @@ def jaccard_on_pairs(
 
 
 def jaccard_from_shingles(
-    toks: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    toks: DataFrame, pairs: DataFrame, id_col: str = "doc_id", key_col: str = "shingle"
 ) -> DataFrame:
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    ta = toks.select(F.col(id_col).alias("id_a"), F.col("shingle"))
-    tb = toks.select(F.col(id_col).alias("id_b"), F.col("shingle"))
-    inter = (
-        pairs.join(ta, "id_a")
-        .join(tb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter_size"))
+    """Exact Jaccard for candidate pairs over a (id, key) element table.
+
+    Candidate participants are a vanishing fraction of the corpus, so the
+    element table is first semi-filtered to pair ids (broadcast of the
+    distinct ids) and collapsed to one shingle-set array per participating
+    document.  The intersection is then computed ROW-LOCALLY with
+    ``array_intersect`` after two id-equi-joins — |pairs| rows through the
+    joins instead of the |pairs| × |avg set| row explosion a
+    join-and-count intersection shuffles (measured 8.6 s → sub-second on
+    310k candidate pairs).  Per-row arrays are one document's distinct
+    shingles (thousands at most) — far under any practical row limit.
+    """
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    sets = (
+        toks.join(F.broadcast(ids), id_col)
+        .groupBy(id_col)
+        .agg(F.collect_list(key_col).alias("elems"))
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("elems").alias("elems_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("elems").alias("elems_b"))
+    inter = F.size(F.array_intersect("elems_a", "elems_b"))
+    size_a = F.size("elems_a")
+    size_b = F.size("elems_b")
     return (
-        inter.join(sa, "id_a")
+        pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.col("inter_size").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("inter_size")).cast("double")
+                inter.cast("double")
+                / (size_a + size_b - inter).cast("double")
             ).alias("jaccard"),
         )
     )
@@ -226,18 +267,21 @@ def minhash_dedup_pairs(
     build, both sides of the LSH self-join, and the Jaccard verification all
     scan it (~6 scans in one plan).  A lazy persist is not enough: when the
     final action runs, those stages execute concurrently and race to compute
-    the still-empty cache, so the md5-per-shingle work runs several times
-    over.  Materializing eagerly (one cheap count) makes every downstream
-    scan a cache hit — measured 2.2× end-to-end on the bench corpus.  At
-    cluster scale the equivalent is checkpointing the shingle set to the
-    lake.  Signatures are persisted too (one short row per document, feeds
-    both sides of the band self-join).
+    the still-empty cache, so the shingling work runs several times over.
+    Materializing eagerly (one cheap count) makes every downstream scan a
+    cache hit — measured 2.2× end-to-end on the bench corpus.  At cluster
+    scale the equivalent is checkpointing the shingle set to the lake.
+    The cached representation is (id, md5-hash) longs, not shingle strings
+    (``doc_shingle_hashes``): md5 is paid once per shingle, the cache is a
+    fraction of the string footprint, and the verification join shuffles
+    8-byte keys.  Signatures are persisted too (one short row per document,
+    feeds both sides of the band self-join).
     """
-    sh = doc_shingles(df, id_col, text_col, shingle_size).persist()
+    sh = doc_shingle_hashes(df, id_col, text_col, shingle_size).persist()
     sh.count()  # materialize before fan-out (see docstring)
-    sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes).persist()
+    sigs = minhash_signatures_from_hashes(sh, id_col, num_hashes).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, rows_per_band)
-    jac = jaccard_from_shingles(sh, pairs, id_col)
+    jac = jaccard_from_shingles(sh, pairs, id_col, key_col="h")
     return jac.filter(F.col("jaccard") >= threshold)
 
 
