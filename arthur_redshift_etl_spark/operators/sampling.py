@@ -88,3 +88,23 @@ def stratified_sample_exact(
     return ranked.filter(
         F.col("_rn") <= F.ceil(F.lit(fraction) * F.col("_n"))
     ).drop("_hb", "_rn", "_n")
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    weight_cap: float,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: P(keep) ≈ weight/weight_cap.
+
+    Importance sampling for training corpora (keep high-value rows more
+    often) without ``rand()``: the keep decision compares the row's hash
+    bucket, scaled to [0, 1), against the row's normalized weight.  Pure
+    per-row arithmetic — no shuffle, pushes down to the scan, and the same
+    rows are kept on every run and every engine (the SQL oracle reproduces
+    it bit-for-bit).  Weights above ``weight_cap`` are always kept.
+    """
+    u = hash_bucket(F.col(id_col), buckets).cast("double") / F.lit(float(buckets))
+    return df.filter(u * F.lit(float(weight_cap)) < F.col(weight_col))

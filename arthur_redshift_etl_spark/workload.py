@@ -3708,3 +3708,95 @@ def dialect_kitchen_sink(spark, sf_dir):
         GROUP BY 1, 2
         """,
     )
+
+
+# ===========================================================================
+# Reconciliation, weighted sampling, exact quantiles (round 1, continued)
+# ===========================================================================
+
+@query(
+    "reconcile_orders_drift",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 101 <> 0
+    )
+    SELECT o_orderkey, 'removed' AS diff_kind
+    FROM orders WHERE o_orderkey % 101 = 0
+    UNION ALL
+    SELECT o_orderkey, 'changed' AS diff_kind
+    FROM b WHERE o_orderkey % 97 = 0
+    """,
+    description=(
+        "keyed symmetric table diff (full-outer join, null-safe column "
+        "compare) between orders and a deterministically drifted copy — "
+        "the content-level blue-green publish gate; output scales with "
+        "drift, not table size"
+    ),
+)
+def reconcile_orders_drift(spark, sf_dir):
+    from .operators.reconcile import table_diff
+
+    orders = t(spark, sf_dir, "orders")
+    drifted = orders.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(orders, drifted, ["o_orderkey"])
+
+
+@query(
+    "weighted_sample_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE (CAST((o_orderkey * 2654435761) % 4294967296 % 1000000 AS DOUBLE)
+           / 1000000.0) * 500000.0 < o_totalprice
+    """,
+    description=(
+        "deterministic weighted Bernoulli sample, P(keep) = value/cap — "
+        "importance sampling for training corpora; per-row hash "
+        "arithmetic, shuffle-free, pushes to the scan, engine-reproducible"
+    ),
+)
+def weighted_sample_orders(spark, sf_dir):
+    from .operators.sampling import weighted_bernoulli_sample
+
+    orders = t(spark, sf_dir, "orders")
+    return weighted_bernoulli_sample(
+        orders, "o_orderkey", "o_totalprice", 500_000.0
+    ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "exact_quantiles_order_value",
+    oracle="""
+    SELECT o_orderpriority,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+           percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+           percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+           percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice) AS p99,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    description=(
+        "exact discrete quantiles (PERCENTILE_DISC — actual data values, "
+        "so float-parity is guaranteed) per priority; the 100 TB path is "
+        "approx_percentile, a mergeable sketch with map-side combine"
+    ),
+)
+def exact_quantiles_order_value(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    aggs = [
+        F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias(a)
+        for p, a in ((0.25, "p25"), (0.50, "p50"), (0.90, "p90"), (0.99, "p99"))
+    ]
+    return orders.groupBy("o_orderpriority").agg(
+        *aggs, F.count(F.lit(1)).alias("n_orders")
+    )
