@@ -102,13 +102,21 @@ def connected_components(
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .localCheckpoint(eager=True)
     )
+    # labels only ever decrease (min-propagation), so the label-sum strictly
+    # decreases iff any label changed — convergence is one cheap aggregate
+    # per round instead of a join-and-count against the previous labels.
+    # decimal(38,0) keeps the sum exact at any node-count × id magnitude.
+    def label_sum(lbl: DataFrame):
+        return lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iterations):
         nbr_min = (
             bidir.join(labels, bidir.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
                 "node",
@@ -118,13 +126,8 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))
