@@ -83,3 +83,28 @@ def test_whole_stage_codegen_present(spark):
     executed = df._jdf.queryExecution().executedPlan().toString()
     # codegen'd operators carry the *(N) whole-stage marker
     assert re.search(r"\*\(\d+\)", executed), executed[:2000]
+
+
+def test_jaccard_verify_is_row_local_not_join_explosion(spark):
+    """Near-dup verification must intersect shingle sets row-locally
+    (array_intersect after id-equi-joins), never by re-joining the full
+    shingle table on the shingle key — the |pairs| x |set| explosion."""
+    p = plan(spark, "dedup_minhash_lsh")
+    assert "array_intersect" in p, p
+    # the candidate-id semi filter broadcasts the (small) pair-id list
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_reconcile_diff_single_cogrouped_join(spark):
+    """Table diff is one full-outer sort-merge join on the key — value
+    compare stays in the projection, no second pass over either input."""
+    p = plan(spark, "reconcile_orders_drift")
+    # formatted explain prints each node twice (tree + detail section)
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", p)) == 1, p
+    assert "Cartesian" not in p, p
+
+
+def test_weighted_sample_pushes_to_scan(spark):
+    """The weighted-sample predicate is scan-adjacent: no shuffle at all."""
+    p = plan(spark, "weighted_sample_orders")
+    assert "Exchange" not in p, p
