@@ -3,7 +3,8 @@
 Reference parity: ``python/etl/commands.py:340-390`` registers 44
 subcommands; the data-path set reproduced here (SURVEY §2.12):
 initialize, bootstrap_sources/transformations, sync, extract (plan), load,
-upgrade, update, unload, validate, run_query, check_constraints, explain,
+upgrade, update, unload, validate, run_query, check_constraints, diff,
+explain,
 show_ddl, show_downstream_dependents, show_upstream_dependencies,
 create_schemas, create_index, ls, ping, query_events, summarize_events,
 tail_events, selftest.  AWS-ops commands (EMR, Data Pipeline, IAM) are out
@@ -205,6 +206,38 @@ def cmd_run_query(args) -> int:
 
         print(json.dumps(scan_summary(df)))
     return 0
+
+
+def cmd_diff(args) -> int:
+    """Content-level diff of two relations (the blue-green publish gate).
+
+    Exit status 1 when drift exists — usable directly as a CI/publish gate.
+    Accepts warehouse table identifiers or parquet paths.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.reconcile import table_diff
+
+    spark = _spark(args)
+
+    def load(name):
+        if os.path.sep in name or name.endswith(".parquet"):
+            return spark.read.parquet(name)
+        return spark.table(name)
+
+    diff = table_diff(load(args.relation_a), load(args.relation_b), args.keys)
+    counts = {
+        r["diff_kind"]: r["n"]
+        for r in diff.groupBy("diff_kind").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(
+        json.dumps(
+            {k: counts.get(k, 0) for k in ("added", "removed", "changed")}
+        )
+    )
+    if args.show:
+        diff.show(args.limit, truncate=False)
+    return 1 if counts else 0
 
 
 def cmd_check_constraints(args) -> int:
@@ -480,6 +513,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="print scan/output SQLMetrics of the executed plan")
     sp.add_argument("--limit", type=int, default=20)
     add("check_constraints", cmd_check_constraints)
+    sp = add("diff", cmd_diff, patterns=False)
+    sp.add_argument("relation_a", help="table identifier or parquet path (old)")
+    sp.add_argument("relation_b", help="table identifier or parquet path (new)")
+    sp.add_argument("--keys", nargs="+", required=True, help="join key columns")
+    sp.add_argument("--show", action="store_true", help="print drifted keys")
+    sp.add_argument("--limit", type=int, default=20)
     sp = add("explain", cmd_explain)
     sp.add_argument("--cost", action="store_true",
                     help="show CBO row-count/size statistics per operator")

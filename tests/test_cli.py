@@ -107,3 +107,20 @@ def test_sync_validates_and_deploys(design_repo, tmp_path, capsys):
     assert main(["--repo", design_repo, "sync", "--to", target]) == 1
     assert not os.path.exists(os.path.join(target, "schemas", "dw", "broken.yaml"))
     os.remove(bad)
+
+
+def test_diff_gate_exit_status(design_repo, tmp_path, capsys, spark):
+    """`diff` reports drift counts and exits nonzero — the publish gate."""
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    df.withColumn("v", df.k * 2).write.parquet(a)
+    df.filter(df.k < 9).withColumn(
+        "v", (df.k * 2) + (df.k == 0).cast("long")
+    ).write.parquet(b)
+    rc = main(["--repo", design_repo, "diff", a, b, "--keys", "k"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert '"removed": 1' in out and '"changed": 1' in out and '"added": 0' in out
+    # identical inputs → clean gate
+    assert main(["--repo", design_repo, "diff", a, a, "--keys", "k"]) == 0
