@@ -108,3 +108,31 @@ def test_weighted_sample_pushes_to_scan(spark):
     """The weighted-sample predicate is scan-adjacent: no shuffle at all."""
     p = plan(spark, "weighted_sample_orders")
     assert "Exchange" not in p, p
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    p = plan(spark, "decontaminate_ngram_overlap")
+    # the eval shingle set must broadcast; the train side never sort-merges
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_quality_funnel_single_scan_no_join(spark):
+    p = plan(spark, "corpus_quality_funnel")
+    # one scan of documents, one global aggregate pair, no join anywhere
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Join" not in p, p
+
+
+def test_pack_sequences_windows_are_sharded(spark):
+    p = plan(spark, "corpus_pack_sequences")
+    # the cumsum window partitions by shard — never a single-partition funnel
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_domain_mix_broadcasts_rates(spark):
+    p = plan(spark, "corpus_domain_mix_resample")
+    # per-domain rates re-enter the big side via broadcast joins
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p
