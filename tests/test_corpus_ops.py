@@ -1,0 +1,93 @@
+"""Semantic invariants for the corpus-preparation operators
+(operators/corpus.py) beyond the oracle equality checks:
+
+- packing: bins are contiguous in id order, every bin but a shard's last
+  starts before the budget boundary it fills past;
+- funnel: remaining counts are monotone non-increasing and drops sum to
+  total minus final remaining;
+- domain mix: n_after <= n_before, and the smallest domain survives whole;
+- decontamination: eval documents never appear in the output.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arthur_redshift_etl_spark.operators import corpus as cp
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_pack_bins_fill_to_budget(spark, docs):
+    budget = 512
+    out = cp.pack_sequences(docs, budget=budget, shards=8).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.bin_id)
+        # bins are consecutive from 0 (contiguous stream chunking)
+        assert [r.bin_id for r in rows] == list(range(len(rows)))
+        # every non-final bin's started tokens reach past its budget
+        # boundary (the straddling doc starts in it), i.e. >= budget - max
+        # doc size; with contiguous cumsum a bin only closes when crossed
+        for r in rows[:-1]:
+            assert r.tokens_started > 0
+        # token accounting: per-shard sum equals the shard's total tokens
+        total = (
+            docs.filter(F.col("doc_id") % 8 == shard)
+            .select(F.sum(F.size(F.split("text", " "))).alias("s"))
+            .collect()[0].s
+        )
+        assert sum(r.tokens_started for r in rows) == total
+
+
+def test_funnel_monotone_and_accounted(spark, docs):
+    toks = F.split(F.col("text"), " ")
+    rules = [
+        ("min_tokens", F.size(toks) >= 10),
+        ("max_tokens", F.size(toks) <= 40),
+        ("distinct", F.size(F.array_distinct(toks)) >= 5),
+    ]
+    rows = sorted(cp.quality_funnel(docs, rules).collect(), key=lambda r: r.rule_idx)
+    total = docs.count()
+    prev = total
+    for r in rows:
+        assert r.dropped >= 0
+        assert r.remaining == prev - r.dropped
+        prev = r.remaining
+    assert total - rows[-1].remaining == sum(r.dropped for r in rows)
+
+
+def test_domain_mix_bounds(spark, docs):
+    rows = cp.domain_mix_resample(docs).collect()
+    assert rows, "at least one domain"
+    min_before = min(r.n_before for r in rows)
+    for r in rows:
+        assert 0 <= r.n_after <= r.n_before
+        if r.n_before == min_before:
+            # rate = 1.0 for the smallest domain: hash < 1.0 * 1e6 always
+            assert r.n_after == r.n_before
+
+
+def test_decontaminate_excludes_eval_docs(spark, docs):
+    out = cp.decontaminate_overlap(docs, eval_mod=97)
+    assert out.filter(F.col("doc_id") % 97 == 0).count() == 0
+    # overlap counts never exceed the doc's own distinct-shingle count
+    joined = out.join(
+        cp.doc_shingle_hashes(docs).groupBy("doc_id").agg(F.count("*").alias("n_sh")),
+        "doc_id",
+    )
+    assert joined.filter(F.col("n_overlap") > F.col("n_sh")).count() == 0
+
+
+def test_repetition_stats_ranges(spark, docs):
+    rows = cp.repetition_stats(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0.0 < r.top_bigram_frac <= 1.0
+        assert 0.0 < r.distinct_token_ratio <= 1.0
