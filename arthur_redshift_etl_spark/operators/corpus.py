@@ -83,7 +83,11 @@ def repetition_stats(
     distinct-token ratio is row-local (no shuffle).
     """
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    # guard: sequence(1, 0) counts DOWN in Spark — single-token docs would
+    # index element 0; give them an empty bigram set instead
+    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     bigrams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
     )

@@ -42,9 +42,16 @@ def shingles_col(text_col: str = "text", n: int = 3) -> Column:
     Shingling (vs raw tokens) is what makes MinHash discriminative on
     natural text: the shingle space is |vocab|^n, so unrelated documents
     share almost none even when they share most of their vocabulary.
+
+    Documents shorter than ``n`` tokens yield an EMPTY shingle set — the
+    guard matters because ``sequence(1, size-n+1)`` turns DESCENDING when
+    size < n (Spark generates down-counting ranges), which would index
+    element 0 and fail the whole stage on one short row.
     """
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),

@@ -91,3 +91,25 @@ def test_repetition_stats_ranges(spark, docs):
     for r in rows:
         assert 0.0 < r.top_bigram_frac <= 1.0
         assert 0.0 < r.distinct_token_ratio <= 1.0
+
+
+def test_short_empty_null_docs_are_safe(spark):
+    """sequence(1, size-n+1) counts DOWN when size < n — short/empty/null
+    docs must yield empty shingle/bigram sets, not index-0 stage failures."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, ""),
+            (3, None),
+            (4, "x"),
+            (5, "a b c d e f g h i j"),
+        ],
+        "doc_id long, text string",
+    )
+    from arthur_redshift_etl_spark.operators import dedup as dd
+
+    rep = {r.doc_id for r in cp.repetition_stats(df).collect()}
+    assert rep == {1, 5}  # no bigrams → no repetition row, no crash
+    assert dd.doc_shingle_hashes(df).filter("doc_id in (2,3,4)").count() == 0
+    pairs = dd.minhash_dedup_pairs(df).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 5)]
