@@ -280,6 +280,7 @@ def minhash_dedup_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     shingle_size: int = 3,
+    materialize_dir: Optional[str] = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline → (id_a, id_b, jaccard ≥ threshold).
 
@@ -296,9 +297,23 @@ def minhash_dedup_pairs(
     fraction of the string footprint, and the verification join shuffles
     8-byte keys.  Signatures are persisted too (one short row per document,
     feeds both sides of the band self-join).
+
+    ``materialize_dir``: when set, the shingle set is written to (and
+    re-read from) parquet at that path instead of executor-memory persist —
+    the 100 TB path, where the shingle table exceeds cluster cache and a
+    task failure must not recompute the whole shingling pass.  Same
+    dataflow, one write; downstream stages scan the parquet with column
+    pruning.
     """
-    sh = doc_shingle_hashes(df, id_col, text_col, shingle_size).persist()
-    sh.count()  # materialize before fan-out (see docstring)
+    if materialize_dir:
+        spark = df.sparkSession
+        doc_shingle_hashes(df, id_col, text_col, shingle_size).write.mode(
+            "overwrite"
+        ).parquet(materialize_dir)
+        sh = spark.read.parquet(materialize_dir)
+    else:
+        sh = doc_shingle_hashes(df, id_col, text_col, shingle_size).persist()
+        sh.count()  # materialize before fan-out (see docstring)
     sigs = minhash_signatures_from_hashes(sh, id_col, num_hashes).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, rows_per_band)
     jac = jaccard_from_shingles(sh, pairs, id_col, key_col="h", broadcast_sets=True)

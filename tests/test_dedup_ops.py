@@ -200,3 +200,22 @@ def test_merge_properties_random(spark):
                 best[k] = (v, seq)
         model.update({k: v for k, (v, _) in best.items()})
         assert got == set(model.items()), f"trial {trial}"
+
+
+def test_minhash_materialize_dir_equals_persist(spark, tmp_path):
+    """The lake-checkpoint path (materialize_dir) returns identical pairs
+    to the in-memory persist path."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dd.minhash_dedup_pairs(docs).collect()
+    )
+    b = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dd.minhash_dedup_pairs(
+            docs, materialize_dir=str(tmp_path / "shingles")
+        ).collect()
+    )
+    assert a == b and len(a) > 0
