@@ -132,18 +132,39 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF approximate search: probe only the query's own bucket.
+    """IVF approximate search probing the query's ``nprobe`` nearest buckets.
 
-    Returns (query_id, neighbor_id, rank) among same-bucket vectors.
+    Returns (query_id, neighbor_id, rank) among probed-bucket vectors.
+    ``nprobe`` is the standard recall lever: recall rises with the number
+    of probed inverted lists while cost stays ``nprobe/k_buckets`` of
+    brute force.  Collection vectors live in exactly one bucket, so
+    multi-probe needs no candidate dedup.  The probe list is
+    queries × nprobe rows — still broadcast-sized.
     """
     assign = ivf_assign(collection, centroids, id_col, vec_col, centroid_id_col)
     coll = normalized(collection, id_col, "neighbor_id", vec_col, "cv").join(
         assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
     )
-    q = normalized(queries, id_col, "query_id", vec_col, "qv").join(
-        assign.withColumnRenamed(id_col, "query_id"), "query_id"
-    )
+    qn = normalized(queries, id_col, "query_id", vec_col, "qv")
+    if nprobe <= 1:
+        q = qn.join(assign.withColumnRenamed(id_col, "query_id"), "query_id")
+    else:
+        cent = normalized(centroids, centroid_id_col, centroid_id_col, vec_col, "pv")
+        probe_w = Window.partitionBy("query_id").orderBy(
+            F.col("psim").desc(), F.col(centroid_id_col).asc()
+        )
+        q = (
+            qn.crossJoin(F.broadcast(cent))
+            .select(
+                "query_id", "qv", centroid_id_col,
+                dot(F.col("qv"), F.col("pv")).alias("psim"),
+            )
+            .withColumn("prk", F.row_number().over(probe_w))
+            .filter(F.col("prk") <= nprobe)
+            .select("query_id", "qv", centroid_id_col)
+        )
     scored = (
         coll.join(F.broadcast(q), centroid_id_col)
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -4003,3 +4003,47 @@ def corpus_quality_funnel(spark, sf_dir):
             ("distinct_ratio", distinct_ratio >= 0.4),
         ],
     )
+
+
+@query(
+    "ann_ivf_multiprobe",
+    oracle=_IVF_ASSIGN_CTE
+    + """
+    , probe AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT v.vec_id AS query_id, cent.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(vv, cv) DESC, centroid_id
+               ) AS prk
+        FROM v, cent WHERE v.vec_id < 10
+      ) WHERE prk <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(qv.vv, cv2.vv) AS sim
+      FROM probe p
+      JOIN assign c ON c.centroid_id = p.centroid_id AND c.vec_id != p.query_id
+      JOIN v qv ON qv.vec_id = p.query_id
+      JOIN v cv2 ON cv2.vec_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS ann_rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+    description=(
+        "IVF search probing the 2 nearest buckets per query (nprobe — the "
+        "recall lever; cost stays nprobe/k_buckets of brute force)"
+    ),
+)
+def ann_ivf_multiprobe(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ivf_search(emb, centroids, queries, k=3, nprobe=2).withColumnRenamed(
+        "rank", "ann_rank"
+    )

@@ -126,3 +126,33 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     frac_a = statistics.median(s / dom_a for s in spans_a)
     frac_b = statistics.median(s / dom_b for s in spans_b)
     assert frac_a < 0.7 and frac_b < 0.7, (frac_a, frac_b)
+
+
+def test_ivf_multiprobe_recall_monotone(spark):
+    """recall@k must not DECREASE as nprobe grows (supersets of candidates),
+    and nprobe = num_buckets must equal brute force exactly."""
+    from pyspark.sql import functions as F
+    from arthur_redshift_etl_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_knn(emb, queries, k=3).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.ivf_search(
+                emb, centroids, queries, k=3, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2, r8 = recall(1), recall(2), recall(8)
+    assert r1 <= r2 <= r8
+    assert r8 == 1.0  # probing every bucket IS brute force
