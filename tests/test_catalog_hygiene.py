@@ -1,0 +1,51 @@
+"""Catalog-wide plan hygiene: every registry entry's physical plan is run
+through the explain lint (plans/lint.py), and the two hazards that are never
+acceptable — CartesianProduct and row-at-a-time Python (BatchEvalPython) —
+must not appear anywhere, except for entries that OPT IN below with a reason.
+
+This is the forward-compatibility gate: a future entry (or a Spark upgrade
+changing planner defaults) that silently degenerates into a cartesian pair
+blowup or a Python hot path fails here by name.
+"""
+
+import pytest
+
+from arthur_redshift_etl_spark.plans.lint import lint_plan
+from arthur_redshift_etl_spark.workload import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# name -> reason; the ONLY entries allowed to carry the listed hazard
+ALLOWED_NL_JOIN = {
+    # intended broadcast nested-loop shapes: a deliberately tiny broadcast
+    # side (query set / centroids / 1-row aggregate) against the corpus
+    "knn_bruteforce": "query set broadcast vs corpus — scored scan by design",
+    "ann_ivf_buckets": "centroid set broadcast (k rows)",
+    "ann_ivf_search": "centroid set broadcast (k rows)",
+    "ann_ivf_multiprobe": "centroid set broadcast (k rows)",
+    "ann_ivf_recall_eval": "centroid set broadcast (k rows)",
+    "ann_lsh_search": "hyperplane constants broadcast",
+    "kmeans_embedding_clusters": "centroid set broadcast (k rows)",
+    "embedding_cosine_dedup": "label-blocked self pair join",
+    "corpus_domain_mix_resample": "1-row global-min aggregate broadcast",
+    "date_dimension_spine": "bounds row cross join (1 row)",
+    "nation_revenue_share": "1-row total aggregate broadcast",
+    "dedup_levenshtein_blocked": "length-band block self-join",
+    "range_join_error_context": "interval bucket spine (bounded rows)",
+    "daily_event_anomaly_zscore": "1-row global-moments aggregate broadcast",
+    "funnel_view_click_purchase": "1-row per-stage total aggregates broadcast",
+    "gapfilled_hourly_by_type": "hour spine × type list (bounded) cross join",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_cartesian_no_python_udf(spark, name):
+    df = REGISTRY[name].fn(spark, SF)
+    codes = {w.code for w in lint_plan(df)}
+    assert "PY_UDF" not in codes, f"{name}: Python UDF in a catalog hot path"
+    if name not in ALLOWED_NL_JOIN:
+        assert "CARTESIAN" not in codes and "NL_JOIN" not in codes, (
+            f"{name}: unexpected cartesian/nested-loop join — if this shape "
+            "is intentional (tiny broadcast side), add it to ALLOWED_NL_JOIN "
+            "with a reason"
+        )
