@@ -34,26 +34,20 @@ from ..design import TableDesign
 NA_TIMESTAMP = datetime.datetime(1, 1, 1, 0, 0, 0)  # stand-in for 0000-01-01
 
 
-def with_identity(
-    df: DataFrame,
-    identity_column: str,
-    order_by: Sequence[str],
-    distributed: bool = False,
-) -> DataFrame:
-    """Add a dense 1-based identity column ordered by ``order_by``.
+def global_row_number(
+    df: DataFrame, order_by: Sequence[str], row_number_column: str = "__grn"
+) -> tuple[DataFrame, int]:
+    """Exact global 1-based row numbers over ``order_by`` — no single-task sort.
 
-    ``distributed=True`` avoids the single-partition global window: sort once,
-    then combine per-partition row numbers with a prefix sum of partition
-    sizes (two narrow passes; the only global structure is the count-per-
-    partition array on the driver).
+    Two-phase (the classic distributed rank): ``repartitionByRange`` gives a
+    globally range-ordered layout, each partition ranks locally, and a prefix
+    sum over the per-partition COUNTs (metadata only — a K-element array on
+    the driver, never row data) turns local ranks into global ones.  Returns
+    ``(df_with_column, total_row_count)``; the count job is the price of
+    exactness and is a map-only pass over the already-shuffled layout.
     """
-    if not distributed:
-        w = Window.orderBy(*[F.col(c) for c in order_by])
-        return df.withColumn(identity_column, F.row_number().over(w).cast("long"))
-
-    ordered = df.repartitionByRange(*[F.col(c) for c in order_by]).sortWithinPartitions(
-        *[F.col(c) for c in order_by]
-    )
+    keys = [F.col(c) for c in order_by]
+    ordered = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
     with_pid = ordered.withColumn("__pid", F.spark_partition_id())
     counts = {
         r["__pid"]: r["cnt"]
@@ -64,15 +58,46 @@ def with_identity(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if not offsets:
+        return df.withColumn(row_number_column, F.lit(None).cast("long")), 0
     offset_col = F.create_map(
         *[item for pid, off in offsets.items() for item in (F.lit(pid), F.lit(off))]
     )
-    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_by])
-    return (
+    w = Window.partitionBy("__pid").orderBy(*keys)
+    out = (
         with_pid.withColumn("__rn", F.row_number().over(w))
-        .withColumn(identity_column, (offset_col[F.col("__pid")] + F.col("__rn")).cast("long"))
+        .withColumn(
+            row_number_column, (offset_col[F.col("__pid")] + F.col("__rn")).cast("long")
+        )
         .drop("__pid", "__rn")
     )
+    return out, acc
+
+
+def with_identity(
+    df: DataFrame,
+    identity_column: str,
+    order_by: Sequence[str],
+    distributed: Optional[bool] = None,
+) -> DataFrame:
+    """Add a dense 1-based identity column ordered by ``order_by``.
+
+    ``distributed`` selects the plan, not the result (ids are identical):
+
+    - ``None`` (default) — auto: use the distributed two-phase path whenever
+      the input has more than one partition, else the plain window.  A 100 TB
+      "dimension" build can no longer silently funnel through one task.
+    - ``False`` — single global window (one-task sort; tiny dims only).
+    - ``True`` — always the two-phase path (see :func:`global_row_number`).
+    """
+    if distributed is None:
+        distributed = df.rdd.getNumPartitions() > 1
+    if not distributed:
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        return df.withColumn(identity_column, F.row_number().over(w).cast("long"))
+
+    out, _ = global_row_number(df, order_by, row_number_column=identity_column)
+    return out
 
 
 def na_row_value(field: T.StructField, identity: bool = False):
@@ -115,7 +140,7 @@ def build_dimension(
     design: TableDesign,
     order_by: Optional[Sequence[str]] = None,
     add_na_row: bool = True,
-    distributed: bool = False,
+    distributed: Optional[bool] = None,
 ) -> DataFrame:
     """Full dim_ materialization path: identity + N/A row per the design."""
     ident = design.identity_column

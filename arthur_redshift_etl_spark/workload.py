@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import dedup as dd
+from .operators import quantiles as qt
 from .operators import similarity as sim
 from .operators import text as tx
 from .operators.constraints import duplicate_keys
@@ -1222,7 +1223,12 @@ def q07(spark, sf_dir):
       FROM lineitem
     )
     """,
-    description="TPC-H Q11-style: HAVING over scalar subquery threshold",
+    description=(
+        "TPC-H Q11-style: HAVING over scalar subquery threshold. The 1-row "
+        "global aggregate is broadcast-cross-joined onto the per-part rows "
+        "(single plan, no driver collect) — same pattern as "
+        "daily_event_anomaly_zscore"
+    ),
 )
 def q11(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
@@ -1232,10 +1238,12 @@ def q11(spark, sf_dir):
         .groupBy("p_partkey")
         .agg(F.sum("part_value").cast("double").alias("stock_value"))
     )
-    threshold = (
-        li.agg((F.sum(pv).cast("double") * F.lit(0.001)).alias("thr")).collect()[0]["thr"]
+    threshold = li.agg((F.sum(pv).cast("double") * F.lit(0.001)).alias("__thr"))
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("stock_value") > F.col("__thr"))
+        .drop("__thr")
     )
-    return per_part.filter(F.col("stock_value") > threshold)
 
 
 @query(
@@ -1398,16 +1406,21 @@ def q19(spark, sf_dir):
     ) hot
     GROUP BY nation_prefix
     """,
-    description="TPC-H Q22: scalar subquery + anti-join over customers",
+    description=(
+        "TPC-H Q22: scalar subquery + anti-join over customers. The 1-row "
+        "AVG aggregate is broadcast-cross-joined (single plan, no driver "
+        "collect)"
+    ),
 )
 def q22(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     avg_bal = (
-        cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a")).collect()[0]["a"]
+        cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg_bal"))
     )
     hot = (
-        cust.filter(F.col("c_acctbal") > avg_bal)
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select((F.col("c_nationkey") % 5).alias("nation_prefix"), "c_acctbal")
     )
@@ -2470,23 +2483,23 @@ def pivot_event_type_daily(spark, sf_dir):
     ) GROUP BY quartile
     """,
     description=(
-        "quantile bucketing via NTILE over a strict total order. The global "
-        "window is a single-task sort — fine for dimension-sized inputs; at "
-        "fact scale swap to approx_percentile cutpoints + comparison "
-        "assignment (same output, fully parallel)"
+        "quantile bucketing with exact NTILE semantics over a strict total "
+        "order, computed WITHOUT a global window: range-repartition + local "
+        "rank + metadata prefix sum (operators.quantiles.ntile_exact), then "
+        "the bucket is a per-row integer expression. Fully parallel at fact "
+        "scale; plan-lint pins the absence of a partition-less window"
     ),
 )
 def ntile_chars_quartiles(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
-    return (
-        docs.select("n_chars", F.ntile(4).over(w).alias("quartile"))
-        .groupBy("quartile")
-        .agg(
-            F.count(F.lit(1)).alias("docs"),
-            F.min("n_chars").alias("min_chars"),
-            F.max("n_chars").alias("max_chars"),
-        )
+    q4 = qt.ntile_exact(
+        docs.select("n_chars", "doc_id"), 4, ["n_chars", "doc_id"],
+        bucket_column="quartile",
+    )
+    return q4.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
     )
 
 

@@ -131,6 +131,41 @@ def test_pack_sequences_windows_are_sharded(spark):
     assert "Exchange SinglePartition" not in p, p
 
 
+def test_ntile_has_no_global_window(spark):
+    """Exact NTILE must come from the two-phase distributed rank: the only
+    window sorts within spark_partition_id partitions, and nothing funnels
+    the data through a single task (VERDICT r01 item 2)."""
+    p = plan(spark, "ntile_chars_quartiles")
+    assert "Exchange SinglePartition" not in p, p
+    # no partition-less window: every Window node must carry a partition spec
+    for m in re.finditer(r"\(\d+\) Window", p):
+        tail = p[m.start() : m.start() + 400]
+        assert "__pid" in tail, tail
+
+
+def test_q11_q22_single_plan_no_driver_collect(spark):
+    """Scalar thresholds are broadcast 1-row aggregates inside ONE plan."""
+    for name in ("q11_important_stock", "q22_global_sales_opportunity"):
+        p = plan(spark, name)
+        assert "BroadcastNestedLoopJoin" in p, p
+        assert "CartesianProduct" not in p, p
+
+
+def test_identity_default_is_distributed(spark):
+    """with_identity's default must not be the single-task global window on
+    multi-partition input (VERDICT r01 item 6)."""
+    from arthur_redshift_etl_spark.operators.identity import with_identity
+    from arthur_redshift_etl_spark.plans.lint import plan_text
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000, 1, 8).select(F.col("id").alias("k"))
+    out = with_identity(df, "row_id", ["k"])
+    p = plan_text(out)
+    assert "Exchange SinglePartition" not in p, p
+    ids = [r["row_id"] for r in out.orderBy("k").collect()]
+    assert ids == list(range(1, 1001))
+
+
 def test_domain_mix_broadcasts_rates(spark):
     p = plan(spark, "corpus_domain_mix_resample")
     # per-domain rates re-enter the big side via broadcast joins

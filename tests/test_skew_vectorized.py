@@ -156,3 +156,55 @@ def test_ivf_multiprobe_recall_monotone(spark):
     r1, r2, r8 = recall(1), recall(2), recall(8)
     assert r1 <= r2 <= r8
     assert r8 == 1.0  # probing every bucket IS brute force
+
+
+def test_ntile_exact_matches_builtin(spark):
+    """ntile_exact must reproduce NTILE's front-loaded bucket sizes exactly,
+    for n % k != 0, ties in the value column, and n < k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.operators.quantiles import ntile_exact
+
+    for n, k in [(1003, 7), (40, 4), (5, 9), (96, 8)]:
+        base = spark.range(0, n, 1, 6).select(
+            F.col("id"), (F.col("id") * 37 % 11).alias("v")  # heavy ties in v
+        )
+        mine = ntile_exact(base, k, ["v", "id"], bucket_column="b")
+        ref = base.select(
+            "id", F.ntile(k).over(Window.orderBy("v", "id")).alias("b")
+        )
+        diff = (
+            mine.select("id", "b")
+            .join(ref.withColumnRenamed("b", "rb"), "id")
+            .filter(F.col("b") != F.col("rb"))
+            .count()
+        )
+        assert diff == 0, (n, k)
+
+
+def test_ntile_exact_empty_and_validation(spark):
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.operators.quantiles import ntile_exact
+
+    empty = spark.range(0).select(F.col("id").alias("v"))
+    assert ntile_exact(empty, 4, ["v"]).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ntile_exact(empty, 0, ["v"])
+
+
+def test_global_row_number_dense_and_ordered(spark):
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.operators.identity import global_row_number
+
+    df = spark.range(0, 500, 1, 8).select((F.col("id") * 13 % 997).alias("k"))
+    out, total = global_row_number(df, ["k"], row_number_column="rn")
+    assert total == 500
+    rows = out.orderBy("k").collect()
+    assert [r["rn"] for r in rows] == list(range(1, 501))
+    ks = [r["k"] for r in rows]
+    assert ks == sorted(ks)
