@@ -102,10 +102,22 @@ def cmd_validate(args) -> int:
             df = spark.createDataFrame([], rel.design.to_spark_schema())
             df.createOrReplaceTempView(rel.table_name.table)
     issues = validate_relations(spark, rels)
+    if getattr(args, "upstream_url", None):
+        from .validate import validate_upstream
+
+        issues.extend(
+            validate_upstream(
+                spark, rels, args.upstream_url, driver=args.upstream_driver
+            )
+        )
     for issue in issues:
         print(str(issue))
-    print(f"validate: {len(issues)} issue(s) in {len(rels)} relation(s)")
-    return 1 if issues else 0
+    errors = [i for i in issues if i.severity == "error"]
+    print(
+        f"validate: {len(errors)} error(s), {len(issues) - len(errors)} warning(s) "
+        f"in {len(rels)} relation(s)"
+    )
+    return 1 if errors else 0
 
 
 def cmd_load(args) -> int:
@@ -494,7 +506,12 @@ def build_parser() -> argparse.ArgumentParser:
     add("ls", cmd_ls)
     add("ping", cmd_ping, patterns=False)
     add("selftest", cmd_selftest, patterns=False)
-    add("validate", cmd_validate)
+    sp = add("validate", cmd_validate)
+    sp.add_argument(
+        "--upstream-url",
+        help="JDBC url; also check source designs against live upstream metadata",
+    )
+    sp.add_argument("--upstream-driver", help="JDBC driver class for --upstream-url")
     sp = add("load", cmd_load)
     sp.add_argument("--required", nargs="*", help="required-for-success patterns")
     sp = add("upgrade", cmd_upgrade)
