@@ -62,6 +62,7 @@ def read_source(
     if require_success and os.path.isdir(path) and not has_success_marker(path):
         raise MissingRelationError(f"no _SUCCESS marker under {path}")
     fmt = fmt.lower()
+    avro_dir = path
     if fmt in ("csv", "json", "avro") and os.path.isdir(path):
         # only data files — the directory also holds _SUCCESS/columns.yaml
         path = os.path.join(path, "part-*")
@@ -73,7 +74,16 @@ def read_source(
     if fmt == "json":
         return reader.json(path)
     if fmt == "avro":
-        return reader.format("avro").load(path)
+        try:
+            df = reader.format("avro").load(path)
+            df.schema  # force datasource resolution now, not at action time
+            return df
+        except Exception:
+            # no spark-avro jar in this environment — pure-Python OCF codec,
+            # decoded executor-side (sources/avro_io.py)
+            from .avro_io import read_avro
+
+            return read_avro(spark, avro_dir, schema=schema)
     if fmt == "parquet":
         return reader.parquet(path)
     raise ValueError(f"unsupported source format: {fmt}")
