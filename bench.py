@@ -76,32 +76,56 @@ def main() -> None:
     ).split():
         workload.t(spark, sf_dir, tbl).count()
 
-    timings = {}
-    total = 0.0
-    for name in names:
+    # First pass is "cold" (fresh Catalyst plan + codegen per query), second
+    # is "warm" (plan/codegen caches hot).  Cold stays the headline `value`
+    # for round-over-round comparability; warm isolates execution time from
+    # the ±5 s JVM-compile noise documented in SCALE.md.
+    do_warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+
+    def run_once(name: str) -> float:
         fn = workload.REGISTRY[name].fn
         start = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count() if df.isStreaming is False else -1
         elapsed = time.perf_counter() - start
-        timings[name] = round(elapsed, 4)
         # free per-query persisted intermediates (e.g. the dedup shingle
         # cache) so queries don't inherit each other's memory pressure
         spark.catalog.clearCache()
-        total += elapsed
-        print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
+        # local-mode hygiene: ContextCleaner only drops broadcast/shuffle
+        # blocks after a driver GC notices the weak refs — without this the
+        # blocks pile up across ~50 timed runs and late queries pay the
+        # memory pressure (measured: top_customers_window 2.1 s → 10.5 s
+        # when run late in an accumulated session)
+        spark.sparkContext._jvm.System.gc()
+        return elapsed, n
 
-    print(
-        json.dumps(
-            {
-                "metric": "workload_total_wall",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    timings = {}
+    warm_timings = {}
+    total = 0.0
+    warm_total = 0.0
+    for name in names:
+        elapsed, n = run_once(name)
+        timings[name] = round(elapsed, 4)
+        total += elapsed
+        line = f"# {name}: {elapsed:.3f}s ({n} rows)"
+        if do_warm:
+            warm, _ = run_once(name)
+            warm_timings[name] = round(warm, 4)
+            warm_total += warm
+            line += f" warm {warm:.3f}s"
+        print(line, file=sys.stderr)
+
+    result = {
+        "metric": "workload_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if do_warm:
+        result["value_warm"] = round(warm_total, 4)
+        result["queries_warm"] = warm_timings
+    print(json.dumps(result))
     spark.stop()
 
 
