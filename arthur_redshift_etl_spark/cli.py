@@ -326,6 +326,41 @@ def cmd_show_downstream(args) -> int:
     return 0
 
 
+def cmd_show_dbt_downstream(args) -> int:
+    """dbt models affected by a change to the selected relations.
+
+    Reference parity: etl/dbt.py (find_arthur_leaf_dbt_childs +
+    render_dbt_list), driven from dbt's manifest.json artifact instead of a
+    dockerized dbt run.
+    """
+    from .dbt import DbtManifest, find_db_source_models, render_dbt_list
+    from .relations import sanitize_dependencies
+
+    rels = _relations(args)
+    sanitize_dependencies(rels)
+    sel = TableSelector(args.patterns)
+    idents = [r.identifier for r in rels if sel.match(r.table_name)]
+    if not idents:
+        print("no matching relations")
+        return 1
+    affected = []
+    if args.manifest:
+        manifest = DbtManifest.load(args.manifest)
+        affected = manifest.downstream_models(idents)
+        for line in render_dbt_list(affected):
+            print(line)
+    leaves = []
+    if args.dbt_sql_root:
+        leaves = find_db_source_models(args.dbt_sql_root, idents)
+        for name in leaves:
+            print(f"{name} # db_source leaf")
+    print(
+        f"dbt impact: {len(affected)} downstream model(s), "
+        f"{len(leaves)} db_source leaf model(s) for {len(idents)} relation(s)"
+    )
+    return 0
+
+
 def cmd_show_upstream(args) -> int:
     from .relations import order_by_dependencies, sanitize_dependencies
 
@@ -543,6 +578,11 @@ def build_parser() -> argparse.ArgumentParser:
     add("show_ddl", cmd_show_ddl)
     add("show_downstream_dependents", cmd_show_downstream)
     add("show_upstream_dependencies", cmd_show_upstream)
+    sp = add("show_dbt_downstream", cmd_show_dbt_downstream)
+    sp.add_argument("--manifest", help="path to a dbt manifest.json artifact")
+    sp.add_argument(
+        "--dbt-sql-root", help="dbt project dir to scan for db_source() leaf models"
+    )
     add("create_schemas", cmd_create_schemas)
     add("promote_schemas", cmd_promote_schemas)
     add("vacuum", cmd_vacuum, patterns=False)

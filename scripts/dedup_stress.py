@@ -37,22 +37,36 @@ GROUP = 10  # near-dup variants per group
 
 def build_corpus(spark, sf_dir: str, target_docs: int):
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "id", "text"
+        F.col("doc_id").alias("id"), "text"
     )
     n_source = docs.count()
     groups = target_docs // GROUP
-    reps = max(1, groups // n_source)
+    if groups <= n_source:
+        base = docs.filter(F.col("id") < groups)
+        reps = 1
+    else:
+        reps = -(-groups // n_source)  # ceil
+        base = docs
     replicated = (
-        docs.crossJoin(
-            spark.range(reps).withColumnRenamed("id", "rep")
-        )
+        base.crossJoin(spark.range(reps).withColumnRenamed("id", "rep"))
         .withColumn("group_id", F.col("id") * reps + F.col("rep"))
+        .filter(F.col("group_id") < groups)
         .select("group_id", "text")
     )
-    # 10 variants per group: variant v deletes token v (token arrays are
-    # longer than GROUP for every doc in this corpus)
+    # Salt every token with the group id: groups sharing a base doc become
+    # shingle-disjoint, so the true pair inventory is exactly groups × 45
+    # (without this, two groups cloned from the same source doc would be
+    # near-dups of each other and the inventory would blow up ~100×).
+    # Then 10 variants per group: variant v deletes token v (token arrays
+    # are longer than GROUP for every doc in this corpus).
     variants = (
-        replicated.withColumn("toks", F.split("text", " "))
+        replicated.withColumn(
+            "toks",
+            F.transform(
+                F.split("text", " "),
+                lambda x: F.concat(x, F.lit("~"), F.col("group_id").cast("string")),
+            ),
+        )
         .select(
             "group_id",
             "toks",
@@ -94,13 +108,16 @@ def main() -> None:
             spark, args.sf_dir, args.docs
         )
         corpus_path = os.path.join(workdir, "corpus")
-        corpus.write.parquet(corpus_path)
+        # spread the corpus across one file per core — the variant expansion
+        # starts from a single source file, and a 1-file corpus would
+        # serialize the shingle scan downstream
+        corpus.repartition(int(args.cpus)).write.parquet(corpus_path)
         corpus = spark.read.parquet(corpus_path)
         t_build = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         pairs = dd.minhash_dedup_pairs(
-            corpus, materialize_dir=os.path.join(workdir, "shingles")
+            corpus, id_col="id", materialize_dir=os.path.join(workdir, "shingles")
         )
         n_pairs = pairs.count()
         t_dedup = time.perf_counter() - t0
