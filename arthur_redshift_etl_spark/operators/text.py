@@ -162,3 +162,46 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "token", "tf", "df", "rk")
     )
+
+
+def token_rarity_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_threshold: int = 3,
+) -> DataFrame:
+    """Unigram-LM quality proxy in exact integer arithmetic.
+
+    A document full of tokens the corpus has barely seen is either novel or
+    garbage — in either case it is the document a quality-filtering pass
+    wants ranked for review.  The classic signal is unigram perplexity
+    (sum of -log p(token)); summing float logs is summation-order dependent
+    and kills cross-engine value parity, so this computes the integer
+    sufficient statistics instead: per document,
+
+    - ``freq_mass``  = Σ corpus_count(token) over the doc's token stream —
+      high = stereotyped text, low = rare vocabulary (monotone inverse of
+      the geometric-mean-frequency perplexity proxy);
+    - ``n_rare``     = tokens whose corpus count ≤ ``rare_threshold``;
+    - ``n_tokens``   = total tokens.
+
+    Plan: one explode → corpus-count groupBy (|vocab| rows, partial-agg) →
+    broadcast-friendly join back to the exploded stream → per-doc sum.
+    Both groupBys are map-side combined; the vocabulary table is the only
+    broadcast, so the corpus scans exactly twice and never joins row×row.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("corpus_cnt"))
+    return (
+        toks.join(vocab, "token")
+        .groupBy(id_col)
+        .agg(
+            F.sum("corpus_cnt").alias("freq_mass"),
+            F.sum(
+                F.when(F.col("corpus_cnt") <= rare_threshold, 1).otherwise(0)
+            ).cast("long").alias("n_rare"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

@@ -4060,3 +4060,227 @@ def ann_ivf_multiprobe(spark, sf_dir):
     return sim.ivf_search(emb, centroids, queries, k=3, nprobe=2).withColumnRenamed(
         "rank", "ann_rank"
     )
+
+
+# ===========================================================================
+# PII scrubbing / LM-quality / quantization (round-2 additions)
+# ===========================================================================
+
+# Deterministic PII injection: the synthetic corpus carries no real PII, so
+# each entry derives a text column that plants typed PII for a known subset
+# of documents — the SAME expression in Spark and the SQL oracle, so the
+# detector/redactor is exercised against ground truth.
+def _pii_seeded_text(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" contact user"), did, F.lit("@example.com"))
+               ).otherwise(F.lit("")),
+        F.when(did % 4 == 0,
+               F.concat(F.lit(" from 10.0."), (did % 256), F.lit(".7"))
+               ).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" call 555-867-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0"))
+               ).otherwise(F.lit("")),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" ssn 123-45-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0"))
+               ).otherwise(F.lit("")),
+    )
+    return docs.withColumn("text", planted)
+
+
+_PII_SEED_SQL = """
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS text
+      FROM documents
+"""
+
+_PII_RE = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4": "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b",
+    "phone": "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+    "ssn": "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+}
+
+
+@query(
+    "pii_scan_counts",
+    oracle=f"""
+    WITH seeded AS ({_PII_SEED_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_RE["email"]}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_RE["ipv4"]}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{_PII_RE["phone"]}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{_PII_RE["ssn"]}')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '{_PII_RE["email"]}'))
+              + len(regexp_extract_all(text, '{_PII_RE["ipv4"]}'))
+              + len(regexp_extract_all(text, '{_PII_RE["phone"]}'))
+              + len(regexp_extract_all(text, '{_PII_RE["ssn"]}')) AS BIGINT) AS n_pii
+    FROM seeded
+    """,
+    description=(
+        "PII scan: per-document typed match counts (email/ipv4/phone/ssn) — "
+        "map-only regexp_count pass, RE2-portable patterns (operators/pii.py)"
+    ),
+)
+def pii_scan_counts(spark, sf_dir):
+    from .operators import pii as pz
+
+    docs = _pii_seeded_text(t(spark, sf_dir, "documents"))
+    return pz.pii_counts(docs, "text").select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_ssn", "n_pii"
+    )
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    WITH seeded AS ({_PII_SEED_SQL})
+    SELECT doc_id,
+           md5(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{_PII_RE["email"]}', '[EMAIL]', 'g'),
+                   '{_PII_RE["ipv4"]}', '[IPV4]', 'g'),
+                 '{_PII_RE["phone"]}', '[PHONE]', 'g'),
+               '{_PII_RE["ssn"]}', '[SSN]', 'g')
+           ) AS redacted_md5
+    FROM seeded
+    """,
+    description=(
+        "PII redaction: typed placeholder substitution fused into one "
+        "codegen projection; md5 digest compared against the oracle"
+    ),
+)
+def pii_redaction(spark, sf_dir):
+    from .operators import pii as pz
+
+    docs = _pii_seeded_text(t(spark, sf_dir, "documents"))
+    red = pz.redact(docs, "text", out_col="redacted")
+    return red.select("doc_id", F.md5(F.col("redacted")).alias("redacted_md5"))
+
+
+@query(
+    "text_token_rarity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    toks_ne AS (SELECT * FROM toks WHERE token != ''),
+    vocab AS (SELECT token, COUNT(*) AS corpus_cnt FROM toks_ne GROUP BY token)
+    SELECT doc_id,
+           CAST(SUM(corpus_cnt) AS BIGINT) AS freq_mass,
+           CAST(SUM(CASE WHEN corpus_cnt <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM toks_ne JOIN vocab USING (token)
+    GROUP BY doc_id
+    """,
+    description=(
+        "unigram-LM quality proxy in exact integer arithmetic: per-doc "
+        "corpus-frequency mass + rare-token count (no float log — "
+        "cross-engine value parity; operators/text.py token_rarity_scores)"
+    ),
+)
+def text_token_rarity(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return tx.token_rarity_scores(docs, "doc_id", "text", rare_threshold=3)
+
+
+_QUANT_CTE = """
+    WITH s AS (
+      SELECT MAX(list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE))))) AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+                         AS INTEGER)) AS q
+      FROM embeddings, s
+    )
+"""
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle=_QUANT_CTE
+    + """
+    SELECT vec_id,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(q, v -> CAST(v AS BIGINT) * v)) AS BIGINT)
+             AS q_norm_sq,
+           CAST(list_min(q) AS INTEGER) AS q_min,
+           CAST(list_max(q) AS INTEGER) AS q_max
+    FROM q
+    """,
+    description=(
+        "int8 scalar quantization of the embedding column (4x memory, "
+        "symmetric global-max scale via broadcast 1-row aggregate; "
+        "floor(x+0.5) so codes are bit-identical across engines)"
+    ),
+)
+def embedding_int8_quantize(spark, sf_dir):
+    from .operators import quantization as qz
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = qz.quantize(emb, "embedding")
+    lng = lambda c: c.cast("long")  # noqa: E731
+    return q.select(
+        "vec_id",
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, v: a + lng(v))
+        .alias("q_sum"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda a, v: a + lng(v) * lng(v)
+        ).alias("q_norm_sq"),
+        F.array_min("q").cast("int").alias("q_min"),
+        F.array_max("q").cast("int").alias("q_max"),
+    )
+
+
+@query(
+    "ann_int8_search",
+    oracle=_QUANT_CTE
+    + """
+    , scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_dot_product(
+               list_transform(a.q, v -> CAST(v AS DOUBLE)),
+               list_transform(b.q, v -> CAST(v AS DOUBLE))) AS BIGINT) AS score
+      FROM q a, q b
+      WHERE a.vec_id < 10 AND b.vec_id != a.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS knn_rank, score FROM (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    description=(
+        "quantized brute-force ANN: exact integer dot products over int8 "
+        "codes (scores value-hashable, not just rank-comparable; dots of "
+        "127-scale codes stay under 2^53 so the double-typed oracle is exact)"
+    ),
+)
+def ann_int8_search(spark, sf_dir):
+    from .operators import quantization as qz
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = qz.quantize(emb, "embedding")
+    queries = q.filter(F.col("vec_id") < 10)
+    return qz.quantized_knn(q, queries, k=5)

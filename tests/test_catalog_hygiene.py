@@ -37,6 +37,11 @@ ALLOWED_NL_JOIN = {
     "gapfilled_hourly_by_type": "hour spine × type list (bounded) cross join",
     "q11_important_stock": "1-row threshold aggregate broadcast (was a driver collect)",
     "q22_global_sales_opportunity": "1-row AVG aggregate broadcast (was a driver collect)",
+    "embedding_int8_quantize": "1-row corpus-max scale aggregate broadcast",
+    "ann_int8_search": (
+        "1-row scale broadcast + query-set broadcast vs corpus — same scored "
+        "scan as knn_bruteforce, integer codes"
+    ),
 }
 
 
