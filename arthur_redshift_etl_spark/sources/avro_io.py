@@ -12,14 +12,19 @@ Scale model:
   (many part files per relation), which is what the reference's file sets
   look like (``file_sets.py:60-105``).
 
-- **Write**: each input partition encodes itself to one ``part-NNNNN-*.avro``
-  file from inside ``mapInPandas`` (executor-side, Arrow-batched; the task
-  writes to the shared filesystem exactly like a DataSource task writer),
-  then the driver commits the ``_SUCCESS`` marker after the job succeeds.
-  Failed/retried tasks leave orphan temp names behind only until the final
-  rename — each task writes to ``.inprogress-<uuid>`` and renames once its
-  iterator is exhausted, so a killed task never leaves a half file that a
-  reader would pick up (part-* glob misses dotfiles).
+- **Write**: each input partition encodes itself to a task-attempt-unique
+  ``.inprogress-<uuid>`` temp file from inside ``mapInPandas``
+  (executor-side, Arrow-batched) and reports ``(partition, temp_path,
+  rows)`` back; the DRIVER then commits — renames exactly one winner per
+  partition to ``part-NNNNN-*.avro``, sweeps every leftover
+  ``.inprogress-*`` (losers from retried/speculative attempts), and only
+  then writes ``_SUCCESS``.  Tasks never rename, so a task whose success is
+  never acknowledged (executor lost, speculation, stage retry) cannot
+  publish a duplicate part file: Spark's scheduler reports one winning
+  attempt per partition to the driver, and everything else is swept.  This
+  mirrors the Hadoop v2 commit protocol (task → attempt dir, driver →
+  commitJob) on a shared filesystem; on object stores you would use the
+  real committer via the jar datasource instead.
 
 Python cost: this is the one deliberately Python-batch path besides the
 multimodal codec stubs — there is no JVM Avro datasource in this
@@ -54,20 +59,18 @@ def _first_avro_file(path: str) -> str:
     return candidates[0]
 
 
-def _to_pandas_columns(rows, schema: T.StructType):
-    """Row tuples → dict of per-column lists (Arrow-friendly objects)."""
-    cols = {f.name: [] for f in schema.fields}
-    names = [f.name for f in schema.fields]
-    for row in rows:
-        for name, value in zip(names, row):
-            cols[name].append(value)
-    return cols
-
-
 def read_avro(
     spark: SparkSession, path: str, schema: Optional[T.StructType] = None
 ) -> DataFrame:
-    """Read an Avro file/directory into a DataFrame without the jar."""
+    """Read an Avro file/directory into a DataFrame without the jar.
+
+    When ``schema`` is given (e.g. the design schema from ``read_source``),
+    each file is decoded with its OWN embedded writer schema and columns are
+    assembled BY NAME into the requested schema — never positionally, so a
+    file whose field order differs from the design cannot silently assign
+    values to the wrong columns.  A field-set mismatch (missing or extra
+    fields) raises instead of truncating.
+    """
     import pandas as pd
 
     if schema is None:
@@ -82,18 +85,31 @@ def read_avro(
         load_path = os.path.join(path, "*.avro")
     files = spark.read.format("binaryFile").load(load_path)
 
+    wanted = [f.name for f in schema.fields]
     result_schema = schema
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            for content in pdf["content"]:
-                _, rows = avro_codec.read_container(bytes(content))
-                yield pd.DataFrame(
-                    _to_pandas_columns(rows, result_schema),
-                    columns=[f.name for f in result_schema.fields],
-                )
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                file_schema, rows = avro_codec.read_container(bytes(content))
+                file_names = [f["name"] for f in file_schema["fields"]]
+                if sorted(file_names) != sorted(wanted):
+                    missing = sorted(set(wanted) - set(file_names))
+                    extra = sorted(set(file_names) - set(wanted))
+                    raise avro_codec.AvroCodecError(
+                        f"{fpath}: avro field set does not match requested "
+                        f"schema (missing={missing}, extra={extra})"
+                    )
+                index = [file_names.index(n) for n in wanted]
+                cols = {
+                    n: [row[i] for row in rows]
+                    for n, i in zip(wanted, index)
+                }
+                yield pd.DataFrame(cols, columns=wanted)
 
-    return files.select("content").mapInPandas(decode, schema=result_schema)
+    return (
+        files.select("path", "content").mapInPandas(decode, schema=result_schema)
+    )
 
 
 def _series_to_values(series, field: T.StructField):
@@ -119,7 +135,14 @@ def _series_to_values(series, field: T.StructField):
 
 
 def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
-    """Write a DataFrame as part-*.avro files + _SUCCESS; returns row count."""
+    """Write a DataFrame as part-*.avro files + _SUCCESS; returns row count.
+
+    Two-phase commit (see module docstring): tasks only produce
+    attempt-unique ``.inprogress-*`` temp files and report them; the driver
+    renames one winner per partition, sweeps the rest, then drops
+    ``_SUCCESS``.  Retried or speculative task attempts therefore never
+    yield duplicate part files.
+    """
     import pandas as pd
     from pyspark import TaskContext
 
@@ -131,7 +154,6 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
     def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         pid = TaskContext.get().partitionId()
         tmp = os.path.join(path, f".inprogress-{uuid.uuid4().hex}")
-        final = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro")
         total = 0
         with open(tmp, "wb") as fh:
 
@@ -146,14 +168,33 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
                         yield row
 
             avro_codec.write_container(fh, row_iter(), avro_schema, codec=codec)
-        if total:
-            os.replace(tmp, final)
-        else:
+        if not total:
             os.remove(tmp)
-        yield pd.DataFrame({"rows": [total]})
+            tmp = None
+        yield pd.DataFrame({"part": [pid], "path": [tmp], "rows": [total]})
 
-    counts = df.mapInPandas(encode, schema="rows long").collect()
-    n = sum(r["rows"] for r in counts)
+    reports = df.mapInPandas(
+        encode, schema="part int, path string, rows long"
+    ).collect()
+
+    # Driver-side commit: Spark reports exactly one successful attempt per
+    # partition; rename only those, in partition order, to the public names.
+    n = 0
+    for rep in sorted(reports, key=lambda r: r["part"]):
+        if rep["path"] is None:
+            continue  # empty partition — no file
+        final = os.path.join(
+            path, f"part-{rep['part']:05d}-{uuid.uuid4().hex[:8]}.avro"
+        )
+        os.replace(rep["path"], final)
+        n += rep["rows"]
+    # Sweep losers: temp files from attempts whose success was never
+    # acknowledged (killed/speculative/retried tasks).
+    for stale in glob.glob(os.path.join(path, ".inprogress-*")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
     with open(os.path.join(path, "_SUCCESS"), "w"):
         pass
     return n

@@ -10,6 +10,7 @@ layout ``file_sets.py:60-105`` (part-* files, ``_SUCCESS`` sentinel,
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import List, Optional
 
@@ -18,6 +19,8 @@ from pyspark.sql import types as T
 
 from ..design import TableDesign
 from ..errors import MissingRelationError
+
+logger = logging.getLogger(__name__)
 
 NULL_MARKER = "\\N"  # Redshift NULL AS marker (dialect/redshift.py:563)
 
@@ -78,9 +81,25 @@ def read_source(
             df = reader.format("avro").load(path)
             df.schema  # force datasource resolution now, not at action time
             return df
-        except Exception:
-            # no spark-avro jar in this environment — pure-Python OCF codec,
-            # decoded executor-side (sources/avro_io.py)
+        except Exception as exc:
+            # Fall back to the pure-Python OCF codec (sources/avro_io.py)
+            # ONLY when the builtin datasource is absent (no spark-avro jar
+            # in this environment).  Any other failure — corrupt file, bad
+            # glob, permissions — means the jar IS present and really
+            # failed; re-raise so the true error surfaces instead of being
+            # masked by an unrelated codec error or silently different data.
+            msg = str(exc)
+            if not (
+                "DATA_SOURCE_NOT_FOUND" in msg
+                or "Failed to find data source" in msg
+                or "Failed to find the data source" in msg
+            ):
+                raise
+            logger.info(
+                "spark-avro datasource not available; using pure-Python "
+                "OCF codec fallback for %s",
+                avro_dir,
+            )
             from .avro_io import read_avro
 
             return read_avro(spark, avro_dir, schema=schema)

@@ -86,18 +86,21 @@ def _fetch_uniques_derby(conn, table_upper: str) -> List[frozenset]:
     """
     import re
 
-    st = conn.createStatement()
+    # Parameterized: table names come from design files (untrusted input) —
+    # never interpolate identifiers into catalog SQL.
+    st = conn.prepareStatement(
+        "SELECT cons.CONSTRAINTNAME, cg.DESCRIPTOR, "
+        "cols.COLUMNNAME, cols.COLUMNNUMBER "
+        "FROM SYS.SYSCONSTRAINTS cons "
+        "JOIN SYS.SYSTABLES t ON cons.TABLEID = t.TABLEID "
+        "JOIN SYS.SYSKEYS k ON k.CONSTRAINTID = cons.CONSTRAINTID "
+        "JOIN SYS.SYSCONGLOMERATES cg ON cg.CONGLOMERATEID = k.CONGLOMERATEID "
+        "JOIN SYS.SYSCOLUMNS cols ON cols.REFERENCEID = t.TABLEID "
+        "WHERE t.TABLENAME = ? AND cons.TYPE = 'U'"
+    )
     try:
-        rs = st.executeQuery(
-            "SELECT cons.CONSTRAINTNAME, cg.DESCRIPTOR, "
-            "cols.COLUMNNAME, cols.COLUMNNUMBER "
-            "FROM SYS.SYSCONSTRAINTS cons "
-            "JOIN SYS.SYSTABLES t ON cons.TABLEID = t.TABLEID "
-            "JOIN SYS.SYSKEYS k ON k.CONSTRAINTID = cons.CONSTRAINTID "
-            "JOIN SYS.SYSCONGLOMERATES cg ON cg.CONGLOMERATEID = k.CONGLOMERATEID "
-            "JOIN SYS.SYSCOLUMNS cols ON cols.REFERENCEID = t.TABLEID "
-            f"WHERE t.TABLENAME = '{table_upper}' AND cons.TYPE = 'U'"
-        )
+        st.setString(1, table_upper)
+        rs = st.executeQuery()
         rows = _result_set_rows(
             rs,
             {
@@ -131,19 +134,34 @@ def _fetch_uniques_information_schema(
 ) -> List[frozenset]:
     """Unique constraints via ANSI information_schema (Postgres / MySQL /
     Redshift / SQL Server).  Best-effort: callers swallow failures and fall
-    back to ``getIndexInfo``-derived uniques."""
-    schema_filter = f"AND tc.table_schema = '{schema}' " if schema else ""
-    st = conn.createStatement()
+    back to ``getIndexInfo``-derived uniques.
+
+    The key_column_usage join correlates table_schema AND constraint_schema,
+    not just constraint_name + table_name: constraint names are only unique
+    per schema, so an uncorrelated join would let a same-named constraint on
+    a same-named table in another schema contribute phantom columns.
+    Identifier values are bound as ? parameters, never interpolated.
+    """
+    sql = (
+        "SELECT tc.constraint_name, kcu.column_name "
+        "FROM information_schema.table_constraints tc "
+        "JOIN information_schema.key_column_usage kcu "
+        "  ON tc.constraint_name = kcu.constraint_name "
+        " AND tc.constraint_schema = kcu.constraint_schema "
+        " AND tc.table_name = kcu.table_name "
+        " AND tc.table_schema = kcu.table_schema "
+        "WHERE tc.table_name = ? "
+        "AND tc.constraint_type = 'UNIQUE'"
+    )
+    if schema:
+        sql += " AND tc.table_schema = ? AND kcu.table_schema = ?"
+    st = conn.prepareStatement(sql)
     try:
-        rs = st.executeQuery(
-            "SELECT tc.constraint_name, kcu.column_name "
-            "FROM information_schema.table_constraints tc "
-            "JOIN information_schema.key_column_usage kcu "
-            "  ON tc.constraint_name = kcu.constraint_name "
-            " AND tc.table_name = kcu.table_name "
-            f"WHERE tc.table_name = '{table}' {schema_filter}"
-            "AND tc.constraint_type = 'UNIQUE'"
-        )
+        st.setString(1, table)
+        if schema:
+            st.setString(2, schema)
+            st.setString(3, schema)
+        rs = st.executeQuery()
         rows = _result_set_rows(rs, {"cons": "s:constraint_name", "col": "s:column_name"})
     finally:
         st.close()

@@ -1351,12 +1351,23 @@ def q18(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+    # Pre-aggregate lineitem by l_orderkey and apply the HAVING > 150 filter
+    # BEFORE touching orders/customer: lineitem is the big fact (≈4 rows per
+    # order), so the group-sum shrinks it 4×, and the selective qty filter
+    # leaves a tiny survivor set — both subsequent joins then shuffle/probe
+    # only the survivors instead of the full 3-way join feeding the groupBy.
+    # Semantics are unchanged (the HAVING predicate depends only on the
+    # per-order sum; c_custkey/o_orderdate are functionally determined by
+    # o_orderkey, so grouping after the join on the same key set is
+    # equivalent).
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
         .filter(F.col("qty_dec") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",
@@ -2637,7 +2648,7 @@ def event_value_histogram(spark, sf_dir):
     "grouping_sets_docs",
     oracle="""
     SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
-           COUNT(*) AS docs, SUM(n_chars) AS total_chars
+           COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY GROUPING SETS ((source), (lang), ())
     """,
     description=(
@@ -3408,7 +3419,8 @@ def customer_order_flags(spark, sf_dir):
       ) WHERE rk <= 5
     )
     SELECT e.query_id, COUNT(*) AS n_exact,
-           SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched
     FROM exact e
     LEFT JOIN approx a
       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
@@ -3543,7 +3555,7 @@ def dialect_json_extract_props(spark, sf_dir):
              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'valid'
              ELSE 'test'
            END AS split,
-           lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+           lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM deduped
     GROUP BY 1, 2
     """,
@@ -3905,7 +3917,7 @@ def corpus_repetition_stats(spark, sf_dir):
     )
     SELECT shard, bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS tokens_started
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_started
     FROM binned GROUP BY shard, bin_id
     """,
     description=(
@@ -3980,7 +3992,10 @@ def corpus_domain_mix_resample(spark, sf_dir):
                       THEN 1 ELSE 0 END) AS c4
       FROM f
     )
-    SELECT * FROM (
+    SELECT rule_idx, rule_name,
+           CAST(dropped AS BIGINT) AS dropped,
+           CAST(remaining AS BIGINT) AS remaining
+    FROM (
       SELECT 1 AS rule_idx, 'min_tokens' AS rule_name,
              c0 - c1 AS dropped, c1 AS remaining FROM agg
       UNION ALL SELECT 2, 'max_tokens', c1 - c2, c2 FROM agg

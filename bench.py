@@ -76,13 +76,23 @@ def main() -> None:
     ).split():
         workload.t(spark, sf_dir, tbl).count()
 
-    # First pass is "cold" (fresh Catalyst plan + codegen per query), second
-    # is "warm" (plan/codegen caches hot).  Cold stays the headline `value`
-    # for round-over-round comparability; warm isolates execution time from
-    # the ±5 s JVM-compile noise documented in SCALE.md.
+    # Two separate suites: a full "cold" pass over every query first (fresh
+    # Catalyst plan + codegen per query — protocol-identical to round 1, so
+    # the headline `value` is comparable round-over-round), then a full
+    # "warm" pass (plan/codegen caches hot) that isolates execution time
+    # from the ±5 s JVM-compile noise documented in SCALE.md.  Round 2
+    # interleaved warm runs + a forced driver GC between every cold
+    # measurement, which perturbed JIT/code-cache state and inflated cold
+    # timings ~1.4× with zero plan changes (VERDICT r2) — don't interleave.
     do_warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    # Per-query driver GC is off in the cold suite by default (r1 protocol);
+    # flip on if a long custom query list accumulates broadcast/shuffle
+    # blocks (measured once: top_customers_window 2.1 s → 10.5 s late in a
+    # ~50-run accumulated session).  ContextCleaner only frees those blocks
+    # after a driver GC notices the weak refs.
+    gc_every_query = os.environ.get("SPARK_GRAFT_BENCH_GC", "0") == "1"
 
-    def run_once(name: str) -> float:
+    def run_once(name: str, force_gc: bool) -> tuple[float, int]:
         fn = workload.REGISTRY[name].fn
         start = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -91,12 +101,8 @@ def main() -> None:
         # free per-query persisted intermediates (e.g. the dedup shingle
         # cache) so queries don't inherit each other's memory pressure
         spark.catalog.clearCache()
-        # local-mode hygiene: ContextCleaner only drops broadcast/shuffle
-        # blocks after a driver GC notices the weak refs — without this the
-        # blocks pile up across ~50 timed runs and late queries pay the
-        # memory pressure (measured: top_customers_window 2.1 s → 10.5 s
-        # when run late in an accumulated session)
-        spark.sparkContext._jvm.System.gc()
+        if force_gc:
+            spark.sparkContext._jvm.System.gc()
         return elapsed, n
 
     timings = {}
@@ -104,16 +110,19 @@ def main() -> None:
     total = 0.0
     warm_total = 0.0
     for name in names:
-        elapsed, n = run_once(name)
+        elapsed, n = run_once(name, force_gc=gc_every_query)
         timings[name] = round(elapsed, 4)
         total += elapsed
-        line = f"# {name}: {elapsed:.3f}s ({n} rows)"
-        if do_warm:
-            warm, _ = run_once(name)
+        print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
+
+    if do_warm:
+        # one GC between suites, not between measurements
+        spark.sparkContext._jvm.System.gc()
+        for name in names:
+            warm, _ = run_once(name, force_gc=gc_every_query)
             warm_timings[name] = round(warm, 4)
             warm_total += warm
-            line += f" warm {warm:.3f}s"
-        print(line, file=sys.stderr)
+            print(f"# {name}: warm {warm:.3f}s", file=sys.stderr)
 
     result = {
         "metric": "workload_total_wall",

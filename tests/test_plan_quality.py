@@ -171,3 +171,16 @@ def test_domain_mix_broadcasts_rates(spark):
     # per-domain rates re-enter the big side via broadcast joins
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_q18_preaggregates_lineitem_below_joins(spark):
+    # Q18's group-sum + HAVING > 150 must run on lineitem ALONE, before the
+    # orders/customer joins: the filter leaves a tiny survivor set, so the
+    # joins shuffle survivors instead of the full 3-way join (VERDICT r2 #2).
+    p = plan(spark, "q18_large_orders")
+    agg = re.search(r"\((\d+)\) HashAggregate", p)
+    joins = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) (?:BroadcastHash|SortMerge|ShuffledHash)Join", p)]
+    assert agg and joins, p
+    # operator ids number leaves-first in the formatted tree, so the
+    # aggregate feeding the joins must have a LOWER id than every join
+    assert int(agg.group(1)) < min(joins), p
