@@ -14,7 +14,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# Executor Python workers inherit PYTHONPATH from the JVM's environment (set
+# when the SparkSession starts), not the driver's sys.path — propagate the
+# repo dir so worker-side package imports resolve when the driver imports
+# this module by file path from another cwd.  (Belt-and-braces: modules whose
+# code runs inside mapInPandas closures are also registered for by-value
+# cloudpickle serialization, which covers sessions created before import.)
+if _REPO_DIR not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_DIR + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _REPO_DIR
+    )
 
 from arthur_redshift_etl_spark import workload  # noqa: E402
 

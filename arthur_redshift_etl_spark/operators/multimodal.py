@@ -2,10 +2,13 @@
 
 Image/audio/video are ``binary`` columns plus a metadata struct
 (modality, format, width/height/duration, byte size).  Decode and feature
-extraction run as Arrow-batched ``mapInPandas`` stages — the Spark-side
-plumbing (schema, batching, partitioning) is real; the actual media codecs
-are STUBBED (this environment has no image/audio libraries): decode raises
-``NotImplementedError`` unless the deterministic fake decoder is requested.
+extraction run as Arrow-batched ``mapInPandas`` stages.  The decode step is
+REAL for BMP images and PCM WAV audio via the pure-Python numpy-vectorized
+codecs in ``media_codec.py`` (built from the public BMP/RIFF specs, same
+approach as ``sources/avro_codec.py``); formats that need external media
+libraries (JPEG/PNG/MP3/video) raise ``UnsupportedMediaError`` — a declared
+boundary.  A deterministic fake decoder remains available for
+format-agnostic plumbing tests.
 
 Scale notes: payloads never pass through the driver; ``mapInPandas``
 streams Arrow batches through each executor, so memory is bounded by
@@ -23,6 +26,25 @@ from typing import Iterator, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import media_codec
+
+# The decode closures below run on executor Python workers, which do not
+# necessarily have this package on sys.path (the round driver imports
+# __spark_entry__.py by file path from another cwd).  Registering this module
+# and the codec module for by-value pickling makes cloudpickle ship their
+# (numpy+stdlib-only) code with the task instead of re-importing worker-side
+# — the closures reference module-level helpers (_fake_decode_features,
+# media_codec), which are otherwise serialized as import-by-name.
+try:  # pragma: no cover - registration is a no-op safeguard when unavailable
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(media_codec)
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001
+    pass
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -94,32 +116,85 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``use_fake_decoder=False`` raises NotImplementedError at execution time
-    — the real decode step needs media libraries not present here.  The
-    mapInPandas structure (batch iteration, schema contract, partition
-    preservation) is exactly what a real decoder plugs into.
+    The default path REALLY decodes: BMP pixels / WAV samples are parsed by
+    ``media_codec`` (numpy-vectorized, executor-side) into deterministic
+    16-dim descriptors; NULL payloads yield NULL features; unsupported
+    formats raise ``UnsupportedMediaError`` at execution time.
+    ``use_fake_decoder=True`` swaps in the md5-seeded stand-in for
+    format-agnostic plumbing tests.
     """
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            if not use_fake_decoder:
-                raise NotImplementedError(
-                    "media decoding requires image/audio libraries; "
-                    "pass use_fake_decoder=True for the deterministic stub"
-                )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col],
-                    "feature": [
-                        _fake_decode_features(p if p is not None else b"")
-                        for p in pdf[payload_col]
-                    ],
-                }
-            )
+            features = []
+            for p in pdf[payload_col]:
+                if use_fake_decoder:
+                    features.append(_fake_decode_features(p or b""))
+                elif p is None:
+                    features.append(None)
+                else:
+                    features.append(media_codec.decode_features(bytes(p)))
+            yield pd.DataFrame({"media_id": pdf[id_col], "feature": features})
 
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
+
+
+PROBED_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def probe_metadata(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Fill the metadata struct from REAL container headers.
+
+    Header-only parse (no pixel/sample math beyond what the codec already
+    vectorizes): width/height from the BMP info header, duration from the
+    WAV fmt+data chunks.  Unknown formats get modality='unknown' with just
+    the byte size — probing is a classification step, so it must not throw.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "modality", "format", "width", "height",
+                    "duration_ms", "n_bytes")}
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p) if p is not None else b""
+                kind = media_codec.sniff_format(p)
+                row = dict(media_id=mid, modality="unknown", format=kind,
+                           width=None, height=None, duration_ms=None,
+                           n_bytes=len(p))
+                try:
+                    if kind == "bmp":
+                        img = media_codec.decode_bmp(p)
+                        row.update(modality="image", width=img.width,
+                                   height=img.height)
+                    elif kind == "wav":
+                        aud = media_codec.decode_wav(p)
+                        row.update(modality="audio",
+                                   duration_ms=aud.duration_ms)
+                except (media_codec.MediaCodecError,
+                        media_codec.UnsupportedMediaError):
+                    row.update(modality="unknown")
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, PROBED_META_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -46,6 +46,20 @@ from pyspark.sql import types as T
 from . import avro_codec
 from ..errors import MissingRelationError
 
+# The decode/encode closures run on executor Python workers, which may not
+# have this package importable (driver loaded by file path from another
+# cwd).  Ship the (stdlib-only) codec and this module's helpers by value
+# with the pickled task instead of as import-by-name references.
+try:  # pragma: no cover - safeguard when registration is unavailable
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(avro_codec)
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001
+    pass
+
 
 def _first_avro_file(path: str) -> str:
     if os.path.isfile(path):

@@ -2926,6 +2926,87 @@ def multimodal_payload_stats(spark, sf_dir):
 
 
 @query(
+    "multimodal_real_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(1 + doc_id % 7 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(1 + doc_id % 5 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(10 + doc_id % 40 AS INTEGER) END AS duration_ms,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(n_chars % 256 AS INTEGER) END AS mean_r_byte
+    FROM documents WHERE doc_id < 200
+    """,
+    description=(
+        "REAL media decode proven end-to-end: deterministic BMP images / "
+        "PCM WAV clips are ENCODED from document attributes executor-side "
+        "(operators/media_codec.py, built from the public BMP/RIFF specs), "
+        "then DECODED back through the production probe_metadata + "
+        "extract_features mapInPandas operators; the oracle recomputes the "
+        "expected header fields and channel means symbolically.  Round-trip "
+        "equality means the bytes on the wire are genuinely parsed, not "
+        "faked"
+    ),
+)
+def multimodal_real_decode(spark, sf_dir):
+    # mc is captured by the closure below, which executes on executor Python
+    # workers; media_codec is registered for by-value pickling (multimodal.py)
+    # so the workers need neither this package on sys.path nor a re-import.
+    from .operators import media_codec as mc
+    from .operators.multimodal import extract_features, probe_metadata
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "n_chars"
+    )
+
+    def synthesize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                if doc_id % 2 == 0:
+                    w, h = int(1 + doc_id % 7), int(1 + doc_id % 5)
+                    v = int(n_chars % 256)
+                    payloads.append(
+                        mc.encode_bmp(np.full((h, w, 3), v, np.uint8))
+                    )
+                else:
+                    n = 8 * int(10 + doc_id % 40)  # exact-ms duration @8kHz
+                    samp = (np.arange(n) % 64).astype(np.int16)
+                    payloads.append(mc.encode_wav(samp, sample_rate=8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(
+        synthesize, schema="media_id long, payload binary"
+    )
+    meta = probe_metadata(media)
+    feats = extract_features(media).select(
+        F.col("media_id").alias("f_id"), "feature"
+    )
+    return (
+        meta.join(feats, meta.media_id == feats.f_id)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "modality",
+            "width",
+            "height",
+            "duration_ms",
+            # feature[] is float32; recover the exact pixel byte instead of
+            # comparing truncated doubles (v/255 round-trips exactly ≤255)
+            F.when(
+                F.col("modality") == "image",
+                F.round(F.col("feature")[3] * 255).cast("int"),
+            ).alias("mean_r_byte"),
+        )
+    )
+
+
+@query(
     "event_transition_matrix",
     oracle="""
     SELECT prev_type, event_type AS next_type, COUNT(*) AS transitions

@@ -144,3 +144,90 @@ def test_empty_partitions_leave_no_files(spark, tmp_path):
     assert not any(f.startswith(".inprogress") for f in files)
     assert sum(1 for f in files if f.endswith(".avro")) == 1
     assert read_avro(spark, path).count() == 1
+
+
+def _builtin_avro_available(spark):
+    try:
+        spark.read.format("avro").load("/nonexistent-path-probe").schema
+    except Exception as exc:
+        msg = str(exc)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg:
+            return False
+    return True
+
+
+def test_builtin_jar_branch_parity(spark, tmp_path):
+    """When spark-avro IS present, read_source must return the same rows
+    through the builtin datasource as through the codec fallback — keeps
+    both branches honest (skips where the jar is absent, as in this env)."""
+    if not _builtin_avro_available(spark):
+        pytest.skip("spark-avro jar not on the classpath")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None)], "id long, s string, x double"
+    )
+    path = str(tmp_path / "parity_avro")
+    write_avro(df, path)
+    via_jar = read_source(spark, path, fmt="avro")
+    via_codec = read_avro(spark, path)
+    assert sorted(map(tuple, via_jar.collect())) == sorted(
+        map(tuple, via_codec.collect())
+    )
+
+
+def test_fallback_reraises_non_missing_datasource_errors(spark, tmp_path):
+    """A corrupt file with the jar present must surface the jar's error,
+    not be silently re-routed through the codec (ADVICE r2)."""
+    if _builtin_avro_available(spark):
+        bad = tmp_path / "corrupt"
+        bad.mkdir()
+        (bad / "part-00000.avro").write_bytes(b"Obj\x01garbage-not-avro")
+        with pytest.raises(Exception) as exc_info:
+            read_source(spark, str(bad), fmt="avro").collect()
+        assert "AvroCodecError" not in str(exc_info.value)
+    else:
+        # jar absent: the fallback engages only for DATA_SOURCE_NOT_FOUND
+        df = spark.createDataFrame([(1,)], "id long")
+        path = str(tmp_path / "ok_avro")
+        write_avro(df, path)
+        assert read_source(spark, path, fmt="avro").count() == 1
+
+
+def test_write_commit_sweeps_stale_inprogress(spark, tmp_path):
+    """Leftover temp files from unacknowledged task attempts (speculation,
+    stage retry) must be swept by the driver commit, never published."""
+    import os
+
+    path = tmp_path / "committed_avro"
+    path.mkdir()
+    # simulate a dead attempt's orphan from a PREVIOUS failed job
+    (path / ".inprogress-deadbeef").write_bytes(b"partial garbage")
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long").repartition(4)
+    n = write_avro(df, str(path))
+    assert n == 10
+    files = os.listdir(path)
+    assert not any(f.startswith(".inprogress") for f in files)
+    assert read_avro(spark, str(path)).count() == 10
+    # exactly one published part per non-empty partition
+    parts = [f for f in files if f.endswith(".avro")]
+    assert 1 <= len(parts) <= 4
+
+
+def test_read_with_schema_assembles_columns_by_name(spark, tmp_path):
+    """A file whose field order differs from the requested schema must come
+    back correctly by NAME; a field-set mismatch must raise (ADVICE r2)."""
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a long, b string")
+    path = str(tmp_path / "reorder_avro")
+    write_avro(df, path)
+    # request the REVERSED column order
+    want = T.StructType(
+        [T.StructField("b", T.StringType()), T.StructField("a", T.LongType())]
+    )
+    got = sorted(read_avro(spark, path, schema=want).collect())
+    assert [tuple(r) for r in got] == [("x", 1), ("y", 2)]
+    # missing field → loud error
+    bad = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("nope", T.StringType())]
+    )
+    with pytest.raises(Exception) as exc_info:
+        read_avro(spark, path, schema=bad).collect()
+    assert "missing" in str(exc_info.value)

@@ -89,12 +89,12 @@ def test_multimodal_metadata_and_fake_features(media_df):
     assert sorted(map(str, rows)) == sorted(map(str, again))
 
 
-def test_multimodal_real_decoder_is_stubbed(media_df):
-    from py4j.protocol import Py4JJavaError
-
+def test_multimodal_real_decoder_rejects_unknown_formats(media_df):
+    # payloads here are arbitrary bytes (neither BMP nor WAV): the real
+    # decode path must fail loudly, not fabricate features
     with pytest.raises(Exception) as exc_info:
         extract_features(media_df, use_fake_decoder=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+    assert "UnsupportedMediaError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
 
