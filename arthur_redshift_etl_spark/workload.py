@@ -3816,6 +3816,67 @@ def dialect_kitchen_sink(spark, sf_dir):
     )
 
 
+@query(
+    "dialect_kitchen_sink_tz",
+    oracle="""
+    SELECT ny_day,
+           event_type,
+           string_agg(DISTINCT k_bucket, '|' ORDER BY k_bucket) AS k_buckets,
+           max(shifted_hour) AS max_shifted_hour,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT strftime(timezone('America/New_York', timezone('UTC', ts)),
+                      '%Y-%m-%d') AS ny_day,
+             strftime(ts + INTERVAL 6 HOUR, '%H') AS shifted_hour,
+             event_type,
+             CASE CAST(JSON_EXTRACT_PATH_TEXT(props, 'k') AS INTEGER) % 3
+               WHEN 0 THEN 'low' WHEN 1 THEN 'mid'
+               ELSE coalesce(NULL, 'high') END AS k_bucket,
+             user_id, value, event_id
+      FROM events
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY value DESC, event_id
+      ) <= 5
+    )
+    GROUP BY 1, 2
+    """,
+    description=(
+        "second dialect kitchen sink, covering the shim rewrites the first "
+        "one misses: CONVERT_TIMEZONE + DATEADD + JSON_EXTRACT_PATH_TEXT "
+        "combined with QUALIFY, DECODE, NVL, TO_CHAR and LISTAGG DISTINCT "
+        "WITHIN GROUP in one Redshift-flavored statement"
+    ),
+)
+def dialect_kitchen_sink_tz(spark, sf_dir):
+    return _run_dialect(
+        spark,
+        sf_dir,
+        ["events"],
+        """
+        SELECT ny_day,
+               event_type,
+               LISTAGG(DISTINCT k_bucket, '|')
+                 WITHIN GROUP (ORDER BY k_bucket) AS k_buckets,
+               MAX(shifted_hour) AS max_shifted_hour,
+               COUNT(*) AS n_events
+        FROM (
+          SELECT TO_CHAR(CONVERT_TIMEZONE('America/New_York', ts),
+                         'YYYY-MM-DD') AS ny_day,
+                 TO_CHAR(DATEADD(hour, 6, ts), 'HH24') AS shifted_hour,
+                 event_type,
+                 DECODE(CAST(JSON_EXTRACT_PATH_TEXT(props, 'k') AS INT) % 3,
+                        0, 'low', 1, 'mid', NVL(NULL, 'high')) AS k_bucket,
+                 user_id, value, event_id
+          FROM events
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY value DESC, event_id
+          ) <= 5
+        )
+        GROUP BY 1, 2
+        """,
+    )
+
+
 # ===========================================================================
 # Reconciliation, weighted sampling, exact quantiles (round 1, continued)
 # ===========================================================================

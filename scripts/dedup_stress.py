@@ -10,7 +10,18 @@ the lake-checkpoint path (``materialize_dir``) — the configuration the
 executor memory and task retries re-read parquet instead of recomputing the
 shingle pipeline.
 
-Usage:  python scripts/dedup_stress.py [--docs 500000]
+Usage:  python scripts/dedup_stress.py [--docs 500000] [--inject-kill]
+
+``--inject-kill`` proves the checkpoint-recovery claim: the session runs
+with ``local[N,2]`` (task retries allowed) and an Arrow passthrough stage
+injected AFTER the shingle materialization raises on the first attempt of
+partition 0 of the verify stage.  Every task attempt drops a
+``stage{S}-part{P}-attempt{A}`` marker, and the shingle parquet files'
+(mtime, size) are snapshotted right after materialization — so the output
+shows (a) the killed task re-ran as attempt 1 in the SAME stage, (b) no
+other stage re-executed, and (c) the materialized shingles were re-READ,
+not recomputed (files untouched).
+
 Prints one JSON line with stage timings and pair counts; paste the row into
 SCALE.md's measured-scaling table.
 """
@@ -86,16 +97,56 @@ def build_corpus(spark, sf_dir: str, target_docs: int):
     return variants, groups * GROUP, groups * (GROUP * (GROUP - 1) // 2)
 
 
+def attempt_tracking_passthrough(df, attempts_dir: str, inject_kill: bool):
+    """Arrow passthrough that records (stage, partition, attempt) markers and
+    optionally fails partition 0's first attempt to force a task retry."""
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        marker = os.path.join(
+            attempts_dir,
+            f"stage{tc.stageId()}-part{tc.partitionId()}"
+            f"-attempt{tc.attemptNumber()}",
+        )
+        open(marker, "w").close()
+        if inject_kill and tc.partitionId() == 0 and tc.attemptNumber() == 0:
+            raise RuntimeError(
+                "injected task kill (dedup-stress checkpoint recovery test)"
+            )
+        for pdf in batches:
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
+def snapshot_files(path: str):
+    out = {}
+    for root, _dirs, names in os.walk(path):
+        for f in names:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            out[p] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=500_000)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--inject-kill", action="store_true")
     args = ap.parse_args()
 
+    # local[N,2]: allow one task retry so the injected failure recovers the
+    # way a lost executor would on a real cluster
+    master = (
+        f"local[{args.cpus},2]" if args.inject_kill else f"local[{args.cpus}]"
+    )
     spark = build_session(
         app_name="dedup-stress",
-        master=f"local[{args.cpus}]",
+        master=master,
         shuffle_partitions=int(args.cpus),
         extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "24g"},
     )
@@ -115,33 +166,48 @@ def main() -> None:
         corpus = spark.read.parquet(corpus_path)
         t_build = time.perf_counter() - t0
 
+        shingle_dir = os.path.join(workdir, "shingles")
         t0 = time.perf_counter()
         pairs = dd.minhash_dedup_pairs(
-            corpus, id_col="id", materialize_dir=os.path.join(workdir, "shingles")
+            corpus, id_col="id", materialize_dir=shingle_dir
+        )
+        # materialization happened inside the call above — snapshot the
+        # checkpoint BEFORE the verify job so any recompute would show up
+        shingle_snapshot = snapshot_files(shingle_dir)
+
+        attempts_dir = os.path.join(workdir, "attempts")
+        os.makedirs(attempts_dir, exist_ok=True)
+        pairs = attempt_tracking_passthrough(
+            pairs, attempts_dir, inject_kill=args.inject_kill
         )
         n_pairs = pairs.count()
         t_dedup = time.perf_counter() - t0
 
         shingle_files = len(
-            [
-                f
-                for f in os.listdir(os.path.join(workdir, "shingles"))
-                if f.endswith(".parquet")
-            ]
+            [f for f in os.listdir(shingle_dir) if f.endswith(".parquet")]
         )
-        print(
-            json.dumps(
-                {
-                    "docs": n_docs,
-                    "expected_near_dup_pairs": expected_pairs,
-                    "verified_pairs": n_pairs,
-                    "build_sec": round(t_build, 2),
-                    "dedup_sec": round(t_dedup, 2),
-                    "checkpoint_part_files": shingle_files,
-                    "pairs_per_sec": round(n_pairs / t_dedup),
-                }
-            )
-        )
+        attempts = sorted(os.listdir(attempts_dir))
+        retried = [a for a in attempts if not a.endswith("-attempt0")]
+        result = {
+            "docs": n_docs,
+            "expected_near_dup_pairs": expected_pairs,
+            "verified_pairs": n_pairs,
+            "build_sec": round(t_build, 2),
+            "dedup_sec": round(t_dedup, 2),
+            "checkpoint_part_files": shingle_files,
+            "pairs_per_sec": round(n_pairs / t_dedup),
+        }
+        if args.inject_kill:
+            result["recovery"] = {
+                "task_attempts_beyond_first": retried,
+                "verify_stage_partitions": len(
+                    {a.split("-")[1] for a in attempts}
+                ),
+                "checkpoint_untouched_after_retry": (
+                    snapshot_files(shingle_dir) == shingle_snapshot
+                ),
+            }
+        print(json.dumps(result))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
