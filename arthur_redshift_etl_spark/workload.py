@@ -1159,7 +1159,7 @@ def oracles() -> Dict[str, str]:
            CAST(SUM(volume) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             EXTRACT(year FROM l_shipdate) AS l_year,
+             CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
              {_DP} AS volume
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
@@ -2489,7 +2489,9 @@ def pivot_event_type_daily(spark, sf_dir):
     SELECT quartile, COUNT(*) AS docs,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
     FROM (
-      SELECT n_chars, NTILE(4) OVER (ORDER BY n_chars, doc_id) AS quartile
+      SELECT n_chars,
+             CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id) AS INTEGER)
+               AS quartile
       FROM documents
     ) GROUP BY quartile
     """,
@@ -2952,6 +2954,13 @@ def multimodal_payload_stats(spark, sf_dir):
     ),
 )
 def multimodal_real_decode(spark, sf_dir):
+    # Verification harness shape: the synthesized payloads flow through BOTH
+    # production operators (probe_metadata and extract_features), so the
+    # synthesize stage executes twice.  A production pipeline would persist
+    # the payload table (or run a single fused decode pass) — here the double
+    # pass is deliberate: each operator is exercised against the oracle
+    # independently, on a bounded 200-row slice.
+    #
     # mc is captured by the closure below, which executes on executor Python
     # workers; media_codec is registered for by-value pickling (multimodal.py)
     # so the workers need neither this package on sys.path nor a re-import.
