@@ -3016,6 +3016,150 @@ def multimodal_real_decode(spark, sf_dir):
 
 
 @query(
+    "semantic_dedup_clustered",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings WHERE vec_id < 2000
+    ),
+    cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, cent.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(vv, cv) DESC, centroid_id
+               ) AS rk
+        FROM v, cent
+      ) WHERE rk = 1
+    ),
+    removed AS (
+      SELECT DISTINCT b.vec_id AS rid
+      FROM assign a
+      JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      WHERE list_cosine_similarity(va.vv, vb.vv) >= 0.35
+    )
+    SELECT centroid_id,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN r.rid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN r.rid IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM assign LEFT JOIN removed r ON assign.vec_id = r.rid
+    GROUP BY centroid_id
+    """,
+    description=(
+        "SemDeDup-style semantic dedup (public method: cluster embeddings, "
+        "prune near-identical points within each cluster): nearest-centroid "
+        "assignment (broadcast centroids) -> within-cluster pairwise cosine "
+        "threshold, keep the lowest id of each close pair -> per-cluster "
+        "kept/removed accounting.  Clustering bounds the pair space to "
+        "sum(cluster^2) instead of corpus^2 — the property that makes "
+        "semantic dedup feasible at 100 TB (with k scaled to the corpus)"
+    ),
+)
+def semantic_dedup_clustered(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = sim.ivf_assign(emb, centroids)
+    blocked = emb.join(assign, "vec_id")
+    removed = (
+        sim.cosine_dedup_pairs(blocked, "centroid_id", threshold=0.35)
+        .select(F.col("id_b").alias("rid"))
+        .distinct()
+    )
+    return (
+        assign.join(removed, assign.vec_id == F.col("rid"), "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("rid").isNotNull(), 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+            F.sum(F.when(F.col("rid").isNull(), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
+@query(
+    "dedup_duplicated_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i,
+             md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS g
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+    ),
+    dup AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_grams,
+           CAST(SUM(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_frac
+    FROM grams LEFT JOIN dup d ON grams.g = d.g
+    GROUP BY doc_id
+    """,
+    description=(
+        "duplicated-span detection (the positional k-gram inventory behind "
+        "published exact-substring training-data dedup): every 8-token span "
+        "is md5-keyed with its position; spans occurring in >1 distinct doc "
+        "mark their positions duplicated; per-doc duplicated-token fraction "
+        "is the filter signal.  One shuffle on the span hash (uniform by "
+        "construction), cost linear in corpus tokens, never corpus^2"
+    ),
+)
+def dedup_duplicated_spans(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        # Spark sequence(1, 0) counts DOWN instead of returning empty —
+        # short docs must be excluded before the sequence (oracle's
+        # generate_series(1, 0) is empty, so semantics match)
+        F.size("t") >= 8
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t") - 7)).alias("i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("t", F.col("i"), F.lit(8)))).alias("g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g", F.lit(1).alias("is_dup"))
+    )
+    return (
+        grams.join(dup, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            (F.col("n_dup_grams").cast("double") / F.col("n_grams")).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+@query(
     "event_transition_matrix",
     oracle="""
     SELECT prev_type, event_type AS next_type, COUNT(*) AS transitions

@@ -26,6 +26,7 @@ ALLOWED_NL_JOIN = {
     "ann_ivf_recall_eval": "centroid set broadcast (k rows)",
     "ann_lsh_search": "hyperplane constants broadcast",
     "kmeans_embedding_clusters": "centroid set broadcast (k rows)",
+    "semantic_dedup_clustered": "centroid set broadcast (k rows) for cluster assignment",
     "embedding_cosine_dedup": "label-blocked self pair join",
     "corpus_domain_mix_resample": "1-row global-min aggregate broadcast",
     "date_dimension_spine": "bounds row cross join (1 row)",

@@ -179,3 +179,46 @@ def test_spark_real_decode_fails_loudly_on_garbage(spark):
     with pytest.raises(Exception) as exc_info:
         extract_features(df).collect()
     assert "UnsupportedMediaError" in str(exc_info.value)
+
+
+# ---------------------------------------------------------------------------
+# Property tests: arbitrary content round-trips bit-exactly
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 9),
+        seed=st.integers(0, 2**31 - 1),
+        top_down=st.booleans(),
+    )
+    def test_bmp_roundtrip_property(w, h, seed, top_down):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = mc.decode_bmp(mc.encode_bmp(img, top_down=top_down))
+        assert (out.width, out.height) == (w, h)
+        np.testing.assert_array_equal(out.pixels, img)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(0, 500),
+        ch=st.integers(1, 4),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_wav_roundtrip_property(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-(2**15), 2**15, size=(n, ch)).astype(np.int16)
+        out = mc.decode_wav(mc.encode_wav(samples, sample_rate=rate))
+        assert (out.sample_rate, out.channels) == (rate, ch)
+        np.testing.assert_array_equal(out.samples, samples)
