@@ -3016,6 +3016,39 @@ def multimodal_real_decode(spark, sf_dir):
 
 
 @query(
+    "corpus_shuffle_shard",
+    oracle="""
+    SELECT CAST((doc_id * 2654435761) % 4294967296 % 16 AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY (doc_id * 2654435761) % 4294967296 % 16
+             ORDER BY (doc_id * 2246822519) % 4294967296, doc_id
+           ) AS INTEGER) AS pos,
+           doc_id
+    FROM documents
+    """,
+    description=(
+        "deterministic global training shuffle: Knuth-multiplicative hash "
+        "assigns each doc to one of S shards, a second independent hash "
+        "orders docs WITHIN the shard — a reproducible random permutation "
+        "with shard-local output files, no rand(), identical under task "
+        "retry.  At 100 TB: S = desired file count, the only exchange is "
+        "the shard repartition, and the within-shard sort is per-partition "
+        "(no global order)"
+    ),
+)
+def corpus_shuffle_shard(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    shard = ((F.col("doc_id") * 2654435761) % 4294967296 % 16).cast("int")
+    order_key = (F.col("doc_id") * 2246822519) % 4294967296
+    w = Window.partitionBy(shard).orderBy(order_key, F.col("doc_id"))
+    return docs.select(
+        shard.alias("shard"),
+        F.row_number().over(w).cast("int").alias("pos"),
+        "doc_id",
+    )
+
+
+@query(
     "semantic_dedup_clustered",
     oracle="""
     WITH v AS (

@@ -184,3 +184,21 @@ def test_q18_preaggregates_lineitem_below_joins(spark):
     # operator ids number leaves-first in the formatted tree, so the
     # aggregate feeding the joins must have a LOWER id than every join
     assert int(agg.group(1)) < min(joins), p
+
+
+def test_duplicated_spans_partial_agg_on_hash_key(spark):
+    # span inventory: the gram-hash groupBy must partial-aggregate map-side
+    # (uniform md5 key), and nothing may funnel to a single partition
+    p = plan(spark, "dedup_duplicated_spans")
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
+    assert "Exchange SinglePartition" not in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_semantic_dedup_broadcasts_centroids(spark):
+    # cluster assignment must broadcast the k centroids, never shuffle the
+    # corpus against them; the within-cluster pair join is the only
+    # corpus-sized exchange
+    p = plan(spark, "semantic_dedup_clustered")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
