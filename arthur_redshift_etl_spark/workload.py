@@ -3166,18 +3166,21 @@ def dedup_duplicated_spans(spark, sf_dir):
         "doc_id",
         F.md5(F.concat_ws(" ", F.slice("t", F.col("i"), F.lit(8)))).alias("g"),
     )
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("g", F.lit(1).alias("is_dup"))
+    # Single pass over the (expensive) token explode: collapse to one row
+    # per (gram, doc) with its position count, count distinct docs per gram
+    # with a window over the SAME shuffle key, then roll up by doc.  The
+    # naive shape (separate dup-set aggregate joined back) scans and
+    # explodes the corpus twice — 2x the dominant cost at 100 TB.
+    per_doc_gram = grams.groupBy("g", "doc_id").agg(
+        F.count(F.lit(1)).alias("npos")
     )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("g"))
     return (
-        grams.join(dup, "g", "left")
+        per_doc_gram.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            F.sum("npos").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("nd") > 1, F.col("npos")).otherwise(0))
             .cast("long")
             .alias("n_dup_grams"),
         )
