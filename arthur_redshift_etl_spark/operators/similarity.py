@@ -106,6 +106,14 @@ def ivf_assign(
     """Assign each vector to its nearest centroid by cosine (ties: id asc).
 
     Centroids are broadcast; output is (vec_id, centroid_id).
+
+    The argmax is a ``max_by`` AGGREGATE, not a rank window: a window would
+    shuffle all n·k scored rows by vec_id and sort each group, while the
+    aggregate combines map-side — each vector's k candidate rows collapse to
+    one inside the scan partition (the broadcast join preserves row
+    locality), so only n rows cross the wire.  Tie-break matches the rank
+    formulation exactly: max (sim, -centroid_id) = highest similarity, then
+    lowest centroid id.
     """
     c = collection.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
@@ -116,11 +124,11 @@ def ivf_assign(
     scored = c.crossJoin(F.broadcast(cent)).select(
         id_col, centroid_id_col, cosine(F.col("v"), F.col("cv")).alias("sim")
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(centroid_id_col).asc())
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(id_col, centroid_id_col)
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col(centroid_id_col),
+            F.struct(F.col("sim"), -F.col(centroid_id_col)),
+        ).alias(centroid_id_col)
     )
 
 
