@@ -466,14 +466,21 @@ def keep_latest(
     [timestamp, sequence_id] — the trailing columns break ties so the
     result is deterministic even with equal timestamps).
 
-    One shuffle on the key columns; the window's rank and filter pipeline
-    into the same stage.  This is the standard change-data-capture
-    compaction: at 100 TB it is a single hash repartition — prefer it over
-    ``ORDER BY ... DROP DUPLICATES`` formulations that imply a global sort.
+    One shuffle on the key columns, as a ``max_by`` AGGREGATE rather than a
+    rank window: the aggregate pre-combines map-side, so when a key has many
+    versions co-located in a scan partition only the current winner crosses
+    the wire, and no per-group sort runs reduce-side.  This is the standard
+    change-data-capture compaction: at 100 TB it is a single hash
+    repartition — prefer it over ``ORDER BY ... DROP DUPLICATES``
+    formulations that imply a global sort.
     """
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    cols = df.columns
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in cols]),
+        F.struct(*[F.col(c) for c in order_cols]),
+    ).alias("_w")
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(winner)
+        .select(*[F.col(f"_w.{c}").alias(c) for c in cols])
     )

@@ -108,11 +108,21 @@ def classify_by_token_profile(
         .groupBy(id_col, "__plabel")
         .agg(F.count(F.lit(1)).alias("score"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("__plabel").asc())
+    # argmax as an aggregate (map-side combinable, no per-doc sort): min of
+    # (-score, label) = highest score, then lexicographically first label —
+    # identical tie-break to the rank formulation
+    best = F.min_by(
+        F.struct(F.col("__plabel"), F.col("score")),
+        F.struct(-F.col("score"), F.col("__plabel")),
+    ).alias("_b")
     return (
-        scores.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(F.col(id_col), F.col("__plabel").alias("pred"), F.col("score"))
+        scores.groupBy(id_col)
+        .agg(best)
+        .select(
+            F.col(id_col),
+            F.col("_b.__plabel").alias("pred"),
+            F.col("_b.score").alias("score"),
+        )
     )
 
 

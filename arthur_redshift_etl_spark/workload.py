@@ -3845,11 +3845,20 @@ def corpus_prep_pipeline(spark, sf_dir):
     filtered = docs.filter(
         (F.col("n_chars") >= 60) & F.col("lang").isin("en", "de", "fr", "es")
     )
-    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    # keep-first as min_by aggregate on the digest: map-side combine drops
+    # in-partition duplicates before the shuffle, no reduce-side sort
     deduped = (
-        filtered.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        filtered.groupBy(F.md5(F.col("text")).alias("_digest"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "n_chars"), F.col("doc_id")
+            ).alias("_k")
+        )
+        .select(
+            F.col("_k.doc_id").alias("doc_id"),
+            F.col("_k.lang").alias("lang"),
+            F.col("_k.n_chars").alias("n_chars"),
+        )
     )
     bucket = hash_bucket(F.col("doc_id"))
     split = (
