@@ -173,3 +173,91 @@ def test_vanished_table_is_error(spark, derby_url):
     rel = Relation(design=design)
     issues = validate_upstream_relation(spark, rel, derby_url)
     assert any(i.kind == "upstream_missing_table" for i in issues)
+
+
+# ---------------------------------------------------------------------------
+# information_schema unique-constraint probe (non-Derby engines): exercised
+# through a duck-typed fake JDBC connection, since the embedded test DB has
+# no information_schema.  Pins the ADVICE-r2 fixes: identifier values bound
+# as ? parameters (never interpolated) and the key_column_usage join
+# correlated on table_schema + constraint_schema.
+# ---------------------------------------------------------------------------
+
+class _FakeResultSet:
+    def __init__(self, rows):
+        self._rows = rows
+        self._i = -1
+        self.closed = False
+
+    def next(self):
+        self._i += 1
+        return self._i < len(self._rows)
+
+    def getString(self, label):
+        return self._rows[self._i][label]
+
+    def close(self):
+        self.closed = True
+
+
+class _FakePreparedStatement:
+    def __init__(self, sql, rows, log):
+        self.sql = sql
+        self._rows = rows
+        self._log = log
+        self.params = {}
+
+    def setString(self, idx, value):
+        self.params[idx] = value
+
+    def executeQuery(self):
+        self._log.append((self.sql, dict(self.params)))
+        return _FakeResultSet(self._rows)
+
+    def close(self):
+        pass
+
+
+class _FakeConn:
+    def __init__(self, rows):
+        self.rows = rows
+        self.executed = []
+
+    def prepareStatement(self, sql):
+        return _FakePreparedStatement(sql, self.rows, self.executed)
+
+
+def test_information_schema_probe_binds_params_and_correlates_schema():
+    from arthur_redshift_etl_spark.sources.metadata import (
+        _fetch_uniques_information_schema,
+    )
+
+    rows = [
+        {"constraint_name": "u1", "column_name": "EMAIL"},
+        {"constraint_name": "u2", "column_name": "A"},
+        {"constraint_name": "u2", "column_name": "B"},
+    ]
+    conn = _FakeConn(rows)
+    out = _fetch_uniques_information_schema(conn, "app", "customers'; DROP--")
+    assert out == [frozenset({"email"}), frozenset({"a", "b"})]
+
+    (sql, params), = conn.executed
+    # identifiers reach the query ONLY as bound parameters
+    assert "customers" not in sql and "app" not in sql
+    assert params == {1: "customers'; DROP--", 2: "app", 3: "app"}
+    # schema correlation on the kcu join and both schema filters present
+    assert "tc.constraint_schema = kcu.constraint_schema" in sql
+    assert "tc.table_schema = kcu.table_schema" in sql
+    assert "tc.table_schema = ?" in sql and "kcu.table_schema = ?" in sql
+
+
+def test_information_schema_probe_without_schema_binds_one_param():
+    from arthur_redshift_etl_spark.sources.metadata import (
+        _fetch_uniques_information_schema,
+    )
+
+    conn = _FakeConn([])
+    assert _fetch_uniques_information_schema(conn, None, "t") == []
+    (sql, params), = conn.executed
+    assert params == {1: "t"}
+    assert "tc.table_schema = ?" not in sql
