@@ -161,6 +161,13 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
     from pyspark import TaskContext
 
     os.makedirs(path, exist_ok=True)
+    # Overwrite semantics: a previous write's part files must not survive
+    # into this one's _SUCCESS, or readers would see the union of two
+    # datasets.  Remove prior parts + marker before launching the job.
+    for stale in glob.glob(os.path.join(path, "part-*.avro")) + glob.glob(
+        os.path.join(path, "_SUCCESS")
+    ):
+        os.remove(stale)
     schema = df.schema
     avro_schema = avro_codec.avro_schema_from_spark(schema)
     fields = list(schema.fields)

@@ -231,3 +231,14 @@ def test_read_with_schema_assembles_columns_by_name(spark, tmp_path):
     with pytest.raises(Exception) as exc_info:
         read_avro(spark, path, schema=bad).collect()
     assert "missing" in str(exc_info.value)
+
+
+def test_rewrite_replaces_previous_dataset(spark, tmp_path):
+    """Writing into a directory that already holds a committed dataset must
+    replace it, never union with it."""
+    path = str(tmp_path / "rewrite_avro")
+    write_avro(spark.createDataFrame([(i,) for i in range(50)], "id long"), path)
+    n = write_avro(spark.createDataFrame([(99,)], "id long"), path)
+    assert n == 1
+    got = read_avro(spark, path).collect()
+    assert [r["id"] for r in got] == [99]
