@@ -219,3 +219,49 @@ def test_minhash_materialize_dir_equals_persist(spark, tmp_path):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_keep_latest_property_matches_pandas_argmax(spark):
+    """The max_by-aggregate formulation must pick exactly the row a
+    brute-force pandas argmax picks, including under order-column ties
+    broken by the trailing column."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        import pytest
+
+        pytest.skip("hypothesis unavailable")
+
+    import pandas as pd
+
+    from arthur_redshift_etl_spark.operators import dedup as dd
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 4),      # key
+                st.integers(0, 3),      # ts (deliberately collision-heavy)
+                st.integers(0, 1000),   # seq (tie-break)
+                st.integers(-5, 5),     # payload
+            ),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda r: (r[0], r[1], r[2]),  # (key, ts, seq) unique
+        )
+    )
+    def check(rows):
+        pdf = pd.DataFrame(rows, columns=["k", "ts", "seq", "payload"])
+        df = spark.createDataFrame(pdf)
+        got = {
+            r["k"]: (r["ts"], r["seq"], r["payload"])
+            for r in dd.keep_latest(df, ["k"], ["ts", "seq"]).collect()
+        }
+        want = {
+            k: tuple(g.sort_values(["ts", "seq"]).iloc[-1][["ts", "seq", "payload"]])
+            for k, g in pdf.groupby("k")
+        }
+        assert got == want
+
+    check()
