@@ -3016,6 +3016,127 @@ def multimodal_real_decode(spark, sf_dir):
 
 
 @query(
+    "runtime_range_prefilter_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
+    GROUP BY o_orderpriority
+    """,
+    description=(
+        "runtime-filter pattern made explicit: the selective side's key "
+        "RANGE (one min/max aggregate row, broadcast) prunes the fact scan "
+        "BEFORE the shuffle join; keys inside the range but outside the "
+        "month are removed by the exact join, so the result is identical "
+        "to the plain join (which is the oracle).  This is the hand-rolled "
+        "form of the range runtime filter AQE injects — worth owning "
+        "explicitly when the selective side comes from a subquery the "
+        "optimizer can't estimate (a bloom replaces the range at equal "
+        "plumbing when key locality is poor)"
+    ),
+)
+def runtime_range_prefilter_join(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    sel = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-02-01")
+    ).select("o_orderkey", "o_orderpriority")
+    bounds = sel.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    )
+    pruned = (
+        li.select("l_orderkey", "l_quantity")
+        .join(F.broadcast(bounds))
+        .filter(F.col("l_orderkey").between(F.col("lo"), F.col("hi")))
+        .drop("lo", "hi")
+    )
+    return (
+        pruned.join(sel, pruned.l_orderkey == sel.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            sum_money(dec("l_quantity"), "total_qty"),
+        )
+    )
+
+
+@query(
+    "dedup_incremental_newdocs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+      FROM (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(string_split(text, ' '), i, i + 2),
+                               ' ') AS s
+        FROM documents,
+             UNNEST(generate_series(1,
+                    greatest(len(string_split(text, ' ')) - 2, 0))) AS u(i)
+      )
+    ),
+    new_docs AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id >= 400),
+    old_docs AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 400),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+      FROM sh n_sh
+      JOIN new_docs n ON n_sh.doc_id = n.doc_id
+      JOIN sh o_sh ON n_sh.h = o_sh.h
+      JOIN old_docs o ON o_sh.doc_id = o.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.id_new, c.id_old,
+             CAST(COUNT(*) AS DOUBLE)
+               / (sn.sz + so.sz - COUNT(*)) AS jaccard
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_new
+      JOIN sh b ON b.doc_id = c.id_old AND a.h = b.h
+      JOIN sizes sn ON sn.doc_id = c.id_new
+      JOIN sizes so ON so.doc_id = c.id_old
+      GROUP BY c.id_new, c.id_old, sn.sz, so.sz
+    )
+    SELECT id_new, id_old, jaccard FROM verified WHERE jaccard >= 0.5
+    """,
+    description=(
+        "incremental (new-batch vs corpus) near-dup: the daily-ingestion "
+        "shape — candidates come from shared shingle hashes between NEW "
+        "docs and the EXISTING corpus only (never corpus x corpus), then "
+        "exact Jaccard verifies.  At 100 TB the new batch is a vanishing "
+        "fraction, so the candidate join is |new shingles| probing the "
+        "corpus's shingle index — linear in the batch, not the corpus"
+    ),
+)
+def dedup_incremental_newdocs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    sh = dd.doc_shingle_hashes(docs).persist()
+    n_shingle_rows = sh.count()
+    new_sh = sh.filter(F.col("doc_id") >= 400).select(
+        F.col("doc_id").alias("id_a"), "h"
+    )
+    old_sh = sh.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("id_b"), "h"
+    )
+    cand = new_sh.join(old_sh, "h").select("id_a", "id_b").distinct()
+    jac = dd.jaccard_from_shingles(
+        sh,
+        cand,
+        id_col="doc_id",
+        key_col="h",
+        broadcast_sets="auto",
+        elems_upper_bound=n_shingle_rows,
+    )
+    return jac.filter(F.col("jaccard") >= 0.5).select(
+        F.col("id_a").alias("id_new"),
+        F.col("id_b").alias("id_old"),
+        "jaccard",
+    )
+
+
+@query(
     "corpus_shuffle_shard",
     oracle="""
     SELECT CAST((doc_id * 2654435761) % 4294967296 % 16 AS INTEGER) AS shard,

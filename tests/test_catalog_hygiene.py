@@ -27,6 +27,7 @@ ALLOWED_NL_JOIN = {
     "ann_lsh_search": "hyperplane constants broadcast",
     "kmeans_embedding_clusters": "centroid set broadcast (k rows)",
     "semantic_dedup_clustered": "centroid set broadcast (k rows) for cluster assignment",
+    "runtime_range_prefilter_join": "1-row min/max bounds aggregate broadcast cross join",
     "embedding_cosine_dedup": "label-blocked self pair join",
     "corpus_domain_mix_resample": "1-row global-min aggregate broadcast",
     "date_dimension_spine": "bounds row cross join (1 row)",
