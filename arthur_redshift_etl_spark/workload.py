@@ -3065,6 +3065,65 @@ def runtime_range_prefilter_join(spark, sf_dir):
 
 
 @query(
+    "kmeans_single_iteration",
+    oracle=_IVF_ASSIGN_CTE
+    + """
+    , ex AS (
+      SELECT a.centroid_id, t.i AS dim, v.vv[t.i] AS x
+      FROM assign a
+      JOIN v ON v.vec_id = a.vec_id,
+           UNNEST(range(1, len(v.vv) + 1)) AS t(i)
+    )
+    SELECT centroid_id, CAST(dim AS INTEGER) AS dim,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1000000.0 AS centroid
+    FROM ex GROUP BY centroid_id, dim
+    """,
+    description=(
+        "ONE full Lloyd iteration, oracle-checked end-to-end: fixed seed "
+        "centroids -> nearest-centroid assignment (broadcast argmax "
+        "aggregate) -> element-wise new centroids via micro-unit-exact "
+        "sums.  Makes the k-means building blocks SQL-verifiable even "
+        "though the converged iterative loop is inherently no-oracle; "
+        "shuffles are one row per vector (assignment) and centroids x "
+        "dims rows (means) regardless of corpus size"
+    ),
+)
+def kmeans_single_iteration(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = sim.ivf_assign(emb, centroids)
+    ex = (
+        emb.join(assign, "vec_id")
+        .select(
+            "centroid_id",
+            F.posexplode(sim.as_double_array(F.col("embedding"))).alias(
+                "dim0", "x"
+            ),
+        )
+        .select("centroid_id", (F.col("dim0") + 1).cast("int").alias("dim"), "x")
+    )
+    return (
+        ex.groupBy("centroid_id", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("x") * 1000000).cast("long")).alias("sq"),
+        )
+        .select(
+            "centroid_id",
+            "dim",
+            "n",
+            (F.col("sq").cast("double") / F.col("n") / F.lit(1000000.0)).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+@query(
     "dedup_incremental_newdocs",
     oracle="""
     WITH sh AS (
