@@ -113,3 +113,23 @@ def test_short_empty_null_docs_are_safe(spark):
     assert dd.doc_shingle_hashes(df).filter("doc_id in (2,3,4)").count() == 0
     pairs = dd.minhash_dedup_pairs(df).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 5)]
+
+
+def test_shuffle_shard_is_a_partition_of_the_corpus(spark):
+    """corpus_shuffle_shard must be a true permutation: every doc appears
+    exactly once, each shard's positions are contiguous 1..n, and the
+    within-shard order is deterministic across runs."""
+    from arthur_redshift_etl_spark.workload import REGISTRY
+
+    fn = REGISTRY["corpus_shuffle_shard"].fn
+    out = fn(spark, "/root/testdata/sf0.001").collect()
+    docs = [r["doc_id"] for r in out]
+    assert len(docs) == len(set(docs)) == 500
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+    # deterministic: a second run returns the identical assignment
+    again = fn(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
