@@ -189,9 +189,14 @@ def rollup_to_table_stream(
                 F.sum(F.col("value").cast("decimal(12,2)")).alias("p_sum"),
             )
         )
-        try:
+        # Only a genuinely-absent table means "first batch"; any other read
+        # failure (corrupt files, permissions) must abort the batch rather
+        # than silently discarding the accumulated rollup state.
+        import os
+
+        if os.path.exists(target_path):
             current = spark.read.parquet(target_path)
-        except Exception:
+        else:
             current = None
         merged = (
             partials if current is None else current.unionByName(partials)
