@@ -214,3 +214,77 @@ def quality_funnel(
         F.col("dropped").cast("long"),
         F.col("remaining").cast("long"),
     )
+
+
+def chunk_dedup_rebuild(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-wide chunk-level dedup with document rebuild (RefinedWeb-style
+    line/chunk dedup, adapted to token windows since these documents have no
+    line structure).
+
+    Every document is cut into disjoint ``chunk_tokens``-token chunks; a
+    chunk whose text already occurred anywhere in the corpus (first
+    occurrence = smallest ``(doc_id, pos)``) is dropped, and each document
+    is re-assembled from its surviving chunks in position order.  This is
+    the pass that strips boilerplate shared across pages (headers, nav
+    bars, license blurbs) while keeping one canonical copy.
+
+    Returns ``(id, n_chunks, kept_chunks, rebuilt_md5)`` where
+    ``rebuilt_md5`` is the digest of the re-assembled text (NULL when every
+    chunk was dropped) — digest not text, so the result stays hashable
+    against the SQL oracle without shipping full documents.
+
+    Scale shape (100 TB): chunk rows carry an 8-byte-equivalent md5 key;
+    the first-occurrence table is one partial-aggregatable ``groupBy(h)``
+    (map-side combine collapses within-partition repeats), the winner join
+    shuffles on the same well-spread hash key (AQE handles hot boilerplate
+    chunks via skew-join split), and the rebuild is one ``groupBy(id)``
+    whose state per document is bounded by the document itself.  Nothing
+    touches the driver.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+    chunks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                # size(toks) >= 1 (split of any string is non-empty), so the
+                # sequence is never descending
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    hashed = chunks.withColumn("h", F.md5("chunk"))
+    first = hashed.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first")
+    )
+    flagged = hashed.join(first, "h").withColumn(
+        "is_kept",
+        (F.col(f"first.{id_col}") == F.col(id_col))
+        & (F.col("first.pos") == F.col("pos")),
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("is_kept"), F.struct("pos", "chunk"))
+                )
+            ),
+            lambda s: s.chunk,
+        ),
+        " ",
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("is_kept").cast("long")).alias("kept_chunks"),
+        F.when(
+            F.sum(F.col("is_kept").cast("long")) > 0, F.md5(kept_text)
+        ).alias("rebuilt_md5"),
+    )

@@ -108,3 +108,42 @@ def weighted_bernoulli_sample(
     """
     u = hash_bucket(F.col(id_col), buckets).cast("double") / F.lit(float(buckets))
     return df.filter(u * F.lit(float(weight_cap)) < F.col(weight_col))
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Exact top-k rows per group via two-phase (sharded) selection.
+
+    A single ``row_number() OVER (PARTITION BY group ORDER BY ...)`` sorts
+    EVERY row of a group in one task — with few, huge groups (e.g. top
+    documents per source domain over a 100 TB corpus) that is a
+    straggler/OOM point.  Instead:
+
+    - phase 1 ranks within ``(group, input-partition)`` — each shard is at
+      most one input partition's share of the group, so the sort is bounded
+      by the partition size regardless of group skew — and keeps ≤ k rows
+      per shard;
+    - phase 2 ranks the ≤ k·shards survivors per group, which is
+      driver-small per group (k ≤ hundreds, shards = cluster parallelism).
+
+    Any row in the true top-k is in the top-k of its own shard, so the
+    result is exactly the single-window answer.  The shard id comes from
+    ``spark_partition_id()`` — run-dependent, but only the (deterministic)
+    final ranking survives.  Adds ``rank_col`` = final 1-based rank; total
+    order must be made unique by ``order_cols`` (include an id tiebreaker).
+    """
+    order = [F.col(c) for c in order_cols]
+    w1 = Window.partitionBy(*group_cols, "_shard").orderBy(*order)
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("_shard", F.spark_partition_id())
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= k)
+        .withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_shard", "_rk1")
+    )

@@ -4819,3 +4819,202 @@ def ann_int8_search(spark, sf_dir):
     q = qz.quantize(emb, "embedding")
     queries = q.filter(F.col("vec_id") < 10)
     return qz.quantized_knn(q, queries, k=5)
+
+
+@query(
+    "dedup_chunks_rebuild",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    exploded AS (
+      SELECT doc_id,
+             unnest(list_transform(range(CAST(ceil(len(ts)/8.0) AS BIGINT)),
+               i -> struct_pack(pos := i,
+                    chunk := array_to_string(list_slice(ts, i*8+1, i*8+8), ' ')))) AS c
+      FROM toks
+    ),
+    flagged AS (
+      SELECT doc_id, c.pos AS pos, c.chunk AS chunk,
+             ROW_NUMBER() OVER (PARTITION BY md5(c.chunk)
+                                ORDER BY doc_id, c.pos) AS rn
+      FROM exploded
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           CASE WHEN SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) = 0 THEN NULL
+                ELSE md5(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos))
+           END AS rebuilt_md5
+    FROM flagged GROUP BY doc_id
+    """,
+    description=(
+        "corpus-wide chunk-level dedup + document rebuild (RefinedWeb-style "
+        "boilerplate stripping): disjoint 8-token chunks, corpus-global "
+        "first occurrence wins, survivors re-assembled per doc in position "
+        "order (operators/corpus.py chunk_dedup_rebuild)"
+    ),
+)
+def dedup_chunks_rebuild(spark, sf_dir):
+    from .operators import corpus as cp
+
+    docs = t(spark, sf_dir, "documents")
+    return cp.chunk_dedup_rebuild(docs, "doc_id", "text", chunk_tokens=8)
+
+
+@query(
+    "sample_topk_per_group",
+    oracle="""
+    SELECT source, doc_id, CAST(rk AS INTEGER) AS sample_rank FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+    description=(
+        "deterministic fixed-k sample per source via two-phase sharded "
+        "top-k (operators/sampling.py topk_per_group): phase 1 ranks within "
+        "(group, input-partition) so no task ever sorts a whole group — the "
+        "giant-group window straggler at 100 TB — then phase 2 ranks the "
+        "<= k*shards survivors; pseudo-random stable order = md5(id)"
+    ),
+)
+def sample_topk_per_group(spark, sf_dir):
+    from .operators import sampling as sp
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "_ord", F.md5(F.col("doc_id").cast("string"))
+    )
+    return sp.topk_per_group(
+        docs, ["source"], ["_ord", "doc_id"], k=20
+    ).select("source", "doc_id", F.col("sample_rank").cast("int"))
+
+
+@query(
+    "hll_distinct_users",
+    oracle="""
+    WITH hashed AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS INTEGER)
+               AS register,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8)) AS BIGINT)
+               AS v
+      FROM events
+    ),
+    regs AS (
+      SELECT register,
+             MAX(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS max_rho
+      FROM hashed GROUP BY register
+    ),
+    sums AS (
+      SELECT COUNT(*) AS m_used,
+             SUM(CAST(1 AS BIGINT) << (33 - max_rho)) AS used_sum
+      FROM regs
+    ),
+    sketch AS (
+      SELECT CAST(256 AS INTEGER) AS m,
+             CAST(m_used AS BIGINT) AS m_used,
+             CAST(used_sum + (256 - m_used) * (CAST(1 AS BIGINT) << 33) AS BIGINT)
+               AS int_sum,
+             CAST(256 - m_used AS BIGINT) AS m_empty
+      FROM sums
+    )
+    SELECT m, m_used, int_sum,
+           CASE WHEN (404351522913636.8 / int_sum)
+                     <= 640.0 AND m_empty > 0
+                THEN 256.0 * ln(256.0 / m_empty)
+                ELSE 404351522913636.8 / int_sum
+           END AS hll_estimate,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+             AS exact_distinct
+    FROM sketch
+    """,
+    description=(
+        "mergeable HyperLogLog distinct-user sketch in exact integer "
+        "register state (operators/sketch.py): md5-portable hash, 256 "
+        "registers, indicator sum carried as a scaled BIGINT so partial "
+        "sketches merge with MAX and the estimate is ONE double division — "
+        "the persistable/mergeable alternative to approx_count_distinct "
+        "for 100 TB daily->weekly rollups; exact distinct shown alongside"
+    ),
+)
+def hll_distinct_users(spark, sf_dir):
+    from .operators import sketch as sk
+
+    events = t(spark, sf_dir, "events")
+    regs = sk.hll_registers(events, "user_id")
+    est = sk.hll_estimate(regs)
+    exact = events.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("m").cast("int"),
+        F.col("m_used").cast("long").alias("m_used"),
+        "int_sum",
+        "hll_estimate",
+        "exact_distinct",
+    )
+
+
+@query(
+    "ann_ivf_incremental_assign",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv,
+             (vec_id % 5 = 4) AS is_new
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS centroid_id, vv AS cv FROM v
+             WHERE vec_id < 8 AND NOT is_new),
+    assign AS (
+      SELECT vec_id, is_new, centroid_id FROM (
+        SELECT v.vec_id, v.is_new, cent.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(vv, cv) DESC, centroid_id
+               ) AS rk
+        FROM v, cent
+      ) WHERE rk = 1
+    )
+    SELECT centroid_id,
+           CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_old,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM assign GROUP BY centroid_id
+    """,
+    description=(
+        "incremental IVF index maintenance: a new embedding batch (vec_id "
+        "% 5 = 4) is assigned to the EXISTING centroids (trained on the old "
+        "corpus) and its bucket histogram is merged with the old index — "
+        "no rebuild, the ingestion path for a continuously growing 100 TB "
+        "vector corpus; centroids broadcast, merge is a full-outer "
+        "histogram join on centroid_id"
+    ),
+)
+def ann_ivf_incremental_assign(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 5 == 4
+    old = emb.filter(~is_new)
+    new = emb.filter(is_new)
+    centroids = old.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
+    hist_old = (
+        sim.ivf_assign(old, centroids)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    hist_new = (
+        sim.ivf_assign(new, centroids)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    return (
+        hist_old.join(hist_new, "centroid_id", "full_outer")
+        .select(
+            "centroid_id",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            (F.coalesce("n_old", F.lit(0)) + F.coalesce("n_new", F.lit(0))).alias(
+                "n_total"
+            ),
+        )
+    )

@@ -41,6 +41,8 @@ ALLOWED_NL_JOIN = {
     "q11_important_stock": "1-row threshold aggregate broadcast (was a driver collect)",
     "q22_global_sales_opportunity": "1-row AVG aggregate broadcast (was a driver collect)",
     "embedding_int8_quantize": "1-row corpus-max scale aggregate broadcast",
+    "ann_ivf_incremental_assign": "centroid set broadcast (k rows), old+new assignment",
+    "hll_distinct_users": "1-row exact-distinct comparison aggregate broadcast",
     "ann_int8_search": (
         "1-row scale broadcast + query-set broadcast vs corpus — same scored "
         "scan as knn_bruteforce, integer codes"

@@ -133,3 +133,44 @@ def test_shuffle_shard_is_a_partition_of_the_corpus(spark):
     # deterministic: a second run returns the identical assignment
     again = fn(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---- chunk-level dedup + rebuild -----------------------------------------
+
+def test_chunk_dedup_unique_corpus_keeps_everything(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "k l m n o p q r")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in cp.chunk_dedup_rebuild(docs).collect()}
+    # no chunk repeats anywhere -> every chunk kept, rebuild == original
+    assert out[1].n_chunks == 2 and out[1].kept_chunks == 2
+    assert out[2].n_chunks == 1 and out[2].kept_chunks == 1
+    import hashlib
+
+    assert out[1].rebuilt_md5 == hashlib.md5(b"a b c d e f g h i j").hexdigest()
+
+
+def test_chunk_dedup_verbatim_copy_fully_stripped(spark):
+    text = "a b c d e f g h " + "x y z w v u t s"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "fresh tokens only here pad pad pad pad")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in cp.chunk_dedup_rebuild(docs).collect()}
+    # doc 2 is a verbatim copy of doc 1 -> every chunk already seen
+    assert out[1].kept_chunks == out[1].n_chunks
+    assert out[2].kept_chunks == 0
+    assert out[2].rebuilt_md5 is None
+    assert out[3].kept_chunks == out[3].n_chunks
+
+
+def test_chunk_dedup_within_doc_repeat_kept_once(spark):
+    # the same 8-token chunk twice WITHIN one doc: second occurrence drops
+    chunk = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = spark.createDataFrame([(7, chunk + " " + chunk)], ["doc_id", "text"])
+    row = cp.chunk_dedup_rebuild(docs).collect()[0]
+    assert row.n_chunks == 2 and row.kept_chunks == 1
+    import hashlib
+
+    assert row.rebuilt_md5 == hashlib.md5(chunk.encode()).hexdigest()

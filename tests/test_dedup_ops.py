@@ -265,3 +265,62 @@ def test_keep_latest_property_matches_pandas_argmax(spark):
         assert got == want
 
     check()
+
+
+# ---- two-phase per-group top-k (operators/sampling.py) --------------------
+
+def test_topk_per_group_matches_single_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.operators.sampling import topk_per_group
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("_ord", F.md5(F.col("doc_id").cast("string")))
+        # adversarial partitioning: many tiny input partitions, so phase 1
+        # produces the max shard count and phase 2 must still dedup ranks
+        .repartition(17)
+    )
+    two_phase = {
+        (r.source, r.doc_id): r.sample_rank
+        for r in topk_per_group(docs, ["source"], ["_ord", "doc_id"], k=5).collect()
+    }
+    w = Window.partitionBy("source").orderBy("_ord", "doc_id")
+    single = {
+        (r.source, r.doc_id): r.rk
+        for r in docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    assert two_phase == single
+
+
+# ---- mergeable HLL sketch (operators/sketch.py) ---------------------------
+
+def test_hll_sketch_merge_and_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.operators import sketch as sk
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    whole = sk.hll_registers(events, "user_id")
+
+    # mergeability: sketch(A) UNION sketch(B) re-MAXed == sketch(A ∪ B),
+    # even though A and B overlap (MAX is idempotent)
+    a = sk.hll_registers(events.filter(F.col("event_id") % 2 == 0), "user_id")
+    b = sk.hll_registers(events.filter((F.col("event_id") % 2 == 1) | (F.col("event_id") % 3 == 0)), "user_id")
+    merged = (
+        a.unionAll(b)
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+    est_row = sk.hll_estimate(whole).collect()[0]
+    exact = events.select("user_id").distinct().count()
+    # classic HLL standard error is 1.04/sqrt(m) ~ 6.5%; allow 4 sigma
+    assert abs(est_row.hll_estimate - exact) <= 4 * sk.hll_error_bound() * exact
+    # register state is exact integers and bounded
+    assert est_row.m == 256 and 0 < est_row.m_used <= 256
+    assert isinstance(est_row.int_sum, int) and est_row.int_sum > 0
