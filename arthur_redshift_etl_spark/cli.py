@@ -449,6 +449,31 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Rewrite selected tables' storage into ~target-size files (checksum-
+    verified, atomic re-register) — the lake-maintenance pass for tables
+    fragmented by incremental merges and streaming micro-batches."""
+    from .loader import compact_table
+
+    spark = _spark(args)
+    ctx = _ctx(args, spark)
+    n = 0
+    for rel in _relations(args, args.patterns):
+        if not spark.catalog.tableExists(
+            f"`{rel.table_name.schema}`.`{rel.table_name.table}`"
+        ):
+            print(f"{rel.identifier}: not loaded — skipped")
+            continue
+        before, after = compact_table(
+            ctx, rel, target_file_bytes=args.target_mb << 20
+        )
+        state = "compacted" if after < before else "already compact"
+        print(f"{rel.identifier}: {before} -> {after} file(s) ({state})")
+        n += 1
+    print(f"compact: processed {n} relation(s)")
+    return 0
+
+
 def cmd_promote_schemas(args) -> int:
     from .loader import promote_schemas
 
@@ -586,6 +611,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("create_schemas", cmd_create_schemas)
     add("promote_schemas", cmd_promote_schemas)
     add("vacuum", cmd_vacuum, patterns=False)
+    sp = add("compact", cmd_compact)
+    sp.add_argument("--target-mb", type=int, default=128,
+                    help="target file size in MiB (default 128)")
     add("create_index", cmd_create_index)
     sp = add("bootstrap_transformations", cmd_bootstrap_transformations, patterns=False)
     sp.add_argument("relation")

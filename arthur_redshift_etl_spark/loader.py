@@ -510,6 +510,116 @@ def merge_update_table(
     return materialize_dataframe(ctx, rel, merged, db)
 
 
+def content_checksum(df: DataFrame) -> tuple[int, int]:
+    """Order-independent whole-table content checksum: (n_rows, checksum).
+
+    Per-row md5 over every column (null-tagged so NULL vs 'None' differ),
+    folded to a 60-bit int and summed commutatively — partial-aggregatable,
+    one number per partition crosses the wire, no row data shuffles.  Two
+    tables with equal checksums + counts hold the same multiset of rows
+    regardless of file layout, partitioning, or row order — the cheap
+    content-equality gate for compaction / publish / reload verification.
+    """
+    from pyspark.sql import functions as F
+
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in df.columns
+    ]
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10).cast(
+        "decimal(20,0)"
+    )
+    row = df.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("h").alias("s")
+    ).collect()[0]
+    return int(row["n"]), int(row["s"] or 0)
+
+
+def compact_table(
+    ctx: LoadContext,
+    rel: Relation,
+    db: str | None = None,
+    target_file_bytes: int = 128 << 20,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a table's storage into ~target-size
+    files without changing its content.  Returns (files_before, files_after).
+
+    Incremental merges (``merge_update_table``), streaming micro-batches
+    (``rollup_to_table_stream``), and per-batch loads each leave their own
+    part files; after enough cycles a 100 TB lake table degenerates into
+    millions of KB-sized files and every scan pays listing + open overhead
+    per file (the classic small-file problem — Redshift hides this behind
+    VACUUM; a parquet lake must own it).
+
+    Mechanics: current on-disk bytes come from the driver's file listing
+    (metadata only, no data read); the table is rewritten with
+    ``coalesce(ceil(bytes / target))`` — coalesce, not repartition, so the
+    rewrite adds NO shuffle (it only merges read-splits) — preserving the
+    design's sort layout via ``sortWithinPartitions``.  The rewrite lands
+    in a NEW versioned location and the table is re-registered only after
+    the order-independent ``content_checksum`` of the rewrite matches the
+    original — readers see the old or the new layout, never partial output,
+    and a buggy rewrite can never replace good data.  Old versions are
+    reclaimed by ``vacuum_lake``.
+
+    Bucketed tables are returned untouched: their file count IS the bucket
+    spec (layout carries join semantics), so compaction there means
+    re-bucketing, a different operation.
+    """
+    import math
+    import os
+
+    db = db or rel.table_name.schema
+    fq = f"{_quote(db)}.{_quote(rel.table_name.table)}"
+    if _bucket_spec(rel.design):
+        return (0, 0)
+    loc_rows = (
+        ctx.spark.sql(f"DESCRIBE FORMATTED {fq}")
+        .filter("col_name = 'Location'")
+        .collect()
+    )
+    location = loc_rows[0]["data_type"].replace("file:", "")
+    files = [
+        os.path.join(dirpath, f)
+        for dirpath, _, names in os.walk(location)
+        for f in names
+        if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, math.ceil(total_bytes / target_file_bytes))
+    if len(files) <= n_target:
+        return (len(files), len(files))  # already compact — no rewrite
+    current = ctx.spark.read.parquet(location)
+    before = content_checksum(current)
+    compacted = current.coalesce(n_target)
+    sort_keys = rel.design.attributes.get("compound_sort") or []
+    if sort_keys:
+        compacted = compacted.sortWithinPartitions(*sort_keys)
+    new_location = ctx.table_location(rel.table_name)
+    if os.path.realpath(new_location) == os.path.realpath(location):
+        raise ETLRuntimeError(
+            f"compact_table would overwrite {location} in place; use a "
+            "LoadContext with a fresh etl_id"
+        )
+    compacted.write.mode("overwrite").parquet(new_location)
+    after = content_checksum(ctx.spark.read.parquet(new_location))
+    if after != before:
+        raise ETLRuntimeError(
+            f"compaction checksum mismatch for {rel.identifier}: "
+            f"{before} -> {after}; original left registered"
+        )
+    _drop_relation(ctx, db, rel.table_name.table)
+    _register_external_table(ctx, db, rel.table_name.table, new_location)
+    n_after = len(
+        [
+            f
+            for _, _, names in os.walk(new_location)
+            for f in names
+            if f.endswith(".parquet")
+        ]
+    )
+    return (len(files), n_after)
+
+
 def promote_schemas(ctx: LoadContext, relations: Sequence[Relation]) -> None:
     """Standalone staging→production promotion (reference promote_schemas,
     commands.py:1436): publish whatever currently sits in staging."""

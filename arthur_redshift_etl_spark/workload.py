@@ -5018,3 +5018,57 @@ def ann_ivf_incremental_assign(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "runtime_bloom_prefilter_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
+    GROUP BY o_orderpriority
+    """,
+    description=(
+        "bloom-style runtime filter made explicit, the poor-key-locality "
+        "complement to runtime_range_prefilter_join: the selective side's "
+        "DISTINCT hash buckets (xxhash64 mod 2^16 — a one-hash Bloom "
+        "filter whose bit array is a broadcast bucket set) semi-join-prune "
+        "the fact scan BEFORE its shuffle; false positives (same bucket, "
+        "different key) are removed by the exact join, so the result is "
+        "identical to the plain join (the oracle).  Unlike the min/max "
+        "range, pruning power is |buckets|/2^16 regardless of how the "
+        "selected keys are scattered across the key domain; the bucket "
+        "hash never needs cross-engine parity because it is invisible in "
+        "the result"
+    ),
+)
+def runtime_bloom_prefilter_join(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    sel = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-02-01")
+    ).select("o_orderkey", "o_orderpriority")
+    n_buckets = 1 << 16
+    buckets = sel.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(n_buckets)).alias("_b")
+    ).distinct()
+    pruned = (
+        li.select("l_orderkey", "l_quantity")
+        .withColumn("_b", F.pmod(F.xxhash64("l_orderkey"), F.lit(n_buckets)))
+        .join(F.broadcast(buckets), "_b", "left_semi")
+        .drop("_b")
+    )
+    return (
+        pruned.join(sel, pruned.l_orderkey == sel.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            sum_money(dec("l_quantity"), "total_qty"),
+        )
+    )

@@ -124,3 +124,10 @@ def test_diff_gate_exit_status(design_repo, tmp_path, capsys, spark):
     assert '"removed": 1' in out and '"changed": 1' in out and '"added": 0' in out
     # identical inputs → clean gate
     assert main(["--repo", design_repo, "diff", a, a, "--keys", "k"]) == 0
+
+
+def test_compact_skips_unloaded(design_repo, capsys):
+    # no warehouse load has happened: every relation reports skipped, rc 0
+    assert main(["--repo", design_repo, "compact"]) == 0
+    out = capsys.readouterr().out
+    assert "skipped" in out and "processed" in out

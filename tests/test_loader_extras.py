@@ -284,3 +284,70 @@ def test_merge_update_bad_delta_leaves_production_untouched(spark, tmp_path, cle
     after = spark.table("bsrc.nation")
     assert set(after.inputFiles()) == before_files  # still the old version
     assert after.count() == n_before
+
+
+# ---- small-file compaction ------------------------------------------------
+
+def test_compact_table_shrinks_files_preserves_content(spark, tmp_path, clean_dbs):
+    from arthur_redshift_etl_spark.loader import (
+        compact_table,
+        content_checksum,
+        create_schema,
+        load_warehouse,
+    )
+
+    rel = source_rel(spark, tmp_path, "schema.nation_c", "nation")
+    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=EventStore())
+    load_warehouse(ctx, [rel])
+    # fragment production storage: rewrite in place as many tiny files
+    loc = (
+        spark.sql("DESCRIBE FORMATTED `schema`.`nation_c`")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+        .replace("file:", "")
+    )
+    frag = spark.read.parquet(loc).repartition(16)
+    tmp_frag = str(tmp_path / "frag")
+    frag.write.mode("overwrite").parquet(tmp_frag)
+    spark.read.parquet(tmp_frag).repartition(16).write.mode("overwrite").parquet(loc)
+    before = content_checksum(spark.read.parquet(loc))
+    n_before = len([f for f in os.listdir(loc) if f.endswith(".parquet")])
+    assert n_before >= 10
+
+    ctx2 = LoadContext(spark=spark, data_root=ctx.data_root, store=EventStore())
+    files_before, files_after = compact_table(ctx2, rel, db="schema")
+    assert files_before == n_before and files_after < files_before
+    # content identical (order-independent), table re-registered on new files
+    new_loc = (
+        spark.sql("DESCRIBE FORMATTED `schema`.`nation_c`")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+        .replace("file:", "")
+    )
+    assert new_loc != loc
+    assert content_checksum(spark.table("`schema`.`nation_c`")) == before
+
+
+def test_compact_table_noop_when_already_compact(spark, tmp_path, clean_dbs):
+    from arthur_redshift_etl_spark.loader import compact_table, load_warehouse
+
+    rel = source_rel(spark, tmp_path, "schema.region_c", "region")
+    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=EventStore())
+    load_warehouse(ctx, [rel])
+    loc = (
+        spark.sql("DESCRIBE FORMATTED `schema`.`region_c`")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+        .replace("file:", "")
+    )
+    ctx2 = LoadContext(spark=spark, data_root=ctx.data_root, store=EventStore())
+    b, a = compact_table(ctx2, rel, db="schema")
+    assert b == a  # no rewrite
+    # still registered at the original location
+    same_loc = (
+        spark.sql("DESCRIBE FORMATTED `schema`.`region_c`")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+        .replace("file:", "")
+    )
+    assert same_loc == loc
