@@ -202,3 +202,42 @@ def test_semantic_dedup_broadcasts_centroids(spark):
     p = plan(spark, "semantic_dedup_clustered")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_topk_per_group_no_whole_group_sort(spark):
+    """Both phases of sample_topk_per_group partition their windows (by
+    (group, shard) then group-over-survivors); no single-partition funnel
+    and every Window node carries a partition spec."""
+    p = plan(spark, "sample_topk_per_group")
+    assert "Exchange SinglePartition" not in p, p
+    assert "Window" in p  # the two-phase ranking is window-based
+    # phase-1 window must include the shard column in its partition spec
+    assert "_shard" in p, p
+
+
+def test_chunk_dedup_partial_agg_and_hash_join(spark):
+    """dedup_chunks_rebuild: the first-occurrence table comes from a
+    partial-aggregatable groupBy on the chunk hash (map-side combine before
+    the exchange) and the winner join is a shuffled hash join, never a
+    nested loop."""
+    p = plan(spark, "dedup_chunks_rebuild")
+    assert "partial_min" in p or "partial" in p.lower(), p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_hll_registers_partial_aggregate(spark):
+    """hll_distinct_users: the register table must partial-aggregate (the
+    per-partition MAX is the sketch-merge property in plan form) and carry
+    no row-data shuffle beyond the 256-register exchange."""
+    p = plan(spark, "hll_distinct_users")
+    assert re.search(r"partial_max|partial", p, re.I), p
+    assert "Exchange SinglePartition" not in p or "hashpartitioning" in p, p
+
+
+def test_bloom_prefilter_semi_join_before_shuffle(spark):
+    """runtime_bloom_prefilter_join: the bucket-set prune must be a
+    broadcast LEFT SEMI join feeding the fact side (pruning happens before
+    the join exchange), never a nested loop."""
+    p = plan(spark, "runtime_bloom_prefilter_join")
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", p) or "LeftSemi" in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
