@@ -5072,3 +5072,190 @@ def runtime_bloom_prefilter_join(spark, sf_dir):
             sum_money(dec("l_quantity"), "total_qty"),
         )
     )
+
+
+def _hll_regs_sql(pred: str) -> str:
+    """DuckDB register-table SQL for events.user_id filtered by ``pred``."""
+    return f"""
+      SELECT register, MAX(rho) AS max_rho FROM (
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS INTEGER)
+                 AS register,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8)) AS BIGINT) = 0
+                    THEN 33
+                    ELSE 33 - length(bin(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8)) AS BIGINT)))
+               END AS rho
+        FROM events WHERE {pred}
+      ) GROUP BY register
+    """
+
+
+def _hll_est_sql(regs_cte: str) -> str:
+    """DuckDB estimate from a register-table CTE name (same constants as
+    operators/sketch.py: folded literal, 640 threshold, linear counting)."""
+    return f"""
+      SELECT CASE WHEN (404351522913636.8 /
+                  (used_sum + (256 - m_used) * (CAST(1 AS BIGINT) << 33))) <= 640.0
+                  AND m_used < 256
+             THEN 256.0 * ln(256.0 / (256 - m_used))
+             ELSE 404351522913636.8 /
+                  (used_sum + (256 - m_used) * (CAST(1 AS BIGINT) << 33))
+             END AS est
+      FROM (SELECT COUNT(*) AS m_used,
+                   SUM(CAST(1 AS BIGINT) << (33 - max_rho)) AS used_sum
+            FROM {regs_cte})
+    """
+
+
+@query(
+    "hll_set_ops_events",
+    oracle=f"""
+    WITH ra AS ({_hll_regs_sql("event_type = 'view'")}),
+    rb AS ({_hll_regs_sql("event_type = 'purchase'")}),
+    ru AS ({_hll_regs_sql("event_type IN ('view','purchase')")}),
+    ea AS ({_hll_est_sql('ra')}), eb AS ({_hll_est_sql('rb')}),
+    eu AS ({_hll_est_sql('ru')}),
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS BIGINT) AS exact_a,
+             CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS exact_b,
+             CAST(COUNT(DISTINCT CASE WHEN event_type IN ('view','purchase') THEN user_id END) AS BIGINT) AS exact_union
+      FROM events
+    )
+    SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+           ea.est + eb.est - eu.est AS est_intersection,
+           exact_a, exact_b, exact_union,
+           CAST(exact_a + exact_b - exact_union AS BIGINT) AS exact_intersection
+    FROM ea, eb, eu, exact
+    """,
+    description=(
+        "HLL sketch ALGEBRA: the union sketch is computed by MERGING the "
+        "two per-segment register tables (UNION ALL + MAX — the engine "
+        "side literally exercises the merge path, while the oracle "
+        "recomputes registers over the OR-filter directly: equality "
+        "proves merge == recompute), and the intersection estimate falls "
+        "out by inclusion-exclusion.  This is how 100 TB audience-overlap "
+        "questions get answered from persisted per-segment sketches "
+        "without ever co-scanning the segments"
+    ),
+)
+def hll_set_ops_events(spark, sf_dir):
+    from .operators import sketch as sk
+
+    events = t(spark, sf_dir, "events")
+    ra = sk.hll_registers(events.filter(F.col("event_type") == "view"), "user_id")
+    rb = sk.hll_registers(
+        events.filter(F.col("event_type") == "purchase"), "user_id"
+    )
+    # union sketch via the MERGE path (never re-reads the data)
+    ru = (
+        ra.unionAll(rb)
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    ea = sk.hll_estimate(ra).select(F.col("hll_estimate").alias("est_a"))
+    eb = sk.hll_estimate(rb).select(F.col("hll_estimate").alias("est_b"))
+    eu = sk.hll_estimate(ru).select(F.col("hll_estimate").alias("est_union"))
+    is_a = F.col("event_type") == "view"
+    is_b = F.col("event_type") == "purchase"
+    exact = events.agg(
+        F.countDistinct(F.when(is_a, F.col("user_id"))).cast("long").alias("exact_a"),
+        F.countDistinct(F.when(is_b, F.col("user_id"))).cast("long").alias("exact_b"),
+        F.countDistinct(F.when(is_a | is_b, F.col("user_id")))
+        .cast("long")
+        .alias("exact_union"),
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+            .cast("long")
+            .alias("exact_intersection"),
+        )
+    )
+
+
+@query(
+    "dq_expectations_orders",
+    oracle="""
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders),
+    scan AS (
+      SELECT
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null_custkey,
+        CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_nonpos_price,
+        CAST(SUM(CASE WHEN o_orderdate <  TIMESTAMP '1992-01-01' OR
+                           o_orderdate >= TIMESTAMP '2005-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+          AS v_date_range,
+        CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+          AS v_bad_status
+      FROM orders
+    ),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v_fk_orphans
+      FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT check_name, violations, total FROM (
+      SELECT 'null_custkey'   AS check_name, v_null_custkey AS violations, total FROM scan, t
+      UNION ALL SELECT 'nonpos_price',  v_nonpos_price, total FROM scan, t
+      UNION ALL SELECT 'date_range',    v_date_range,   total FROM scan, t
+      UNION ALL SELECT 'bad_status',    v_bad_status,   total FROM scan, t
+      UNION ALL SELECT 'fk_orphans',    v_fk_orphans,   total FROM fk, t
+    )
+    """,
+    description=(
+        "declarative data-quality expectations report (the constraint "
+        "checker generalized to a metric report instead of a pass/fail "
+        "gate): all column-level checks (null / range / domain) fold into "
+        "ONE scan as conditional counters (map-side partial agg, no "
+        "shuffle of row data), the referential check is a broadcast "
+        "LEFT ANTI count, and the result unpivots driver-free — the "
+        "publish-gate dashboard row for every table at any scale"
+    ),
+)
+def dq_expectations_orders(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    scan = orders.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("v_null_custkey"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("v_nonpos_price"),
+        F.sum(
+            (
+                (F.col("o_orderdate") < "1992-01-01")
+                | (F.col("o_orderdate") >= "2005-01-01")
+            ).cast("long")
+        ).alias("v_date_range"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")).alias(
+            "v_bad_status"
+        ),
+    )
+    orphans = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v_fk_orphans"))
+    )
+    report = scan.crossJoin(F.broadcast(orphans)).selectExpr(
+        "stack(5, "
+        "'null_custkey', v_null_custkey, "
+        "'nonpos_price', v_nonpos_price, "
+        "'date_range', v_date_range, "
+        "'bad_status', v_bad_status, "
+        "'fk_orphans', v_fk_orphans) AS (check_name, violations)",
+        "total",
+    )
+    return report.select(
+        "check_name", F.col("violations").cast("long"), F.col("total").cast("long")
+    )

@@ -43,6 +43,8 @@ ALLOWED_NL_JOIN = {
     "embedding_int8_quantize": "1-row corpus-max scale aggregate broadcast",
     "ann_ivf_incremental_assign": "centroid set broadcast (k rows), old+new assignment",
     "hll_distinct_users": "1-row exact-distinct comparison aggregate broadcast",
+    "hll_set_ops_events": "1-row sketch-estimate aggregates broadcast (a/b/union/exact)",
+    "dq_expectations_orders": "1-row orphan-count aggregate broadcast into the report row",
     "ann_int8_search": (
         "1-row scale broadcast + query-set broadcast vs corpus — same scored "
         "scan as knn_bruteforce, integer codes"
