@@ -291,3 +291,53 @@ def decode_features(payload: bytes) -> List[float]:
         "unrecognized payload (BMP and PCM WAV are the implemented codecs; "
         "JPEG/PNG/MP3 etc. need media libraries absent from this environment)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Transforms: resize / decimate (the "resize" step of decode→resize→embed)
+# ---------------------------------------------------------------------------
+
+
+def resize_nearest(img: DecodedImage, width: int, height: int) -> DecodedImage:
+    """Nearest-neighbor resample via numpy fancy indexing (no Python loops).
+
+    Pixel-center mapping: output pixel (x, y) samples source pixel
+    (floor((x+0.5)·w_src/w_dst), floor((y+0.5)·h_src/h_dst)) — the standard
+    NN convention, deterministic and oracle-recomputable.  One gather per
+    axis; O(w_dst·h_dst) with vectorized indexing.
+    """
+    if width <= 0 or height <= 0:
+        raise MediaCodecError(f"bad resize target {width}x{height}")
+    ys = np.minimum(
+        ((np.arange(height) + 0.5) * img.height / height).astype(np.int64),
+        img.height - 1,
+    )
+    xs = np.minimum(
+        ((np.arange(width) + 0.5) * img.width / width).astype(np.int64),
+        img.width - 1,
+    )
+    return DecodedImage(
+        width=width, height=height,
+        pixels=np.ascontiguousarray(img.pixels[ys][:, xs]),
+    )
+
+
+def decimate_audio(aud: DecodedAudio, factor: int) -> DecodedAudio:
+    """Integer decimation: keep every ``factor``-th frame (strided view copy).
+
+    Honest about what it is — sample dropping, not filtered resampling
+    (an anti-alias filter needs scipy, absent here).  The new rate is
+    ``sample_rate // factor``; factor must divide the rate so the declared
+    rate stays exact.
+    """
+    if factor < 1:
+        raise MediaCodecError(f"bad decimation factor {factor}")
+    if aud.sample_rate % factor:
+        raise MediaCodecError(
+            f"factor {factor} does not divide sample rate {aud.sample_rate}"
+        )
+    return DecodedAudio(
+        sample_rate=aud.sample_rate // factor,
+        channels=aud.channels,
+        samples=np.ascontiguousarray(aud.samples[::factor]),
+    )

@@ -254,3 +254,95 @@ def payload_stats(df: DataFrame, id_col: str = "doc_id",
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, PAYLOAD_STATS_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, width int, height int"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode, Arrow-batched.
+
+    The "resize" stage of the canonical decode→resize→embed media pipeline,
+    REAL on BMP payloads (media_codec.resize_nearest, numpy gather per
+    axis).  NULL payloads pass through as NULL rows; non-image formats
+    raise at execution time (resize is a typed stage — route payloads
+    through probe_metadata first to split modalities).  Map-only: no
+    shuffle, scales linearly with payload bytes.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "width": [], "height": []}
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                out["media_id"].append(mid)
+                if p is None:
+                    out["payload"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    continue
+                img = media_codec.resize_nearest(
+                    media_codec.decode_bmp(bytes(p)), width, height
+                )
+                out["payload"].append(media_codec.encode_bmp(img.pixels))
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+DOWNSAMPLED_SCHEMA = (
+    "media_id long, payload binary, sample_rate int, n_frames long"
+)
+
+
+def downsample_audio(
+    df: DataFrame,
+    factor: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode → integer decimation → re-encode WAV, Arrow-batched.
+
+    Keeps every ``factor``-th frame (media_codec.decimate_audio); the
+    re-encoded payload declares the reduced rate so duration is preserved.
+    Same typed-stage contract as resize_images: NULLs pass through,
+    non-WAV payloads raise.  Map-only, no shuffle.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "payload": [], "sample_rate": [],
+                   "n_frames": []}
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                out["media_id"].append(mid)
+                if p is None:
+                    out["payload"].append(None)
+                    out["sample_rate"].append(None)
+                    out["n_frames"].append(None)
+                    continue
+                aud = media_codec.decimate_audio(
+                    media_codec.decode_wav(bytes(p)), factor
+                )
+                out["payload"].append(
+                    media_codec.encode_wav(
+                        aud.samples, sample_rate=aud.sample_rate
+                    )
+                )
+                out["sample_rate"].append(aud.sample_rate)
+                out["n_frames"].append(int(aud.samples.shape[0]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, DOWNSAMPLED_SCHEMA)

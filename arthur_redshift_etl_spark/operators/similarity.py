@@ -256,3 +256,104 @@ def lsh_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def brute_force_knn_gemm(
+    collection: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidate_margin: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors via an Arrow-batched GEMM candidate scan.
+
+    Relationship to ``vectorized.brute_force_knn_vectorized``: that variant
+    ranks by the GEMM doubles directly ("identical in practice"); this one
+    adds a candidate margin + deterministic JVM rescore so the ranking is
+    PROVABLY bit-identical to :func:`brute_force_knn` and to an external
+    SQL oracle — the driver-checkable flavor of the same kernel.
+
+    Same contract and output as :func:`brute_force_knn` — (query_id,
+    neighbor_id, rank), ties by neighbor id — but the scoring kernel is one
+    BLAS matmul per Arrow batch instead of a crossJoin: the JVM path
+    materializes n x q rows and evaluates a higher-order-function dot per
+    row, while here each executor multiplies its (batch x d) slice against
+    the broadcast (d x q) query matrix and only the per-batch top
+    ``k + candidate_margin`` survivors per query leave Python.  At 100 TB
+    that is the difference between shipping n*q rows through the shuffle-free
+    plan and shipping ~num_batches * q * (k+margin) candidate rows.
+
+    Exactness: GEMM doubles can differ from the sequential JVM dot in the
+    last ulp, so batch-local top-k is taken with a margin (a true top-k
+    member can only be displaced by candidates within ~2 ulp of the k-th
+    score), and the surviving candidates are RE-SCORED with the same
+    deterministic sequential ``dot`` used by brute_force_knn before the
+    final rank — so output ordering is bit-identical to the JVM baseline
+    and to an external oracle.
+
+    Two narrow scans of the collection (candidate scan + rescore join with
+    the tiny broadcast candidate set), zero wide shuffles; the final window
+    sees only the candidate rows.  Queries must be broadcast-small (same
+    contract as brute_force_knn) with integral ids.
+    """
+    spark = collection.sparkSession
+    qn = normalized(queries, id_col, "query_id", vec_col, "qv").withColumn(
+        "query_id", F.col("query_id").cast("long")
+    )
+    q_pdf = qn.toPandas()
+
+    out_schema = "query_id long, neighbor_id long, rank int"
+    if q_pdf.empty:
+        return spark.createDataFrame([], out_schema)
+
+    import numpy as np
+
+    qids = q_pdf["query_id"].to_numpy(dtype="int64")
+    qm = np.stack(q_pdf["qv"].to_numpy()).astype("float64")
+    bq = spark.sparkContext.broadcast((qids, qm))
+    kk = k + candidate_margin
+
+    cn = normalized(collection, id_col, "neighbor_id", vec_col, "cv").withColumn(
+        "neighbor_id", F.col("neighbor_id").cast("long")
+    )
+
+    def scan(batches):
+        import numpy as np  # noqa: F811 - worker-side import
+        import pandas as pd
+
+        b_qids, b_qm = bq.value
+        qm_t = b_qm.T  # (d, q)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.stack(pdf["cv"].to_numpy()).astype("float64")  # (n, d)
+            nb = pdf["neighbor_id"].to_numpy(dtype="int64")
+            sims = cm @ qm_t  # (n, q) — one BLAS call
+            # Exclude self-pairs before the partition so they never surface
+            # as candidates (rescore filters again, belt and braces).
+            sims[nb[:, None] == b_qids[None, :]] = -np.inf
+            take = min(kk, sims.shape[0])
+            idx = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, q)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(b_qids, take),
+                    "neighbor_id": nb[idx.T.ravel()],
+                }
+            )
+
+    candidates = cn.mapInPandas(scan, "query_id long, neighbor_id long")
+    rescored = (
+        cn.join(F.broadcast(candidates), "neighbor_id")
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

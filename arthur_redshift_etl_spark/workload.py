@@ -5259,3 +5259,172 @@ def dq_expectations_orders(spark, sf_dir):
     return report.select(
         "check_name", F.col("violations").cast("long"), F.col("total").cast("long")
     )
+
+
+@query(
+    "knn_gemm_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.vv, c.vv) AS sim
+      FROM v q, v c
+      WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS knn_rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    description=(
+        "exact cosine top-k via Arrow-batched GEMM candidate scan + "
+        "deterministic JVM rescore — same answer as knn_bruteforce, one "
+        "BLAS matmul per batch instead of an n x q row explosion"
+    ),
+)
+def knn_gemm_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return sim.brute_force_knn_gemm(emb, queries_df, k=5).withColumnRenamed(
+        "rank", "knn_rank"
+    )
+
+
+@query(
+    "multimodal_image_resize",
+    oracle="""
+    SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+           CAST(4 * (((n_chars + CAST(FLOOR((1 + doc_id % 5) * 0.25) AS BIGINT)) % 256)
+                   + ((n_chars + CAST(FLOOR((1 + doc_id % 5) * 0.75) AS BIGINT)) % 256))
+                AS BIGINT) AS sum_r
+    FROM documents WHERE doc_id < 200 AND doc_id % 2 = 0
+    """,
+    description=(
+        "REAL image resize proven end-to-end: deterministic row-gradient "
+        "BMPs are encoded from document attributes, pushed through the "
+        "production resize_images operator (decode → nearest-neighbor "
+        "gather → re-encode), then the RESIZED payload is decoded again "
+        "and its R-channel summed; the oracle recomputes the NN source-row "
+        "selection floor((i+0.5)·h/2) symbolically.  Map-only, no shuffle"
+    ),
+)
+def multimodal_image_resize(spark, sf_dir):
+    from .operators import media_codec as mc
+    from .operators.multimodal import resize_images
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & (F.col("doc_id") % 2 == 0))
+        .select("doc_id", "n_chars")
+    )
+
+    def synthesize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                h, w = int(1 + doc_id % 5), int(1 + doc_id % 7)
+                rows = (int(n_chars) + np.arange(h)) % 256
+                px = np.repeat(rows, w * 3).reshape(h, w, 3).astype(np.uint8)
+                payloads.append(mc.encode_bmp(px))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synthesize, schema="media_id long, payload binary")
+    resized = resize_images(media, width=4, height=2)
+
+    def stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "sum_r": []}
+            for mid, p, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                img = mc.decode_bmp(bytes(p))
+                out["doc_id"].append(mid)
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["sum_r"].append(
+                    int(img.pixels[:, :, 0].astype(np.int64).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return resized.mapInPandas(
+        stats, schema="doc_id long, width int, height int, sum_r long"
+    )
+
+
+@query(
+    "multimodal_audio_downsample",
+    oracle="""
+    SELECT doc_id,
+           CAST(4000 AS INTEGER) AS sample_rate,
+           CAST(4 * (10 + doc_id % 40) AS BIGINT) AS n_frames,
+           CAST(((4 * (10 + doc_id % 40)) // 32) * 992
+                + ((4 * (10 + doc_id % 40)) % 32)
+                  * (((4 * (10 + doc_id % 40)) % 32) - 1) AS BIGINT) AS sum_samples
+    FROM documents WHERE doc_id < 200 AND doc_id % 2 = 1
+    """,
+    description=(
+        "REAL audio decimation proven end-to-end: deterministic 8 kHz PCM "
+        "ramps (sample k = k mod 64) are encoded from document attributes, "
+        "halved through the production downsample_audio operator "
+        "(decode → stride-2 decimation → re-encode at 4 kHz), then the "
+        "DOWNSAMPLED payload is decoded again; the oracle recomputes the "
+        "kept-sample sum in closed form (period-32 ramp arithmetic).  "
+        "Map-only, no shuffle"
+    ),
+)
+def multimodal_audio_downsample(spark, sf_dir):
+    from .operators import media_codec as mc
+    from .operators.multimodal import downsample_audio
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & (F.col("doc_id") % 2 == 1))
+        .select("doc_id")
+    )
+
+    def synthesize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 8 * int(10 + doc_id % 40)
+                samp = (np.arange(n) % 64).astype(np.int16)
+                payloads.append(mc.encode_wav(samp, sample_rate=8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synthesize, schema="media_id long, payload binary")
+    down = downsample_audio(media, factor=2)
+
+    def stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "sample_rate": [], "n_frames": [],
+                   "sum_samples": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                aud = mc.decode_wav(bytes(p))
+                out["doc_id"].append(mid)
+                out["sample_rate"].append(int(aud.sample_rate))
+                out["n_frames"].append(int(aud.samples.shape[0]))
+                out["sum_samples"].append(
+                    int(aud.samples.astype(np.int64).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return down.mapInPandas(
+        stats,
+        schema="doc_id long, sample_rate int, n_frames long, sum_samples long",
+    )

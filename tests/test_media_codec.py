@@ -222,3 +222,50 @@ if HAVE_HYPOTHESIS:
         out = mc.decode_wav(mc.encode_wav(samples, sample_rate=rate))
         assert (out.sample_rate, out.channels) == (rate, ch)
         np.testing.assert_array_equal(out.samples, samples)
+
+
+# ---- resize / decimate kernels ---------------------------------------------
+
+
+def test_resize_nearest_identity_and_known_gather():
+    # 4x2 gradient; upscale is a pure gather, identity target is a no-op copy
+    px = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    img = mc.DecodedImage(width=4, height=2, pixels=px)
+    same = mc.resize_nearest(img, 4, 2)
+    assert np.array_equal(same.pixels, px)
+    # downscale 4x2 -> 2x1: NN picks x in {floor(0.5*4/2)=1, floor(1.5*4/2)=3},
+    # y = floor(0.5*2/1) = 1
+    small = mc.resize_nearest(img, 2, 1)
+    assert small.pixels.shape == (1, 2, 3)
+    assert np.array_equal(small.pixels[0, 0], px[1, 1])
+    assert np.array_equal(small.pixels[0, 1], px[1, 3])
+
+
+def test_resize_nearest_roundtrips_through_bmp():
+    px = (np.arange(5 * 7 * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(5, 7, 3)
+    resized = mc.resize_nearest(mc.DecodedImage(7, 5, px), 3, 2)
+    back = mc.decode_bmp(mc.encode_bmp(resized.pixels))
+    assert (back.width, back.height) == (3, 2)
+    assert np.array_equal(back.pixels, resized.pixels)
+
+
+def test_resize_nearest_rejects_bad_target():
+    img = mc.DecodedImage(2, 2, np.zeros((2, 2, 3), np.uint8))
+    with pytest.raises(mc.MediaCodecError):
+        mc.resize_nearest(img, 0, 2)
+
+
+def test_decimate_audio_stride_and_rate():
+    samp = (np.arange(100) % 7).astype(np.int16)
+    aud = mc.DecodedAudio(sample_rate=8000, channels=1, samples=samp[:, None])
+    out = mc.decimate_audio(aud, 4)
+    assert out.sample_rate == 2000
+    assert np.array_equal(out.samples[:, 0], samp[::4])
+    # duration preserved (sample drop + rate drop cancel)
+    assert out.duration_ms == aud.duration_ms
+
+
+def test_decimate_audio_rejects_nondivisor_factor():
+    aud = mc.DecodedAudio(8000, 1, np.zeros((10, 1), np.int16))
+    with pytest.raises(mc.MediaCodecError):
+        mc.decimate_audio(aud, 3)

@@ -208,3 +208,40 @@ def test_global_row_number_dense_and_ordered(spark):
     assert [r["rn"] for r in rows] == list(range(1, 501))
     ks = [r["k"] for r in rows]
     assert ks == sorted(ks)
+
+
+def test_gemm_knn_bit_identical_to_jvm(spark):
+    """brute_force_knn_gemm's rescore pass makes it EXACTLY equal to the
+    JVM baseline — (query_id, rank) -> neighbor_id agree on every row,
+    including tie-breaks (not just 'identical in practice')."""
+    from arthur_redshift_etl_spark.operators.similarity import brute_force_knn_gemm
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    jvm = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_knn(emb, queries, k=5).collect()
+    }
+    gemm = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_knn_gemm(emb, queries, k=5).collect()
+    }
+    assert gemm == jvm and len(gemm) == 50
+
+
+def test_gemm_knn_empty_queries(spark):
+    from arthur_redshift_etl_spark.operators.similarity import brute_force_knn_gemm
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = brute_force_knn_gemm(emb, emb.filter(F.col("vec_id") < 0), k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "neighbor_id", "rank"]
+
+
+def test_gemm_knn_excludes_self(spark):
+    from arthur_redshift_etl_spark.operators.similarity import brute_force_knn_gemm
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    rows = brute_force_knn_gemm(emb, queries, k=5).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
