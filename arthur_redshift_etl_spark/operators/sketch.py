@@ -103,3 +103,99 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
 def hll_error_bound() -> float:
     """Standard error of the m=256 sketch: 1.04/√m ≈ 6.5%."""
     return 1.04 / math.sqrt(M)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — heavy-hitter prefilter
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256  # one md5 byte per row hash — engine-portable like HLL above
+
+
+def _cms_col(key: Column, row: int) -> Column:
+    """Row-``row`` bucket: first byte of md5(row || ':' || key)."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+
+
+def cms_table(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the sketch: (row, col, cnt), ≤ DEPTH·WIDTH rows for ANY input.
+
+    Each input row contributes one increment per sketch row; the groupBy is
+    partial-aggregatable, so every task emits at most DEPTH·WIDTH combined
+    rows no matter how many billions of keys it scanned — this bounded
+    state is the whole point vs an exact per-key groupBy.  Sketches over
+    different batches merge by UNION ALL + groupBy + SUM (counters are
+    additive); estimates only ever overestimate (no deletions).
+    """
+    key = F.col(key_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"), _cms_col(key, i).alias("col")
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.row", "p.col")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate_col(sketch_flat: list, key: Column) -> Column:
+    """Point-estimate expression: min over rows of cnt[row][col(key)].
+
+    ``sketch_flat`` is the DEPTH·WIDTH counter table collected to the
+    driver (row-major, missing cells = 0) — bounded metadata like a
+    centroid set, NOT data — embedded as an array literal so the lookup is
+    a map-only JVM expression (no shuffle, no Python).
+    """
+    arr = F.lit(sketch_flat)
+    return F.least(
+        *[
+            F.element_at(arr, _cms_col(key, i) + i * CMS_WIDTH + 1)
+            for i in range(CMS_DEPTH)
+        ]
+    )
+
+
+def collect_cms(sketch: DataFrame) -> list:
+    """Flatten a cms_table result to the row-major literal used above."""
+    flat = [0] * (CMS_DEPTH * CMS_WIDTH)
+    for r in sketch.collect():
+        flat[r["row"] * CMS_WIDTH + r["col"]] = r["cnt"]
+    return flat
+
+
+def heavy_hitters_exact(
+    df: DataFrame, key_col: str, threshold: int
+) -> DataFrame:
+    """Exact keys with frequency ≥ threshold, CMS-prefiltered.
+
+    Two passes, same shape as the GEMM-kNN rescore pattern:
+
+    1. build the bounded sketch and broadcast it back as a literal — the
+       per-row estimate is then a map-only expression;
+    2. keep only rows whose ESTIMATE ≥ threshold (CMS never underestimates,
+       so no true heavy hitter is dropped — one-sided error), and run the
+       exact groupBy ONLY on that survivor set, re-filtering on the exact
+       count to kill the false positives.
+
+    At 100 TB the exact groupBy over all keys shuffles billions of groups;
+    here the wide shuffle sees only candidate rows (skew-free: heavy keys
+    are exactly the ones we keep, but their group count is tiny).  Output:
+    (key, cnt) — identical to the naive GROUP BY ... HAVING.
+    """
+    flat = collect_cms(cms_table(df, key_col))
+    key = F.col(key_col)
+    est = cms_estimate_col(flat, key)
+    return (
+        df.filter(est >= F.lit(threshold))
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )

@@ -215,3 +215,36 @@ def token_rarity_scores(
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+def chunk_overlapping(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 120,
+    overlap: int = 20,
+) -> DataFrame:
+    """Split text into fixed-size character windows with overlap (RAG prep).
+
+    Chunk i covers [i·step, i·step + size) with step = size - overlap;
+    n_chunks = max(1, ceil((len - overlap) / step)) so every character is
+    covered and a doc shorter than ``size`` still yields one chunk.  Pure
+    JVM expression — ``sequence`` + ``explode`` + ``substring`` — so the
+    explode is whole-stage-codegen'd and the operator is map-only (no
+    shuffle); the deterministic boundary arithmetic is recomputable by any
+    SQL engine.  Output keeps all input columns plus (chunk_id, chunk).
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    step = size - overlap
+    length = F.length(F.col(text_col))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((length - F.lit(overlap)).cast("double") / F.lit(float(step))),
+    ).cast("int")
+    return (
+        df.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn(
+            "chunk",
+            F.substring(F.col(text_col), F.col("chunk_id") * step + 1, size),
+        )
+    )

@@ -5428,3 +5428,63 @@ def multimodal_audio_downsample(spark, sf_dir):
         stats,
         schema="doc_id long, sample_rate int, n_frames long, sum_samples long",
     )
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle="""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+    WHERE tok <> ''
+    GROUP BY tok HAVING COUNT(*) >= 50
+    """,
+    description=(
+        "exact heavy hitters (tokens with frequency >= 50) via a count-min "
+        "sketch prefilter: the bounded DEPTH x WIDTH sketch is built in one "
+        "partial-aggregatable pass, broadcast back as a literal so the "
+        "per-row estimate is map-only, and the exact groupBy runs ONLY on "
+        "candidate rows — CMS one-sided error guarantees the output equals "
+        "the naive GROUP BY HAVING (operators/sketch.py, Cormode & "
+        "Muthukrishnan 2005)"
+    ),
+)
+def heavy_hitter_tokens(spark, sf_dir):
+    from .operators import sketch as sk
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return sk.heavy_hitters_exact(toks, "tok", threshold=50)
+
+
+@query(
+    "chunk_overlap_windows",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, GREATEST(CAST(1 AS BIGINT),
+                     CAST(CEIL((length(text) - 20) / 100.0) AS BIGINT)) - 1)) AS i
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           CAST(length(substr(text, i*100 + 1, 120)) AS INTEGER) AS chunk_len,
+           md5(substr(text, i*100 + 1, 120)) AS chunk_md5
+    FROM c
+    """,
+    description=(
+        "overlapping character windows (size 120, overlap 20) for "
+        "RAG/context-window prep: sequence+explode+substring, all "
+        "whole-stage-codegen, map-only — boundary arithmetic recomputed "
+        "symbolically by the oracle (operators/text.py chunk_overlapping)"
+    ),
+)
+def chunk_overlap_windows(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = tx.chunk_overlapping(docs, text_col="text", size=120, overlap=20)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        F.length("chunk").cast("int").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    )

@@ -324,3 +324,96 @@ def test_hll_sketch_merge_and_error_bound(spark):
     # register state is exact integers and bounded
     assert est_row.m == 256 and 0 < est_row.m_used <= 256
     assert isinstance(est_row.int_sum, int) and est_row.int_sum > 0
+
+
+# ---- count-min sketch heavy hitters (operators/sketch.py) ------------------
+
+def test_cms_overestimates_and_merges(spark):
+    """CMS point estimates never underestimate; sketches over disjoint
+    batches merge additively (UNION ALL + SUM == sketch of the union)."""
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.operators import sketch as sk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    exact = {r["tok"]: r["n"] for r in
+             toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
+    flat = sk.collect_cms(sk.cms_table(toks, "tok"))
+    ests = {
+        r["tok"]: r["est"]
+        for r in toks.select("tok").distinct()
+        .withColumn("est", sk.cms_estimate_col(flat, F.col("tok")))
+        .collect()
+    }
+    assert all(ests[t] >= c for t, c in exact.items())
+
+    a = sk.cms_table(toks.filter(F.length("tok") <= 4), "tok")
+    b = sk.cms_table(toks.filter(F.length("tok") > 4), "tok")
+    merged = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in a.unionAll(b).groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    whole = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in sk.cms_table(toks, "tok").collect()
+    }
+    assert merged == whole
+
+
+def test_heavy_hitters_exact_matches_naive(spark):
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.operators import sketch as sk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    for threshold in (5, 25):
+        naive = {
+            (r["tok"], r["cnt"])
+            for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= threshold).collect()
+        }
+        fast = {
+            (r["tok"], r["cnt"])
+            for r in sk.heavy_hitters_exact(toks, "tok", threshold).collect()
+        }
+        assert fast == naive and len(fast) > 0
+
+
+# ---- overlapping chunker (operators/text.py) -------------------------------
+
+def test_chunk_overlapping_covers_and_reconstructs(spark):
+    """Concatenating chunk[0] + each later chunk minus its overlap prefix
+    reconstructs the document exactly; short docs yield one chunk."""
+    from arthur_redshift_etl_spark.operators.text import chunk_overlapping
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = chunk_overlapping(docs.select("doc_id", "text"), size=120, overlap=20)
+    rows = out.orderBy("doc_id", "chunk_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk"])
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(by_doc) == set(originals)
+    for doc_id, chunks in by_doc.items():
+        rebuilt = chunks[0] + "".join(c[20:] for c in chunks[1:])
+        assert rebuilt == originals[doc_id], doc_id
+
+    tiny = spark.createDataFrame([(1, "short")], "doc_id long, text string")
+    one = chunk_overlapping(tiny, size=120, overlap=20).collect()
+    assert len(one) == 1 and one[0]["chunk"] == "short"
+
+
+def test_chunk_overlapping_rejects_bad_overlap(spark):
+    from arthur_redshift_etl_spark.operators.text import chunk_overlapping
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_overlapping(df, size=10, overlap=10)
