@@ -53,6 +53,12 @@ def normalized(df: DataFrame, id_col: str, id_alias: str,
     single dot product (vs 3 dots + sqrt per pair when cosine recomputes
     norms) — the dominant cost in kNN/dedup at scale.  Two-step select so
     the norm is evaluated once per row, not once per element.
+
+    A zero-norm vector normalizes to the zero vector (similarity 0 to
+    everything) rather than NaN: NaN sims would rank NaN-first in Spark's
+    descending sort but order arbitrarily in numpy partial sorts, making
+    degenerate inputs engine-dependent.  Zero keeps every path — JVM,
+    GEMM, external oracle — on exact, identical arithmetic.
     """
     v = as_double_array(F.col(vec_col))
     staged = df.select(F.col(id_col).alias(id_alias), v.alias("__v")).withColumn(
@@ -60,7 +66,12 @@ def normalized(df: DataFrame, id_col: str, id_alias: str,
     )
     return staged.select(
         id_alias,
-        F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias(out_col),
+        F.transform(
+            F.col("__v"),
+            lambda x: F.when(F.col("__n") == 0.0, F.lit(0.0)).otherwise(
+                x / F.col("__n")
+            ),
+        ).alias(out_col),
     )
 
 
@@ -287,10 +298,13 @@ def brute_force_knn_gemm(
     Exactness: GEMM doubles can differ from the sequential JVM dot in the
     last ulp, so batch-local top-k is taken with a margin (a true top-k
     member can only be displaced by candidates within ~2 ulp of the k-th
-    score), and the surviving candidates are RE-SCORED with the same
-    deterministic sequential ``dot`` used by brute_force_knn before the
-    final rank — so output ordering is bit-identical to the JVM baseline
-    and to an external oracle.
+    score); the batch selection itself is tie-EXACT — equal-sim rows are
+    thresholded in together and lexsorted by (sim desc, id asc), so mass
+    ties (a degenerate zero-norm query scores 0.0 against everything)
+    select the same ids every engine would; and the surviving candidates
+    are RE-SCORED with the same deterministic sequential ``dot`` used by
+    brute_force_knn before the final rank — so output ordering is
+    bit-identical to the JVM baseline and to an external oracle.
 
     Two narrow scans of the collection (candidate scan + rescore join with
     the tiny broadcast candidate set), zero wide shuffles; the final window
@@ -334,11 +348,26 @@ def brute_force_knn_gemm(
             # as candidates (rescore filters again, belt and braces).
             sims[nb[:, None] == b_qids[None, :]] = -np.inf
             take = min(kk, sims.shape[0])
-            idx = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, q)
+            out_q, out_n = [], []
+            for j in range(b_qids.shape[0]):
+                s = sims[:, j]
+                # Tie-EXACT batch top-take by (sim desc, neighbor_id asc):
+                # threshold at the take-th largest sim, keep every row at
+                # or above it (so equal-sim ties are never split by the
+                # partial sort's arbitrary order), then lexsort just that
+                # candidate slice.  Normal case: slice ≈ take rows; a mass
+                # tie (e.g. a zero query: all sims exactly 0.0) degrades
+                # gracefully to sorting the batch for that query only.
+                v = np.partition(s, s.shape[0] - take)[s.shape[0] - take]
+                cand = np.flatnonzero(s >= v)
+                order = np.lexsort((nb[cand], -s[cand]))[:take]
+                sel = cand[order]
+                out_q.append(np.full(sel.shape[0], b_qids[j]))
+                out_n.append(nb[sel])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(b_qids, take),
-                    "neighbor_id": nb[idx.T.ravel()],
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
                 }
             )
 

@@ -114,9 +114,17 @@ CMS_WIDTH = 256  # one md5 byte per row hash — engine-portable like HLL above
 
 
 def _cms_col(key: Column, row: int) -> Column:
-    """Row-``row`` bucket: first byte of md5(row || ':' || key)."""
-    h = F.md5(F.concat(F.lit(f"{row}:"), key.cast("string")))
-    return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    """Row-``row`` bucket: xxhash64 with the row index as seed.
+
+    Unlike the HLL above, the sketch never leaves the engine (only the
+    final EXACT heavy-hitter counts are oracle-compared), so the hash can
+    be the JVM-intrinsic xxhash64 instead of engine-portable md5 — ~10×
+    cheaper per row, which matters when every input row is hashed
+    DEPTH times.
+    """
+    return F.pmod(F.xxhash64(F.lit(row), key.cast("string")), F.lit(CMS_WIDTH)).cast(
+        "int"
+    )
 
 
 def cms_table(df: DataFrame, key_col: str) -> DataFrame:

@@ -245,3 +245,30 @@ def test_gemm_knn_excludes_self(spark):
     queries = emb.filter(F.col("vec_id") < 10)
     rows = brute_force_knn_gemm(emb, queries, k=5).collect()
     assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+
+def test_gemm_knn_zero_norm_query_is_deterministic(spark):
+    """A zero-norm vector normalizes to the zero vector (sim 0.0 to all,
+    not NaN), so the mass tie resolves by neighbor id identically in the
+    JVM window, the numpy batch selection, and any external engine."""
+    from arthur_redshift_etl_spark.operators.similarity import (
+        brute_force_knn,
+        brute_force_knn_gemm,
+    )
+
+    rows = [(0, [0.0] * 8)] + [
+        (i, [float((i * j) % 5 - 2) for j in range(1, 9)]) for i in range(1, 400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 3)  # includes the zero vector
+    jvm = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_knn(df, queries, k=5).collect()
+    }
+    gemm = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_knn_gemm(df, queries, k=5).collect()
+    }
+    assert gemm == jvm
+    # the zero query ties everywhere -> lowest ids win deterministically
+    assert [jvm[(0, r)] for r in range(1, 6)] == [1, 2, 3, 4, 5]
