@@ -224,3 +224,63 @@ def rollup_to_table_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sketch_rollup_stream(
+    events: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+) -> "StreamingQuery":
+    """Continuously maintain a distinct-count HLL register TABLE per day.
+
+    The streaming face of ``operators/sketch.py``: each micro-batch
+    computes its own (day, register, max_rho) partial sketch — 256 rows
+    per day slice no matter the batch size — and merges it into the
+    persisted register table with the sketch's own algebra (UNION ALL +
+    groupBy + MAX, associative and idempotent-under-re-MAX).  Unlike a
+    streaming ``approx_count_distinct`` the state is inspectable,
+    persists as a tiny parquet any engine can read, and rolls up to ANY
+    date window later by re-MAXing — the pattern that distinct-counts
+    100 TB of history without re-reading it.  Estimates come from
+    ``sketch.hll_estimate`` over the stored registers at query time.
+    """
+    from ..operators import sketch as sk
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        with_day = batch_df.select(
+            F.to_date(F.col("ts")).alias("day"), F.col(key_col)
+        )
+        h = F.md5(F.col(key_col).cast("string"))
+        partial = (
+            with_day.select(
+                "day",
+                sk._register(h).alias("register"),
+                sk._rho(h).alias("rho"),
+            )
+            .groupBy("day", "register")
+            .agg(F.max("rho").alias("max_rho"))
+        )
+        import os
+        import shutil
+
+        if os.path.exists(target_path):
+            current = spark.read.parquet(target_path)
+            merged = current.unionByName(partial)
+        else:
+            merged = partial
+        result = merged.groupBy("day", "register").agg(
+            F.max("max_rho").alias("max_rho")
+        )
+        tmp = target_path + f".tmp-{batch_id}"
+        result.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target_path, ignore_errors=True)
+        os.rename(tmp, target_path)
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -199,3 +199,48 @@ def test_rollup_to_table_stream_matches_batch(spark, event_dir, tmp_path):
     assert {tuple(map(str, r)) for r in got.collect()} == {
         tuple(map(str, r)) for r in expect.collect()
     }
+
+
+def test_sketch_rollup_stream_matches_batch_sketch(spark, event_dir, tmp_path):
+    """Streaming per-day HLL register table (merged across micro-batches)
+    == the batch sketch over the same data — the merge algebra (UNION ALL
+    + MAX) is associative, so batch boundaries cannot change the state."""
+    from arthur_redshift_etl_spark.operators import sketch as sk
+    from arthur_redshift_etl_spark.streaming.events import (
+        read_event_stream,
+        sketch_rollup_stream,
+    )
+
+    target = str(tmp_path / "sketch-table")
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    q = sketch_rollup_stream(stream, target, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        (str(r["day"]), r["register"], r["max_rho"])
+        for r in spark.read.parquet(target).collect()
+    }
+    batch = load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    h = F.md5(F.col("user_id").cast("string"))
+    expect = {
+        (str(r["day"]), r["register"], r["max_rho"])
+        for r in batch.select(
+            F.to_date("ts").alias("day"),
+            sk._register(h).alias("register"),
+            sk._rho(h).alias("rho"),
+        )
+        .groupBy("day", "register")
+        .agg(F.max("rho").alias("max_rho"))
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+
+    # estimates derived from the streamed state are within the HLL bound
+    regs = spark.read.parquet(target).groupBy("register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    est = sk.hll_estimate(regs).collect()[0]["hll_estimate"]
+    exact = batch.select("user_id").distinct().count()
+    assert abs(est - exact) <= 4 * sk.hll_error_bound() * exact
