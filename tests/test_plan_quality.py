@@ -241,3 +241,43 @@ def test_bloom_prefilter_semi_join_before_shuffle(spark):
     p = plan(spark, "runtime_bloom_prefilter_join")
     assert re.search(r"BroadcastHashJoin .*LeftSemi", p) or "LeftSemi" in p, p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_chunk_windows_map_only_no_shuffle(spark):
+    """The overlapping chunker is sequence+explode+substring: the plan must
+    contain a Generate (codegen explode) and NO Exchange — chunking a
+    100 TB corpus must never shuffle it."""
+    p = plan(spark, "chunk_overlap_windows")
+    assert "Generate" in p, p
+    # the only allowed Exchange is the loader's deliberate round-robin
+    # spread of the single-file documents table — never a hash shuffle
+    for m in re.finditer(r"\(\d+\) Exchange\nInput[^\n]*\nArguments: (\w+)", p):
+        assert m.group(1) == "RoundRobinPartitioning", p
+    assert "hashpartitioning" not in p, p
+    assert "BatchEvalPython" not in p
+
+
+def test_heavy_hitters_filter_below_exact_groupby(spark):
+    """The CMS candidate filter must sit under the exact aggregate: the
+    wide shuffle may only see prefiltered rows.  The literal-array lookup
+    shows up as element_at/least in the filter above the scan."""
+    p = plan(spark, "heavy_hitter_tokens")
+    # node numbers increase bottom-up in the formatted plan: the candidate
+    # filter (its Condition carries the least(element_at(...)) sketch
+    # lookup) must have a LOWER number than every exact HashAggregate
+    filt = re.search(
+        r"\((\d+)\) Filter\n(?:[^\n]*\n){0,3}?Condition : [^\n]*least\(element_at", p
+    )
+    aggs = [int(n) for n in re.findall(r"\((\d+)\) HashAggregate", p)]
+    assert filt and aggs, p[:2000]
+    assert int(filt.group(1)) < min(aggs), p[:2000]
+    assert "CartesianProduct" not in p
+
+
+def test_gemm_knn_rescore_broadcasts_candidates(spark):
+    """The rescore joins must broadcast the tiny candidate/query sides —
+    a shuffle join here would move the corpus twice."""
+    p = plan(spark, "knn_gemm_topk")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p
