@@ -1,0 +1,155 @@
+"""Distributed BPE merge learning (Sennrich et al. 2016, ACL).
+
+The classic byte-pair-encoding vocabulary learner, restructured for Spark's
+execution model.  The key scalability property comes from the algorithm
+itself: BPE statistics are a function of the WORD-FREQUENCY table, not the
+corpus — so the corpus is scanned exactly once (one partial-aggregatable
+groupBy into ``(word, count)``), and every merge iteration runs over the
+vocabulary table, which is orders of magnitude smaller (distinct words vs
+total tokens; at 100 TB: ~10^7 rows vs ~10^13).
+
+Per iteration:
+
+- adjacent symbol pairs come from ``arrays_zip`` over shifted ``slice``s
+  (JVM, codegen — the same anti-quadratic shape as dedup shingling);
+- pair counts are a partial-aggregatable groupBy weighted by word count;
+- the argmax is ``orderBy(count desc, pair asc).limit(1)`` — ONE row to
+  the driver per iteration (metadata, same class as k-means' convergence
+  scalar; inherent to any iterative fixpoint);
+- the merge is applied to the vocabulary's symbol arrays in an
+  Arrow-batched ``mapInPandas`` (adjacent-pair rewriting is inherently
+  sequential per word — the declared Python-batch exception), and the new
+  vocabulary is cached; the previous cache is released.
+
+Ties break by (count desc, left asc, right asc) so the merge sequence is
+deterministic and reproducible by a single-node reference implementation
+(exact-equality tested).
+
+No reference analog (reference is an ETL orchestrator); built from the
+public BPE paper as part of the training-data pipeline surface.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def word_frequency_table(
+    docs: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """One corpus scan → (word, cnt).  The only pass that touches the data."""
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    w = F.explode(F.split(txt, r"\s+")).alias("w")
+    return (
+        docs.select(w)
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _initial_symbols(word_col: str) -> F.Column:
+    """word → [c1, c2, ..., cn, </w>] without split-by-empty edge cases."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(F.col(word_col))),
+        lambda i: F.col(word_col).substr(i, F.lit(1)),
+    )
+    return F.concat(chars, F.array(F.lit(END)))
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word frequency — one groupBy."""
+    n = F.size(F.col("syms"))
+    pairs = F.arrays_zip(
+        F.slice(F.col("syms"), 1, n - 1).alias("a"),
+        F.slice(F.col("syms"), 2, n - 1).alias("b"),
+    )
+    return (
+        vocab.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"), F.col("cnt"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
+    """Rewrite adjacent (left, right) → left+right in every symbol array.
+
+    Sequential within a word (a merge consumes its right neighbor, so the
+    scan position after a merge depends on the previous decision) — the
+    one genuinely non-relational step, Arrow-batched.
+    """
+    merged = left + right
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out_syms = []
+            for syms in pdf["syms"]:
+                s = list(syms)
+                res: List[str] = []
+                i = 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                out_syms.append(res)
+            yield pd.DataFrame({"syms": out_syms, "cnt": pdf["cnt"]})
+
+    return vocab.mapInPandas(run, "syms array<string>, cnt bigint")
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_count: int = 2,
+    lowercase: bool = True,
+) -> List[Tuple[str, str, int]]:
+    """Learn the first ``n_merges`` BPE merges; returns [(left, right, pair_count)].
+
+    Stops early when the best remaining pair falls under ``min_count``.
+    """
+    spark = docs.sparkSession
+    vocab = (
+        word_frequency_table(docs, text_col, lowercase)
+        .select(_initial_symbols("w").alias("syms"), F.col("cnt"))
+        .cache()
+    )
+    vocab.count()
+    merges: List[Tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            best = (
+                _pair_counts(vocab)
+                .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["pair_count"] < min_count:
+                break
+            a, b, pc = best[0]["a"], best[0]["b"], int(best[0]["pair_count"])
+            merges.append((a, b, pc))
+            new_vocab = _apply_merge(vocab, a, b).cache()
+            new_vocab.count()
+            vocab.unpersist()
+            vocab = new_vocab
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def merges_as_dataframe(spark, merges: List[Tuple[str, str, int]]) -> DataFrame:
+    rows = [(i, a, b, a + b, pc) for i, (a, b, pc) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, pair_count long"
+    )

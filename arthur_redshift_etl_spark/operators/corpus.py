@@ -288,3 +288,46 @@ def chunk_dedup_rebuild(
             F.sum(F.col("is_kept").cast("long")) > 0, F.md5(kept_text)
         ).alias("rebuilt_md5"),
     )
+
+
+def batch_by_length(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-bucketed training batches: minimize padding waste.
+
+    Sorting by token count before slicing into fixed-count batches puts
+    similar-length documents together, so each batch pads to roughly its
+    own length instead of the corpus maximum — the standard dynamic-
+    batching trick.  The global order comes from the distributed two-phase
+    rank (``identity.global_row_number``: range repartition + metadata
+    prefix sum — no single-task sort), batch id is integer division, and
+    the per-batch accounting (padding = n_docs·max_tokens − sum_tokens)
+    is one partial-aggregatable groupBy on a dense integer key.
+    """
+    from .identity import global_row_number
+
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    sized = docs.select(F.col(id_col), n_tokens.alias("n_tokens"))
+    ranked, _total = global_row_number(
+        sized, ["n_tokens", id_col], row_number_column="__grn"
+    )
+    return (
+        ranked.withColumn(
+            "batch_id", F.expr(f"(__grn - 1) div {batch_size}").cast("long")
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .withColumn(
+            "padding_waste",
+            (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens")).cast(
+                "long"
+            ),
+        )
+    )

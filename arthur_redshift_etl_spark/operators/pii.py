@@ -78,3 +78,22 @@ def quarantine_split(
     )
     flagged = counted.filter(F.col("n_pii") > max_pii)
     return clean, flagged
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_identifiers: Sequence[str], k: int = 5
+) -> DataFrame:
+    """Quasi-identifier equivalence classes smaller than ``k``.
+
+    The standard re-identification audit: any combination of
+    quasi-identifier values shared by fewer than k rows singles those rows
+    out.  One partial-aggregatable groupBy over the QI tuple; output is
+    the violating classes with their sizes (empty result == k-anonymous).
+    Run before publishing any dataset carrying demographic columns — the
+    release gate that complements the pattern-based PII scrubbers above.
+    """
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_identifiers])
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .filter(F.col("class_size") < k)
+    )

@@ -5488,3 +5488,82 @@ def chunk_overlap_windows(spark, sf_dir):
         F.length("chunk").cast("int").alias("chunk_len"),
         F.md5("chunk").alias("chunk_md5"),
     )
+
+
+@query(
+    "batch_by_length_docs",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS grn
+      FROM sized
+    )
+    SELECT CAST((grn - 1) // 32 AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding_waste
+    FROM ranked GROUP BY 1
+    """,
+    description=(
+        "length-bucketed training batches (dynamic batching): global sort "
+        "by token count via the distributed two-phase rank (range "
+        "repartition + metadata prefix sum — no single-task window), "
+        "integer-division batch ids, per-batch padding-waste accounting"
+    ),
+)
+def batch_by_length_docs(spark, sf_dir):
+    from .operators.corpus import batch_by_length
+
+    docs = t(spark, sf_dir, "documents")
+    return batch_by_length(docs, batch_size=32)
+
+
+@query(
+    "k_anonymity_customers",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS class_size
+    FROM customer GROUP BY c_nationkey, c_mktsegment HAVING COUNT(*) < 10
+    """,
+    description=(
+        "k-anonymity release gate: quasi-identifier equivalence classes "
+        "(nation, segment) smaller than k=10 — one partial-aggregatable "
+        "groupBy, empty result means the projection is k-anonymous "
+        "(operators/pii.py k_anonymity_report)"
+    ),
+)
+def k_anonymity_customers(spark, sf_dir):
+    from .operators.pii import k_anonymity_report
+
+    cust = t(spark, sf_dir, "customer")
+    return k_anonymity_report(
+        cust.select("c_nationkey", "c_mktsegment"),
+        ["c_nationkey", "c_mktsegment"],
+        k=10,
+    )
+
+
+@query(
+    "bpe_learn_merges",
+    oracle=None,  # iterative fixpoint (argmax depends on prior merges) — not
+    # one-shot-SQL-expressible; exact-equality vs a single-node reference
+    # implementation of the published algorithm is pinned in tests/test_bpe.py
+    description=(
+        "distributed BPE vocabulary learning (Sennrich 2016): ONE corpus "
+        "scan builds the word-frequency table, then every merge iteration "
+        "runs over the (much smaller) vocab — arrays_zip pair counts, "
+        "partial-aggregatable groupBy, 1-row argmax to the driver, "
+        "Arrow-batched merge application; merge sequence deterministic "
+        "(ties by count desc, pair asc) and equal to the reference "
+        "implementation"
+    ),
+)
+def bpe_learn_merges(spark, sf_dir):
+    from .operators import bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe_merges(docs, n_merges=8)
+    return bpe.merges_as_dataframe(spark, merges)
