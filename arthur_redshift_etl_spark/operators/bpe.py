@@ -153,3 +153,58 @@ def merges_as_dataframe(spark, merges: List[Tuple[str, str, int]]) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, left string, right string, merged string, pair_count long"
     )
+
+
+def encode_tokens(
+    docs: DataFrame,
+    merges: List[Tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize with a learned merge table → (id, n_words, n_tokens).
+
+    The encode half of BPE: each word starts as chars+``</w>`` and the
+    merge rules are applied in learned rank order (the standard greedy
+    encode).  The merge list is closure-captured (it is vocabulary
+    metadata, a few thousand pairs at most) and the whole step is one
+    Arrow-batched map — no shuffle, embarrassingly parallel over
+    documents, so it scales exactly like any map-only scan.  Token counts
+    feed the batching/packing operators; the join-of-symbols invariant
+    (merges only concatenate adjacent symbols) makes the output
+    round-trip checkable.
+    """
+    rules = [(a, b, a + b) for a, b, _ in merges]
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        def encode_word(word: str) -> int:
+            syms = list(word) + [END]
+            for a, b, m in rules:
+                i, res = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(m)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            return len(syms)
+
+        for pdf in batches:
+            n_words, n_tokens = [], []
+            for text in pdf[text_col]:
+                ws = [w for w in (text or "").split() if w]
+                if lowercase:
+                    ws = [w.lower() for w in ws]
+                n_words.append(len(ws))
+                n_tokens.append(sum(encode_word(w) for w in ws))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_words": n_words, "n_tokens": n_tokens}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, n_words long, n_tokens long"
+    )

@@ -5567,3 +5567,22 @@ def bpe_learn_merges(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     merges = bpe.learn_bpe_merges(docs, n_merges=8)
     return bpe.merges_as_dataframe(spark, merges)
+
+
+@query(
+    "bpe_token_counts",
+    oracle=None,  # depends on the learned merge table (iterative) — encode
+    # parity + round-trip invariants pinned in tests/test_bpe.py
+    description=(
+        "BPE encode with the learned merge table: per-doc word and token "
+        "counts from one Arrow-batched map-only pass (merge rules are "
+        "closure metadata); feeds batching/packing; more merges never "
+        "increase token counts (invariant-tested)"
+    ),
+)
+def bpe_token_counts(spark, sf_dir):
+    from .operators import bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe_merges(docs, n_merges=8)
+    return bpe.encode_tokens(docs, merges)

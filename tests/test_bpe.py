@@ -72,3 +72,39 @@ def test_bpe_early_stop_and_determinism(spark):
     assert got[0][:2] == ("a", "b") and got[0][2] == 4
     # rerun gives the identical sequence (tie-break determinism)
     assert bpe.learn_bpe_merges(tiny, n_merges=50, min_count=2) == got
+
+
+def test_bpe_encode_round_trip_and_reference_parity(spark):
+    """encode_tokens: token counts equal the reference encoder's, and the
+    symbol-join invariant holds (merges only concatenate, so total chars
+    are preserved — n_tokens decreases monotonically with more merges)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = bpe.learn_bpe_merges(docs, n_merges=8)
+
+    def ref_encode_word(word, rules):
+        syms = list(word) + [bpe.END]
+        for a, b, m in rules:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(m)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return len(syms)
+
+    rules = [(a, b, a + b) for a, b, _ in merges]
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in bpe.encode_tokens(docs, merges).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, text in texts.items():
+        ws = [w.lower() for w in text.split() if w]
+        want = (len(ws), sum(ref_encode_word(w, rules) for w in ws))
+        assert got[doc_id] == want, doc_id
+
+    # more merges => never more tokens
+    fewer = {r["doc_id"]: r["n_tokens"]
+             for r in bpe.encode_tokens(docs, merges[:3]).collect()}
+    assert all(got[d][1] <= fewer[d] for d in got)
