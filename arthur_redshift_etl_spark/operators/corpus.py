@@ -331,3 +331,42 @@ def batch_by_length(
             ),
         )
     )
+
+
+def decontaminate_semantic(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.30,
+) -> DataFrame:
+    """Train docs embedding-similar to ANY eval doc (cross-set contamination).
+
+    The semantic complement to the exact n-gram ``decontaminate_overlap``:
+    paraphrased eval leakage survives n-gram checks but not embedding
+    similarity.  Eval sets are benchmark-sized (thousands), so the
+    normalized eval vectors broadcast and the whole check is a map-only
+    scored scan of train — no shuffle grows with the corpus; output (train
+    id, n_eval_hits, max_sim) scales with contamination.  Exact — every
+    (train, eval) pair is scored; the broadcast side is the small one by
+    construction, which is what makes exactness affordable here when it
+    is not for corpus-vs-corpus dedup.
+    """
+    from .similarity import dot, normalized
+
+    tr = normalized(train, id_col, "train_id", vec_col, "tv")
+    ev = normalized(eval_set, id_col, "eval_id", vec_col, "ev")
+    return (
+        tr.join(F.broadcast(ev))
+        .select(
+            "train_id",
+            F.col("eval_id"),
+            dot(F.col("tv"), F.col("ev")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("sim").alias("max_sim"),
+        )
+    )

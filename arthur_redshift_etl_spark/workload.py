@@ -5586,3 +5586,69 @@ def bpe_token_counts(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     merges = bpe.learn_bpe_merges(docs, n_merges=8)
     return bpe.encode_tokens(docs, merges)
+
+
+@query(
+    "decontaminate_semantic_eval",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ),
+    e AS (SELECT vec_id AS eval_id, vv AS ev FROM v WHERE vec_id % 97 = 0),
+    tr AS (SELECT vec_id AS train_id, vv AS tv FROM v WHERE vec_id % 97 != 0)
+    SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           MAX(list_cosine_similarity(tv, ev)) AS max_sim
+    FROM tr, e
+    WHERE list_cosine_similarity(tv, ev) >= 0.30
+    GROUP BY train_id
+    """,
+    description=(
+        "semantic cross-set decontamination: train embeddings scored "
+        "against the BROADCAST normalized eval set (benchmark-sized by "
+        "construction) — map-only exact scan, output scales with "
+        "contamination; the paraphrase-robust complement to the exact "
+        "n-gram overlap check (operators/corpus.py decontaminate_semantic)"
+    ),
+)
+def decontaminate_semantic_eval(spark, sf_dir):
+    from .operators.corpus import decontaminate_semantic
+
+    emb = t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 97 == 0)
+    tr = emb.filter(F.col("vec_id") % 97 != 0)
+    return decontaminate_semantic(tr, ev, threshold=0.30)
+
+
+@query(
+    "inverted_index_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) u WHERE tok <> ''
+    )
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM toks GROUP BY tok
+    """,
+    description=(
+        "inverted token index (IR primitive): distinct (doc, token) pairs "
+        "-> per-token document frequency + sorted posting list; one "
+        "partial-aggregatable distinct + one groupBy, posting order pinned "
+        "by sort_array for engine-independent output"
+    ),
+)
+def inverted_index_tokens(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    return toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
