@@ -284,3 +284,48 @@ def sketch_rollup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cms_rollup_stream(
+    events: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+) -> "StreamingQuery":
+    """Continuously maintain a count-min sketch TABLE from an event stream.
+
+    Counter sketches are ADDITIVE (unlike HLL's max-merge): each
+    micro-batch's bounded (row, col, cnt) table merges into the persisted
+    sketch by UNION ALL + SUM, so the state is DEPTH×WIDTH rows forever
+    while supporting frequency estimates over the whole stream history —
+    query with ``sketch.cms_estimate_col`` over ``sketch.collect_cms`` of
+    the stored table.  Same staged-swap/checkpoint discipline as the
+    other foreachBatch maintainers.
+    """
+    from ..operators import sketch as sk
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = sk.cms_table(batch_df, key_col)
+        import os
+        import shutil
+
+        if os.path.exists(target_path):
+            current = spark.read.parquet(target_path)
+            merged = current.unionByName(partial)
+        else:
+            merged = partial
+        result = merged.groupBy("row", "col").agg(
+            F.sum("cnt").alias("cnt")
+        )
+        tmp = target_path + f".tmp-{batch_id}"
+        result.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target_path, ignore_errors=True)
+        os.rename(tmp, target_path)
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

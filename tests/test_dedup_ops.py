@@ -417,3 +417,42 @@ def test_chunk_overlapping_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_overlapping(df, size=10, overlap=10)
+
+
+def test_chunk_overlapping_property_random_params(spark):
+    """Random (size, overlap, text length) vs a Python reference: same
+    chunk count, same chunk contents, full coverage."""
+    import random
+
+    from arthur_redshift_etl_spark.operators.text import chunk_overlapping
+
+    rng = random.Random(7)
+    cases = []
+    for i in range(40):
+        size = rng.randint(2, 40)
+        overlap = rng.randint(0, size - 1)
+        n = rng.randint(0, 120)
+        text = "".join(rng.choice("abcdef ") for _ in range(n))
+        cases.append((i, size, overlap, text))
+
+    def ref_chunks(text, size, overlap):
+        step = size - overlap
+        import math
+
+        n_chunks = max(1, math.ceil(max(0, len(text) - overlap) / step))
+        return [text[i * step : i * step + size] for i in range(n_chunks)]
+
+    # group cases by (size, overlap) since the operator takes them as args
+    by_params = {}
+    for i, size, overlap, text in cases:
+        by_params.setdefault((size, overlap), []).append((i, text))
+    for (size, overlap), rows in by_params.items():
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in chunk_overlapping(df, size=size, overlap=overlap).collect():
+            got.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk"]))
+        for doc_id, text in rows:
+            chunks = [c for _, c in sorted(got[doc_id])]
+            assert chunks == ref_chunks(text, size, overlap), (
+                doc_id, size, overlap, text,
+            )

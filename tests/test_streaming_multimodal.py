@@ -244,3 +244,42 @@ def test_sketch_rollup_stream_matches_batch_sketch(spark, event_dir, tmp_path):
     est = sk.hll_estimate(regs).collect()[0]["hll_estimate"]
     exact = batch.select("user_id").distinct().count()
     assert abs(est - exact) <= 4 * sk.hll_error_bound() * exact
+
+
+def test_cms_rollup_stream_matches_batch_sketch(spark, event_dir, tmp_path):
+    """Streamed CMS (additive merge across micro-batches) == batch sketch,
+    and estimates from the streamed state never undercount."""
+    from arthur_redshift_etl_spark.operators import sketch as sk
+    from arthur_redshift_etl_spark.streaming.events import (
+        cms_rollup_stream,
+        read_event_stream,
+    )
+
+    target = str(tmp_path / "cms-table")
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    q = cms_rollup_stream(stream, target, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in spark.read.parquet(target).collect()
+    }
+    batch = load_table(spark, SF, "events")
+    want = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in sk.cms_table(batch, "user_id").collect()
+    }
+    assert got == want and len(got) > 0
+
+    flat = sk.collect_cms(spark.read.parquet(target))
+    exact = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    ests = {
+        r["user_id"]: r["est"]
+        for r in batch.select("user_id").distinct()
+        .withColumn("est", sk.cms_estimate_col(flat, F.col("user_id")))
+        .collect()
+    }
+    assert all(ests[k] >= v for k, v in exact.items())
