@@ -120,31 +120,34 @@ def learn_bpe_merges(
     Stops early when the best remaining pair falls under ``min_count``.
     """
     spark = docs.sparkSession
-    vocab = (
-        word_frequency_table(docs, text_col, lowercase)
-        .select(_initial_symbols("w").alias("syms"), F.col("cnt"))
-        .cache()
+    vocab = word_frequency_table(docs, text_col, lowercase).select(
+        _initial_symbols("w").alias("syms"), F.col("cnt")
     )
-    vocab.count()
+    # Iterative loops on growing lineage are quadratic in Catalyst analysis
+    # time (cache truncates execution, NOT the logical plan) —
+    # localCheckpoint truncates both, so each iteration plans a constant-
+    # size job.  Partition count is sized to the VOCAB (typically orders of
+    # magnitude below the corpus): tiny vocabularies would otherwise pay
+    # shuffle-partitions × task overhead per iteration for rows that fit
+    # in one task.  (localCheckpoint state is executor-local; an iterative
+    # fixpoint restarts from scratch on executor loss, which is the right
+    # trade for ephemeral loop state.)
+    n_vocab = vocab.count()
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n_vocab // 65536 + 1))
+    vocab = vocab.repartition(parts).localCheckpoint()
     merges: List[Tuple[str, str, int]] = []
-    try:
-        for _ in range(n_merges):
-            best = (
-                _pair_counts(vocab)
-                .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
-                .limit(1)
-                .collect()
-            )
-            if not best or best[0]["pair_count"] < min_count:
-                break
-            a, b, pc = best[0]["a"], best[0]["b"], int(best[0]["pair_count"])
-            merges.append((a, b, pc))
-            new_vocab = _apply_merge(vocab, a, b).cache()
-            new_vocab.count()
-            vocab.unpersist()
-            vocab = new_vocab
-    finally:
-        vocab.unpersist()
+    for _ in range(n_merges):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pair_count"] < min_count:
+            break
+        a, b, pc = best[0]["a"], best[0]["b"], int(best[0]["pair_count"])
+        merges.append((a, b, pc))
+        vocab = _apply_merge(vocab, a, b).localCheckpoint()
     return merges
 
 
