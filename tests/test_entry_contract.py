@@ -55,3 +55,26 @@ def test_entry_importable_from_foreign_cwd_with_preexisting_session():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "ENTRY_CONTRACT_OK" in proc.stdout
+
+
+def test_rotation_front_block_fits_driver_sample():
+    """The driver samples the FIRST 50 catalog entries per round; the
+    rotation puts never-driver-sampled entries first.  If more than 50
+    entries lack driver evidence, some would stay unsampled ANOTHER
+    round — fail here so the catalog keeps full driver-grade coverage
+    within one rotation."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry_rot__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from arthur_redshift_etl_spark.workload import REGISTRY
+
+    unverified = [k for k in REGISTRY if k not in mod._DRIVER_VERIFIED]
+    assert len(unverified) <= 50, (
+        f"{len(unverified)} entries lack a driver row; the next driver "
+        f"sample holds 50 — trim additions or accept a second rotation: "
+        f"{unverified}"
+    )
