@@ -5629,14 +5629,15 @@ def decontaminate_semantic_eval(spark, sf_dir):
       ) u WHERE tok <> ''
     )
     SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
-           list(doc_id ORDER BY doc_id) AS postings
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
     FROM toks GROUP BY tok
     """,
     description=(
         "inverted token index (IR primitive): distinct (doc, token) pairs "
         "-> per-token document frequency + sorted posting list; one "
         "partial-aggregatable distinct + one groupBy, posting order pinned "
-        "by sort_array for engine-independent output"
+        "by sort_array and serialized canonically (comma-joined) so the "
+        "value hash is engine- and array-representation-independent"
     ),
 )
 def inverted_index_tokens(spark, sf_dir):
@@ -5650,5 +5651,7 @@ def inverted_index_tokens(spark, sf_dir):
     )
     return toks.groupBy("tok").agg(
         F.count(F.lit(1)).alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+            "postings"
+        ),
     )
