@@ -161,6 +161,41 @@ def dedup_stream(events: DataFrame, keys=("event_id",),
     )
 
 
+def _committed_batch_id(target_path: str):
+    """Batch id carried INSIDE the maintained table directory.
+
+    foreachBatch is at-least-once at the commit boundary: a crash between
+    the table swap and the checkpoint commit replays the batch, which
+    would double-merge any non-idempotent (additive) state.  Writing the
+    batch id into the staged directory BEFORE the atomic rename makes
+    marker and data inseparable — on replay the maintainer sees its own
+    id and skips.  (Spark readers ignore underscore-prefixed files, like
+    _SUCCESS.)  The target and its checkpoint are a pair: re-pointing an
+    existing table at a fresh checkpoint restarts batch ids and must
+    start from an empty target.
+    """
+    import os
+
+    marker = os.path.join(target_path, "_batch_id")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return int(f.read().strip())
+    return None
+
+
+def _swap_with_marker(result: DataFrame, target_path: str, batch_id: int) -> None:
+    """Stage + marker + atomic rename: readers never see partial state."""
+    import os
+    import shutil
+
+    tmp = target_path + f".tmp-{batch_id}"
+    result.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_batch_id"), "w") as f:
+        f.write(str(batch_id))
+    shutil.rmtree(target_path, ignore_errors=True)
+    os.rename(tmp, target_path)
+
+
 def rollup_to_table_stream(
     events: DataFrame,
     target_path: str,
@@ -179,6 +214,9 @@ def rollup_to_table_stream(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        committed = _committed_batch_id(target_path)
+        if committed is not None and batch_id <= committed:
+            return  # replayed batch already merged (see _committed_batch_id)
         partials = (
             batch_df.groupBy(
                 F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
@@ -208,15 +246,7 @@ def rollup_to_table_stream(
                 F.sum("p_sum").cast("decimal(22,2)").alias("p_sum"),
             )
         )
-        # stage + swap: readers of target_path never see a partial write
-        tmp = target_path + f".tmp-{batch_id}"
-        result.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        shutil.rmtree(target_path, ignore_errors=True)
-        import os
-
-        os.rename(tmp, target_path)
+        _swap_with_marker(result, target_path, batch_id)
 
     return (
         events.writeStream.foreachBatch(merge_batch)
@@ -249,6 +279,9 @@ def sketch_rollup_stream(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        committed = _committed_batch_id(target_path)
+        if committed is not None and batch_id <= committed:
+            return  # MAX-merge is idempotent, but skipping is still cheaper
         with_day = batch_df.select(
             F.to_date(F.col("ts")).alias("day"), F.col(key_col)
         )
@@ -273,10 +306,7 @@ def sketch_rollup_stream(
         result = merged.groupBy("day", "register").agg(
             F.max("max_rho").alias("max_rho")
         )
-        tmp = target_path + f".tmp-{batch_id}"
-        result.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(target_path, ignore_errors=True)
-        os.rename(tmp, target_path)
+        _swap_with_marker(result, target_path, batch_id)
 
     return (
         events.writeStream.foreachBatch(merge_batch)
@@ -306,6 +336,9 @@ def cms_rollup_stream(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        committed = _committed_batch_id(target_path)
+        if committed is not None and batch_id <= committed:
+            return  # additive merge would double-count a replayed batch
         partial = sk.cms_table(batch_df, key_col)
         import os
         import shutil
@@ -318,10 +351,7 @@ def cms_rollup_stream(
         result = merged.groupBy("row", "col").agg(
             F.sum("cnt").alias("cnt")
         )
-        tmp = target_path + f".tmp-{batch_id}"
-        result.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(target_path, ignore_errors=True)
-        os.rename(tmp, target_path)
+        _swap_with_marker(result, target_path, batch_id)
 
     return (
         events.writeStream.foreachBatch(merge_batch)
