@@ -97,3 +97,40 @@ def k_anonymity_report(
         .agg(F.count(F.lit(1)).alias("class_size"))
         .filter(F.col("class_size") < k)
     )
+
+
+def forget_rows(
+    df: DataFrame, requests: DataFrame, key_col: str
+) -> "tuple[DataFrame, DataFrame]":
+    """Right-to-be-forgotten: remove all rows for requested keys, with audit.
+
+    Returns ``(scrubbed, audit)``: the scrubbed frame is a broadcast
+    LEFT ANTI join (deletion lists are request-sized, not corpus-sized —
+    map-only against the fact table), and the audit is a one-row frame
+    (rows_before, rows_removed, rows_after, residual_matches) where
+    ``residual_matches`` re-checks the scrubbed output against the request
+    list — a publish gate must see 0 there, computed from the actual
+    output, not inferred.  At 100 TB this is the rewrite step of a
+    delete-then-reload (loader.py staged swap); the operator owns the
+    semantics, the loader owns atomicity.
+    """
+    keys = requests.select(key_col).distinct()
+    scrubbed = df.join(F.broadcast(keys), key_col, "left_anti")
+    before = df.agg(F.count(F.lit(1)).alias("rows_before"))
+    removed = df.join(F.broadcast(keys), key_col, "left_semi").agg(
+        F.count(F.lit(1)).alias("rows_removed")
+    )
+    residual = scrubbed.join(F.broadcast(keys), key_col, "left_semi").agg(
+        F.count(F.lit(1)).alias("residual_matches")
+    )
+    audit = (
+        before.crossJoin(F.broadcast(removed))
+        .crossJoin(F.broadcast(residual))
+        .select(
+            "rows_before",
+            "rows_removed",
+            (F.col("rows_before") - F.col("rows_removed")).alias("rows_after"),
+            "residual_matches",
+        )
+    )
+    return scrubbed, audit

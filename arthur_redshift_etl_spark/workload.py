@@ -5655,3 +5655,29 @@ def inverted_index_tokens(spark, sf_dir):
             "postings"
         ),
     )
+
+
+@query(
+    "forget_user_events",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS rows_before,
+           CAST((SELECT COUNT(*) FROM events WHERE user_id % 101 = 7) AS BIGINT)
+             AS rows_removed,
+           CAST((SELECT COUNT(*) FROM events WHERE user_id % 101 != 7) AS BIGINT)
+             AS rows_after,
+           CAST(0 AS BIGINT) AS residual_matches
+    """,
+    description=(
+        "right-to-be-forgotten flow: request-list broadcast anti-join "
+        "scrub + one-row audit whose residual_matches re-checks the ACTUAL "
+        "scrubbed output against the request list (publish gate reads 0 "
+        "from evidence, not inference); operators/pii.py forget_rows"
+    ),
+)
+def forget_user_events(spark, sf_dir):
+    from .operators.pii import forget_rows
+
+    ev = t(spark, sf_dir, "events")
+    requests = ev.filter(F.col("user_id") % 101 == 7).select("user_id")
+    _scrubbed, audit = forget_rows(ev, requests, "user_id")
+    return audit

@@ -49,6 +49,7 @@ ALLOWED_NL_JOIN = {
     "hll_distinct_users": "1-row exact-distinct comparison aggregate broadcast",
     "hll_set_ops_events": "1-row sketch-estimate aggregates broadcast (a/b/union/exact)",
     "dq_expectations_orders": "1-row orphan-count aggregate broadcast into the report row",
+    "forget_user_events": "1-row before/removed/residual audit aggregates broadcast",
     "ann_int8_search": (
         "1-row scale broadcast + query-set broadcast vs corpus — same scored "
         "scan as knn_bruteforce, integer codes"
