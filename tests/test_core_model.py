@@ -156,3 +156,32 @@ def test_warehouse_config_model(tmp_path):
 
     with _pytest.raises(ETLConfigError):
         WarehouseConfig.from_dict({"schemas": [{"name": "a"}, {"name": "a"}]})
+
+
+def test_compat_rewrite_is_idempotent_over_dialect_corpus():
+    """rewrite(rewrite(x)) == rewrite(x): the shim's output must be valid
+    Spark SQL that a second pass leaves untouched — a rewrite that
+    re-triggers on its own output (e.g. QUALIFY unwrapping twice, DECODE
+    matching a produced CASE) would corrupt staged-query pipelines that
+    pass SQL through the shim more than once (loader staging rewrites do)."""
+    from arthur_redshift_etl_spark.functions import rewrite_redshift_sql
+
+    corpus = [
+        "SELECT GETDATE(), SYSDATE FROM t",
+        "SELECT NVL(a, b), NVL2(a, b, c) FROM t",
+        "SELECT DECODE(status, 'O', 'open', 'C', 'closed', 'other') FROM t",
+        "SELECT LISTAGG(name, ', ') WITHIN GROUP (ORDER BY name) FROM t GROUP BY g",
+        "SELECT LISTAGG(DISTINCT name, ',') FROM t GROUP BY g",
+        "SELECT MEDIAN(x) FROM t GROUP BY g",
+        "SELECT CONVERT_TIMEZONE('America/New_York', ts) FROM t",
+        "SELECT DATEADD(day, 3, d), DATEDIFF(hour, a, b) FROM t",
+        "SELECT * FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) = 1",
+        "SELECT TO_CHAR(ts, 'YYYY-MM') FROM t",
+        "SELECT JSON_EXTRACT_PATH_TEXT(j, 'a', 'b') FROM t",
+        ("SELECT DECODE(a, 1, NVL(b, c), MEDIAN(d)) FROM t "
+         "QUALIFY RANK() OVER (ORDER BY e) <= 2"),
+    ]
+    for sql in corpus:
+        once = rewrite_redshift_sql(sql)
+        twice = rewrite_redshift_sql(once)
+        assert twice == once, f"not idempotent for: {sql}\nonce: {once}\ntwice: {twice}"
