@@ -185,3 +185,35 @@ def test_unload_order_by_produces_globally_ordered_files(spark, tmp_path):
             keys.extend(int(line.strip().strip('"')) for line in fh if line.strip())
     assert len(keys) == orders.count()
     assert keys == sorted(keys)  # file-name order == global key order
+
+
+def test_read_source_schema_evolution_added_column(spark, tmp_path):
+    """A lake location whose later part files added a column must read
+    cleanly under the design schema: early files yield NULL for the new
+    column (per-file name-based reconciliation), no mergeSchema pass —
+    the design schema IS the contract, exactly like COPY into a table
+    whose DDL already has the column."""
+    from pyspark.sql import types as T
+
+    from arthur_redshift_etl_spark.sources.files import read_source
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "overwrite"
+    ).parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(d)
+
+    design = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    rows = {
+        r["id"]: (r["name"], r["score"])
+        for r in read_source(spark, d, "parquet", schema=design).collect()
+    }
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
