@@ -207,3 +207,54 @@ def heavy_hitters_exact(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= threshold)
     )
+
+
+def hll_registers_grouped(
+    df: DataFrame, key_col: str, group_cols: list
+) -> DataFrame:
+    """Per-group sketch state: (group..., register, max_rho).
+
+    Same algebra as :func:`hll_registers` with the group key carried
+    through — ≤ 256 rows PER GROUP regardless of input size, still
+    partial-aggregatable, still MAX-mergeable across batches.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    return (
+        df.select(
+            *[F.col(c) for c in group_cols],
+            _register(h).alias("register"),
+            _rho(h).alias("rho"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_grouped(registers: DataFrame, group_cols: list) -> DataFrame:
+    """Collapse per-group register tables to one estimate row per group.
+
+    Identical arithmetic to :func:`hll_estimate` (exact scaled-integer
+    indicator sum, one double division, linear counting under 2.5·m) —
+    applied per group in ONE aggregation, so estimating distincts for a
+    million daily/source slices costs a single shuffle on the group key.
+    """
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("m_used"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - max_rho)")).alias("used_sum"),
+    )
+    empty = F.lit(M) - F.col("m_used")
+    sums = agg.select(
+        *[F.col(c) for c in group_cols],
+        F.lit(M).alias("m"),
+        F.col("m_used"),
+        (F.col("used_sum") + empty.cast("long") * F.lit(1 << 33)).alias("int_sum"),
+        empty.alias("m_empty"),
+    )
+    raw = F.lit(ALPHA_M * M * M * float(1 << 33)) / F.col("int_sum")
+    linear = F.lit(float(M)) * F.log(F.lit(float(M)) / F.col("m_empty").cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * M)) & (F.col("m_empty") > 0), linear
+    ).otherwise(raw)
+    return sums.select(
+        *group_cols, "m", "m_used", "int_sum", est.alias("hll_estimate")
+    )

@@ -5681,3 +5681,59 @@ def forget_user_events(spark, sf_dir):
     requests = ev.filter(F.col("user_id") % 101 == 7).select("user_id")
     _scrubbed, audit = forget_rows(ev, requests, "user_id")
     return audit
+
+
+@query(
+    "hll_daily_users",
+    oracle="""
+    WITH hashed AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS INTEGER)
+               AS register,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8)) AS BIGINT)
+               AS v
+      FROM events
+    ),
+    regs AS (
+      SELECT day, register,
+             MAX(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS max_rho
+      FROM hashed GROUP BY day, register
+    ),
+    sums AS (
+      SELECT day, COUNT(*) AS m_used,
+             SUM(CAST(1 AS BIGINT) << (33 - max_rho)) AS used_sum
+      FROM regs GROUP BY day
+    ),
+    sketch AS (
+      SELECT day, CAST(256 AS INTEGER) AS m,
+             CAST(m_used AS BIGINT) AS m_used,
+             CAST(used_sum + (256 - m_used) * (CAST(1 AS BIGINT) << 33) AS BIGINT)
+               AS int_sum,
+             CAST(256 - m_used AS BIGINT) AS m_empty
+      FROM sums
+    )
+    SELECT day, m, m_used, int_sum,
+           CASE WHEN (404351522913636.8 / int_sum)
+                     <= 640.0 AND m_empty > 0
+                THEN 256.0 * ln(256.0 / m_empty)
+                ELSE 404351522913636.8 / int_sum
+           END AS hll_estimate
+    FROM sketch
+    """,
+    description=(
+        "per-day grouped HLL distinct-user estimates: the production shape "
+        "of the sketch — one shuffle on (day, register), <= 256 rows per "
+        "day, estimates for every slice in one aggregation; same exact "
+        "integer state + single-division arithmetic as the global entry so "
+        "the float estimate is bit-identical across engines "
+        "(operators/sketch.py hll_registers_grouped/hll_estimate_grouped)"
+    ),
+)
+def hll_daily_users(spark, sf_dir):
+    from .operators import sketch as sk
+
+    events = t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    regs = sk.hll_registers_grouped(events, "user_id", ["day"])
+    return sk.hll_estimate_grouped(regs, ["day"])
