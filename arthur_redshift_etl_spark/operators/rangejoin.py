@@ -35,11 +35,19 @@ def bucketed_interval_join(
     only match left rows in its own or adjacent buckets, so the right side
     is exploded to 3 bucket keys and the join is a plain equi-join on
     (extra_keys…, bucket) followed by the exact predicate.
+
+    The gap predicate compares MICROSECONDS (``unix_micros``), not
+    truncated whole seconds: second-truncation made boundary pairs
+    engine-dependent (one engine floors fractional seconds, another
+    rounds — a pair at exactly the gap limit then flips in or out).
+    Integer microseconds are exact in every engine.
     """
     extra_keys = list(extra_keys or [])
-    width = F.lit(max_gap_seconds)
-    lb = (F.unix_timestamp(F.col(left_ts).cast("timestamp")) / width).cast("long")
-    rb = (F.unix_timestamp(F.col(right_ts).cast("timestamp")) / width).cast("long")
+    width_us = F.lit(max_gap_seconds * 1_000_000)
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    lb = (l_us / width_us).cast("long")
+    rb = (r_us / width_us).cast("long")
 
     l = left.withColumn("__bucket", lb)
     r = right.withColumn(
@@ -47,9 +55,9 @@ def bucketed_interval_join(
     )
     joined = l.join(r, extra_keys + ["__bucket"], how)
     exact = F.abs(
-        F.unix_timestamp(F.col(left_ts).cast("timestamp"))
-        - F.unix_timestamp(F.col(right_ts).cast("timestamp"))
-    ) <= F.lit(max_gap_seconds)
+        F.unix_micros(F.col(left_ts).cast("timestamp"))
+        - F.unix_micros(F.col(right_ts).cast("timestamp"))
+    ) <= width_us
     return joined.filter(exact).drop("__bucket")
 
 

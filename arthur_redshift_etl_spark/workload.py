@@ -1841,11 +1841,12 @@ from .operators.rangejoin import bucketed_interval_join, gapfill_time_buckets
     FROM events a JOIN events b
       ON a.user_id = b.user_id
      AND b.event_id != a.event_id
-     AND abs(CAST(epoch(a.ts) AS BIGINT) - CAST(epoch(b.ts) AS BIGINT)) <= 300
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
     WHERE a.event_type = 'error'
     """,
     description="range join: events within ±5 min of each error, same user "
-    "(bucketed equi-join, no cartesian)",
+    "(bucketed equi-join, no cartesian; microsecond-exact gap predicate — "
+    "second truncation made boundary pairs engine-dependent)",
 )
 def range_join_error_context(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
