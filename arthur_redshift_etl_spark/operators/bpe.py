@@ -19,7 +19,9 @@ Per iteration:
 - the merge is applied to the vocabulary's symbol arrays in an
   Arrow-batched ``mapInPandas`` (adjacent-pair rewriting is inherently
   sequential per word — the declared Python-batch exception), and the new
-  vocabulary is cached; the previous cache is released.
+  vocabulary is localCheckpoint'd (constant-size plans); superseded
+  checkpoints are released via reference-drop + ContextCleaner, with a
+  periodic Python GC so py4j hands the references back promptly.
 
 Ties break by (count desc, left asc, right asc) so the merge sequence is
 deterministic and reproducible by a single-node reference implementation
@@ -126,15 +128,21 @@ def learn_bpe_merges(
     # Iterative loops on growing lineage are quadratic in Catalyst analysis
     # time (cache truncates execution, NOT the logical plan) —
     # localCheckpoint truncates both, so each iteration plans a constant-
-    # size job.  Partition count is sized to the VOCAB (typically orders of
+    # size job.  Checkpoint FIRST, then count the checkpointed blocks: the
+    # reverse order would run the corpus-sized word-frequency groupBy twice
+    # (once for the count, once recomputed by the eager checkpoint),
+    # breaking the one-corpus-scan contract in the module docstring.
+    # Partition count is then sized to the VOCAB (typically orders of
     # magnitude below the corpus): tiny vocabularies would otherwise pay
     # shuffle-partitions × task overhead per iteration for rows that fit
     # in one task.  (localCheckpoint state is executor-local; an iterative
     # fixpoint restarts from scratch on executor loss, which is the right
     # trade for ephemeral loop state.)
-    n_vocab = vocab.count()
+    vocab = vocab.localCheckpoint()
+    n_vocab = vocab.count()  # vocab-sized job over checkpointed blocks
     parts = max(1, min(spark.sparkContext.defaultParallelism, n_vocab // 65536 + 1))
-    vocab = vocab.repartition(parts).localCheckpoint()
+    if parts != vocab.rdd.getNumPartitions():
+        vocab = vocab.repartition(parts).localCheckpoint()
     merges: List[Tuple[str, str, int]] = []
     for _ in range(n_merges):
         best = (
@@ -148,6 +156,16 @@ def learn_bpe_merges(
         a, b, pc = best[0]["a"], best[0]["b"], int(best[0]["pair_count"])
         merges.append((a, b, pc))
         vocab = _apply_merge(vocab, a, b).localCheckpoint()
+        # Superseded checkpoints are freed by Spark's ContextCleaner once
+        # their reference is dropped (the reassignment above) — there is no
+        # public API to free localCheckpoint blocks eagerly.  Collect the
+        # Python side periodically so py4j releases the JVM references
+        # promptly on long merge runs instead of letting n_merges vocab
+        # copies await interpreter GC in executor storage.
+        if len(merges) % 32 == 0:
+            import gc
+
+            gc.collect()
     return merges
 
 
@@ -178,6 +196,14 @@ def encode_tokens(
     round-trip checkable.
     """
     rules = [(a, b, a + b) for a, b, _ in merges]
+    # Tokenize with the SAME word boundaries the learner used: Java's \s+
+    # (word_frequency_table) is ASCII-only, while Python's str.split()
+    # splits on all Unicode whitespace — a document containing U+00A0
+    # would otherwise be counted against a vocabulary learned from
+    # different words.
+    import re
+
+    ws_re = re.compile(r"[ \t\r\n\x0b\x0c]+")
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd
@@ -199,7 +225,7 @@ def encode_tokens(
         for pdf in batches:
             n_words, n_tokens = [], []
             for text in pdf[text_col]:
-                ws = [w for w in (text or "").split() if w]
+                ws = [w for w in ws_re.split(text or "") if w]
                 if lowercase:
                     ws = [w.lower() for w in ws]
                 n_words.append(len(ws))

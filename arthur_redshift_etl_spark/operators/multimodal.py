@@ -256,9 +256,6 @@ def payload_stats(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(run, PAYLOAD_STATS_SCHEMA)
 
 
-RESIZED_SCHEMA = (
-    "media_id long, payload binary, width int, height int"
-)
 
 
 def resize_images(
@@ -282,9 +279,9 @@ def resize_images(
         import pandas as pd
 
         for pdf in batches:
-            out = {"media_id": [], "payload": [], "width": [], "height": []}
+            out = {id_col: [], "payload": [], "width": [], "height": []}
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
-                out["media_id"].append(mid)
+                out[id_col].append(mid)
                 if p is None:
                     out["payload"].append(None)
                     out["width"].append(None)
@@ -298,12 +295,11 @@ def resize_images(
                 out["height"].append(img.height)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+    # id column name follows the caller (integral ids — Arrow long)
+    schema = f"{id_col} long, payload binary, width int, height int"
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
-DOWNSAMPLED_SCHEMA = (
-    "media_id long, payload binary, sample_rate int, n_frames long"
-)
 
 
 def downsample_audio(
@@ -324,10 +320,10 @@ def downsample_audio(
         import pandas as pd
 
         for pdf in batches:
-            out = {"media_id": [], "payload": [], "sample_rate": [],
+            out = {id_col: [], "payload": [], "sample_rate": [],
                    "n_frames": []}
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
-                out["media_id"].append(mid)
+                out[id_col].append(mid)
                 if p is None:
                     out["payload"].append(None)
                     out["sample_rate"].append(None)
@@ -345,4 +341,5 @@ def downsample_audio(
                 out["n_frames"].append(int(aud.samples.shape[0]))
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(run, DOWNSAMPLED_SCHEMA)
+    schema = f"{id_col} long, payload binary, sample_rate int, n_frames long"
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

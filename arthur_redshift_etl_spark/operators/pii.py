@@ -116,21 +116,26 @@ def forget_rows(
     """
     keys = requests.select(key_col).distinct()
     scrubbed = df.join(F.broadcast(keys), key_col, "left_anti")
-    before = df.agg(F.count(F.lit(1)).alias("rows_before"))
-    removed = df.join(F.broadcast(keys), key_col, "left_semi").agg(
-        F.count(F.lit(1)).alias("rows_removed")
+    # One scan for before+removed: broadcast-left-join a request marker and
+    # count both in the same aggregation (separate agg jobs would scan the
+    # 100 TB fact table once per number).  The residual check is a second,
+    # unavoidable scan — it is the evidence, computed from the ACTUAL
+    # scrubbed output, not inferred from the arithmetic.
+    marker = keys.withColumn("__requested", F.lit(1))
+    before_removed = (
+        df.join(F.broadcast(marker), key_col, "left")
+        .agg(
+            F.count(F.lit(1)).alias("rows_before"),
+            F.count("__requested").alias("rows_removed"),
+        )
     )
     residual = scrubbed.join(F.broadcast(keys), key_col, "left_semi").agg(
         F.count(F.lit(1)).alias("residual_matches")
     )
-    audit = (
-        before.crossJoin(F.broadcast(removed))
-        .crossJoin(F.broadcast(residual))
-        .select(
-            "rows_before",
-            "rows_removed",
-            (F.col("rows_before") - F.col("rows_removed")).alias("rows_after"),
-            "residual_matches",
-        )
+    audit = before_removed.crossJoin(F.broadcast(residual)).select(
+        "rows_before",
+        "rows_removed",
+        (F.col("rows_before") - F.col("rows_removed")).alias("rows_after"),
+        "residual_matches",
     )
     return scrubbed, audit

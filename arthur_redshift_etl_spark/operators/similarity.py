@@ -304,7 +304,10 @@ def brute_force_knn_gemm(
     select the same ids every engine would; and the surviving candidates
     are RE-SCORED with the same deterministic sequential ``dot`` used by
     brute_force_knn before the final rank — so output ordering is
-    bit-identical to the JVM baseline and to an external oracle.
+    bit-identical to the JVM baseline.  (Agreement with an EXTERNAL
+    oracle additionally requires the data's similarity gaps to exceed the
+    cross-engine ulp difference — the same caveat brute_force_knn itself
+    carries, since the oracle's cosine arithmetic differs in rounding.)
 
     Two narrow scans of the collection (candidate scan + rescore join with
     the tiny broadcast candidate set), zero wide shuffles; the final window

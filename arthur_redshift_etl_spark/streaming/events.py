@@ -176,6 +176,7 @@ def _committed_batch_id(target_path: str):
     """
     import os
 
+    _recover_swapped(target_path)
     marker = os.path.join(target_path, "_batch_id")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -183,8 +184,31 @@ def _committed_batch_id(target_path: str):
     return None
 
 
+def _recover_swapped(target_path: str) -> None:
+    """Heal a crash inside :func:`_swap_with_marker`.
+
+    The swap renames the live table ASIDE (never deletes it first): if the
+    process died between rename-aside and rename-in, the table is at
+    ``target.old`` and must be restored — otherwise a replayed batch would
+    silently re-initialize the accumulated state from one batch's
+    partials.  If both exist, the swap completed and ``.old`` is garbage.
+    """
+    import os
+    import shutil
+
+    old = target_path + ".old"
+    if os.path.exists(old):
+        if os.path.exists(target_path):
+            shutil.rmtree(old, ignore_errors=True)  # swap finished; leftover
+        else:
+            os.rename(old, target_path)  # swap died mid-way; restore
+
+
 def _swap_with_marker(result: DataFrame, target_path: str, batch_id: int) -> None:
-    """Stage + marker + atomic rename: readers never see partial state."""
+    """Stage + marker + rename-aside + rename-in: readers never see partial
+    state, and NO crash point loses the previous table (the old state is
+    renamed aside, not deleted, until the new table is live — see
+    :func:`_recover_swapped` for the healing half)."""
     import os
     import shutil
 
@@ -192,8 +216,12 @@ def _swap_with_marker(result: DataFrame, target_path: str, batch_id: int) -> Non
     result.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_batch_id"), "w") as f:
         f.write(str(batch_id))
-    shutil.rmtree(target_path, ignore_errors=True)
+    old = target_path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
     os.rename(tmp, target_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def rollup_to_table_stream(
@@ -285,16 +313,9 @@ def sketch_rollup_stream(
         with_day = batch_df.select(
             F.to_date(F.col("ts")).alias("day"), F.col(key_col)
         )
-        h = F.md5(F.col(key_col).cast("string"))
-        partial = (
-            with_day.select(
-                "day",
-                sk._register(h).alias("register"),
-                sk._rho(h).alias("rho"),
-            )
-            .groupBy("day", "register")
-            .agg(F.max("rho").alias("max_rho"))
-        )
+        # the exact batch-side operator — streamed state can never diverge
+        # from what the batch sketch (and its tests) compute
+        partial = sk.hll_registers_grouped(with_day, key_col, ["day"])
         import os
         import shutil
 

@@ -108,3 +108,17 @@ def test_bpe_encode_round_trip_and_reference_parity(spark):
     fewer = {r["doc_id"]: r["n_tokens"]
              for r in bpe.encode_tokens(docs, merges[:3]).collect()}
     assert all(got[d][1] <= fewer[d] for d in got)
+
+
+def test_encode_word_boundaries_match_learner_on_unicode_whitespace(spark):
+    """U+00A0 is NOT a word boundary for the learner (Java \\s is ASCII);
+    encode must agree, or token counts are measured against a vocabulary
+    learned from different words."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab ab"), (2, "ab ab")], "doc_id long, text string"
+    )
+    wc = {r["w"]: r["cnt"] for r in bpe.word_frequency_table(docs).collect()}
+    assert wc == {"ab ab": 2, "ab": 2}  # learner keeps nbsp-joined word
+    merges = bpe.learn_bpe_merges(docs, n_merges=2)
+    got = {r["doc_id"]: r["n_words"] for r in bpe.encode_tokens(docs, merges).collect()}
+    assert got == {1: 2, 2: 2}  # encode splits identically: 2 words each

@@ -364,3 +364,27 @@ def test_batch_marker_skips_replayed_batch(spark, tmp_path):
     # a later swap bumps it atomically
     _swap_with_marker(df, target, batch_id=4)
     assert _committed_batch_id(target) == 4
+
+
+def test_swap_recovery_restores_table_lost_mid_swap(spark, tmp_path):
+    """Crash between rename-aside and rename-in must NOT lose the table:
+    the next _committed_batch_id call heals it from the .old directory."""
+    import os
+
+    from arthur_redshift_etl_spark.streaming.events import (
+        _committed_batch_id,
+        _swap_with_marker,
+    )
+
+    target = str(tmp_path / "t")
+    _swap_with_marker(spark.createDataFrame([(1,)], "v long"), target, 7)
+    # simulate the crash window: table renamed aside, new one never arrived
+    os.rename(target, target + ".old")
+    assert not os.path.exists(target)
+    assert _committed_batch_id(target) == 7  # healed + marker readable
+    assert spark.read.parquet(target).count() == 1
+    # completed-swap leftover: .old alongside a live table is garbage
+    _swap_with_marker(spark.createDataFrame([(2,)], "v long"), target, 8)
+    os.makedirs(target + ".old", exist_ok=True)
+    assert _committed_batch_id(target) == 8
+    assert not os.path.exists(target + ".old")
