@@ -37,7 +37,9 @@ def brute_force_knn_vectorized(
     """
     q_ids = queries_local[id_col].to_numpy()
     q_mat = np.stack(queries_local[vec_col].to_numpy()).astype(np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm[q_norm == 0.0] = 1.0  # zero vector stays zero (sim 0), not NaN
+    q_mat /= q_norm
 
     out_schema = T.StructType(
         [
@@ -53,7 +55,9 @@ def brute_force_knn_vectorized(
                 continue
             ids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0  # match similarity.normalized semantics
+            mat /= norms
             sims = mat @ q_mat.T  # (batch, n_queries)
             rows: List[dict] = []
             top = min(k + 1, sims.shape[0])
