@@ -456,3 +456,80 @@ def test_chunk_overlapping_property_random_params(spark):
             assert chunks == ref_chunks(text, size, overlap), (
                 doc_id, size, overlap, text,
             )
+
+
+def test_sketch_merge_algebra_properties(spark):
+    """Hypothesis-style randomized check of the sketch algebras over many
+    random 3-way splits: HLL registers merge by MAX (associative,
+    idempotent — re-merging a part changes nothing), CMS counters merge
+    by SUM (associative; double-merge exactly doubles the delta).  Uses
+    one Spark job per sketch and pure-Python recombination so the 60
+    random cases stay fast."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.operators import sketch as sk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    ).withColumn("h", F.abs(F.xxhash64("tok")))
+
+    # per-row (register, rho) and (cms row, col) — collected once
+    h = F.md5(F.col("tok").cast("string"))
+    rows = toks.select(
+        "h",
+        sk._register(h).alias("reg"),
+        sk._rho(h).alias("rho"),
+        *[sk._cms_col(F.col("tok"), i).alias(f"c{i}") for i in range(sk.CMS_DEPTH)],
+    ).collect()
+
+    rng = random.Random(13)
+    for _ in range(60):
+        # random 3-way split by hash threshold
+        t1, t2 = sorted(rng.sample(range(1, 100), 2))
+        parts = [[], [], []]
+        for r in rows:
+            b = 0 if r["h"] % 100 < t1 else (1 if r["h"] % 100 < t2 else 2)
+            parts[b].append(r)
+
+        def hll(part):
+            regs = {}
+            for r in part:
+                regs[r["reg"]] = max(regs.get(r["reg"], 0), r["rho"])
+            return regs
+
+        def merge_hll(a, b):
+            out = dict(a)
+            for k, v in b.items():
+                out[k] = max(out.get(k, 0), v)
+            return out
+
+        whole = hll(rows)
+        p = [hll(x) for x in parts]
+        assert merge_hll(merge_hll(p[0], p[1]), p[2]) == whole
+        assert merge_hll(p[0], merge_hll(p[1], p[2])) == whole
+        assert merge_hll(whole, p[1]) == whole  # idempotent re-merge
+
+        def cms(part):
+            c = {}
+            for r in part:
+                for i in range(sk.CMS_DEPTH):
+                    key = (i, r[f"c{i}"])
+                    c[key] = c.get(key, 0) + 1
+            return c
+
+        def merge_cms(a, b):
+            out = dict(a)
+            for k, v in b.items():
+                out[k] = out.get(k, 0) + v
+            return out
+
+        whole_c = cms(rows)
+        pc = [cms(x) for x in parts]
+        assert merge_cms(merge_cms(pc[0], pc[1]), pc[2]) == whole_c
+        doubled = merge_cms(whole_c, pc[1])
+        assert all(
+            doubled[k] == whole_c[k] + pc[1].get(k, 0) for k in doubled
+        )
