@@ -5738,3 +5738,32 @@ def hll_daily_users(spark, sf_dir):
     )
     regs = sk.hll_registers_grouped(events, "user_id", ["day"])
     return sk.hll_estimate_grouped(regs, ["day"])
+
+
+@query(
+    "quantile_sketch_prices",
+    oracle=None,  # sketch estimates depend on the (deterministic) input
+    # split layout, not expressible as one-shot SQL; the rank-error bound
+    # and merge/determinism properties are pinned in
+    # tests/test_quantile_sketch.py against exact ranks
+    description=(
+        "single-pass mergeable quantile sketch (KLL-style, deterministic "
+        "even-index compaction): map-only bounded state per partition, "
+        "UNION merge, driver-side weighted rank walk over sketch rows "
+        "(metadata-scale) — the one-pass complement to the exact "
+        "range-shuffle quantiles; rank error ~0.5% at capacity 256"
+    ),
+)
+def quantile_sketch_prices(spark, sf_dir):
+    from .operators import quantiles as qt
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    sk = qt.kll_partition_sketches(li, "v", capacity=256)
+    probs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    est = qt.kll_quantiles(sk, probs)
+    return spark.createDataFrame(
+        [(float(p), float(e)) for p, e in zip(probs, est)],
+        "p double, estimate double",
+    )

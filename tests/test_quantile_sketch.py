@@ -1,0 +1,51 @@
+"""KLL-style quantile sketch: error bound vs exact ranks, mergeability,
+determinism, bounded state."""
+
+from pyspark.sql import functions as F
+
+from arthur_redshift_etl_spark.operators import quantiles as qt
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_sketch_quantiles_within_rank_error(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    n = li.count()
+    sk = qt.kll_partition_sketches(li, "v", capacity=256)
+    probs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    est = qt.kll_quantiles(sk, probs)
+    # exact rank of each estimate: |rank(est) - p*n| must be small
+    for p, e in zip(probs, est):
+        rank = li.filter(F.col("v") <= e).count()
+        assert abs(rank - p * n) <= 0.02 * n, (p, e, rank, n)
+
+
+def test_sketch_state_is_bounded_and_deterministic(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    ).repartition(8)
+    sk1 = qt.kll_partition_sketches(li, "v", capacity=128).collect()
+    sk2 = qt.kll_partition_sketches(li, "v", capacity=128).collect()
+    # deterministic: same layout -> identical sketch
+    assert sorted(map(tuple, sk1)) == sorted(map(tuple, sk2))
+    # bounded: well under partitions * capacity * levels
+    import math
+
+    n = li.count()
+    levels = max(1, int(math.log2(max(2, n // 128))) + 1)
+    assert len(sk1) <= 8 * 128 * levels
+
+
+def test_sketch_merge_is_union(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_extendedprice").cast("double").alias("v"), F.col("l_orderkey")
+    )
+    a = qt.kll_partition_sketches(li.filter(F.col("l_orderkey") % 2 == 0), "v")
+    b = qt.kll_partition_sketches(li.filter(F.col("l_orderkey") % 2 == 1), "v")
+    merged = a.unionAll(b)
+    est = qt.kll_quantiles(merged, [0.5])[0]
+    n = li.count()
+    rank = li.filter(F.col("v") <= est).count()
+    assert abs(rank - 0.5 * n) <= 0.02 * n
