@@ -88,10 +88,17 @@ def kll_partition_sketches(
     capacity 256; property-tested against the exact ranks).
     """
 
+    if capacity < 2 or capacity % 2:
+        # odd capacities silently lose one unit of rank mass per compaction
+        # (buf[1::2] keeps floor(c/2) of c items); capacity 1 discards
+        # everything — reject instead of degrading
+        raise ValueError(f"capacity must be an even integer >= 2, got {capacity}")
+
     def run(batches):
+        import numpy as np
         import pandas as pd
 
-        levels: list[list[float]] = []  # level i holds weight-2^i items
+        levels: list[list[float]] = [[]]  # level i holds weight-2^i items
 
         def compact(i: int) -> None:
             buf = sorted(levels[i])
@@ -101,12 +108,18 @@ def kll_partition_sketches(
             levels[i] = []
 
         for pdf in batches:
-            for v in pdf[value_col]:
-                if v is None:
-                    continue
-                if not levels:
-                    levels.append([])
-                levels[0].append(float(v))
+            # NULLs arrive as NaN in the float64 Series ('v is None' would
+            # be dead code and NaN breaks sorted()); drop them vectorized.
+            arr = pdf[value_col].to_numpy(dtype="float64")
+            arr = arr[~np.isnan(arr)]
+            # slice-fill level 0 (hot path amortized over numpy slices);
+            # compaction fires exactly at capacity, so the sketch is
+            # bit-identical to per-item insertion
+            pos = 0
+            while pos < arr.shape[0]:
+                take = capacity - len(levels[0])
+                levels[0].extend(arr[pos : pos + take].tolist())
+                pos += take
                 i = 0
                 while i < len(levels) and len(levels[i]) >= capacity:
                     compact(i)
@@ -130,6 +143,9 @@ def kll_quantiles(
     rows — metadata-scale, like a CMS counter table), so the weighted
     rank walk runs on the driver over the collected sketch, NOT the data.
     Sketches from different inputs/batches merge by UNION ALL first.
+    An EMPTY sketch (no non-null input) yields ``None`` for every
+    requested quantile — callers must handle the null, there is no
+    numeric answer to invent.
     """
     rows = sorted(
         ((r["value"], r["weight"]) for r in sketches.collect()),

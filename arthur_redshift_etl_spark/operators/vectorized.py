@@ -63,8 +63,16 @@ def brute_force_knn_vectorized(
             top = min(k + 1, sims.shape[0])
             for qi in range(sims.shape[1]):
                 col = sims[:, qi]
-                idx = np.argpartition(-col, top - 1)[:top]
-                for j in idx:
+                # Tie-exact batch top-k (same scheme as
+                # similarity.brute_force_knn_gemm): threshold at the
+                # top-th largest sim, keep ALL ties at the boundary, then
+                # lexsort (sim desc, id asc) — a bare argpartition splits
+                # equal-sim rows arbitrarily, which matters for mass ties
+                # (a zero-norm query scores 0.0 against everything).
+                v = np.partition(col, col.shape[0] - top)[col.shape[0] - top]
+                cand = np.flatnonzero(col >= v)
+                order = np.lexsort((ids[cand], -col[cand]))[:top]
+                for j in cand[order]:
                     if ids[j] != q_ids[qi]:
                         rows.append(
                             {

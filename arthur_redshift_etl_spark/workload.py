@@ -5764,6 +5764,7 @@ def quantile_sketch_prices(spark, sf_dir):
     probs = [0.01, 0.25, 0.5, 0.75, 0.99]
     est = qt.kll_quantiles(sk, probs)
     return spark.createDataFrame(
-        [(float(p), float(e)) for p, e in zip(probs, est)],
+        [(float(p), float(e) if e is not None else None)
+         for p, e in zip(probs, est)],
         "p double, estimate double",
     )

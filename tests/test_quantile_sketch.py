@@ -49,3 +49,26 @@ def test_sketch_merge_is_union(spark):
     n = li.count()
     rank = li.filter(F.col("v") <= est).count()
     assert abs(rank - 0.5 * n) <= 0.02 * n
+
+
+def test_sketch_handles_nulls_empty_and_rejects_bad_capacity(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (None,), (3.0,)], "v double"
+    )
+    sk = qt.kll_partition_sketches(df, "v", capacity=4)
+    rows = sk.collect()
+    # NaN never enters the sketch; weights conserve the 3 non-null rows
+    assert sum(r["weight"] for r in rows) == 3
+    assert all(r["value"] == r["value"] for r in rows)  # no NaN
+    assert qt.kll_quantiles(sk, [0.5]) == [2.0]
+
+    empty = spark.createDataFrame([], "v double")
+    assert qt.kll_quantiles(
+        qt.kll_partition_sketches(empty, "v"), [0.5]
+    ) == [None]
+
+    for bad in (0, 1, 3, 255):
+        with _pytest.raises(ValueError):
+            qt.kll_partition_sketches(df, "v", capacity=bad)
