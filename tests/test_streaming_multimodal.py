@@ -388,3 +388,28 @@ def test_swap_recovery_restores_table_lost_mid_swap(spark, tmp_path):
     os.makedirs(target + ".old", exist_ok=True)
     assert _committed_batch_id(target) == 8
     assert not os.path.exists(target + ".old")
+
+
+def test_stream_static_broadcast_enrichment(spark, event_dir):
+    """Stream-static join: a micro-batch stream enriched against a static
+    broadcast dimension — the streaming face of the star-join pattern.
+    Every output row carries the dimension attribute; counts match batch."""
+    from arthur_redshift_etl_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+    )
+
+    events = read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("click", "browse"), ("purchase", "convert"),
+         ("error", "ops"), ("signup", "convert")],
+        "event_type string, funnel_stage string",
+    )
+    enriched = events.join(F.broadcast(dim), "event_type", "left")
+    q = run_to_memory(enriched, "enriched_sink")
+    q.awaitTermination(120)
+    got = spark.table("enriched_sink")
+    batch_n = load_table(spark, SF, "events").count()
+    assert got.count() == batch_n
+    # left join + complete dim: no event loses its stage
+    assert got.filter(F.col("funnel_stage").isNull()).count() == 0
