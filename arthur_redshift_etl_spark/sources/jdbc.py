@@ -190,3 +190,58 @@ def plan_extract(
         num_partitions=num,
         boundary_query=design.extract_settings.boundary_query,
     )
+
+
+def incremental_condition(watermark_column: str, last_seen) -> str:
+    """WHERE fragment for a watermark (append-only / last-modified) extract.
+
+    The classic incremental pattern the reference's full-table Sqoop
+    extracts lack (Sqoop itself calls it ``--incremental append/
+    lastmodified``): only rows strictly past the previously extracted
+    high-water mark move.  Numeric marks are embedded as literals,
+    temporal marks as an ISO timestamp literal — both sargable, so the
+    upstream index on the watermark column drives the scan.
+    """
+    if last_seen is None:
+        raise ValueError("incremental extract needs the previous high-water mark")
+    # unquoted identifier, matching select_statement's column style —
+    # quoting would force exact case and break on engines that fold
+    # unquoted identifiers (Derby uppercases, Postgres lowercases)
+    if isinstance(last_seen, (int, float)):
+        return f"{watermark_column} > {last_seen}"
+    lit = str(last_seen).replace("'", "''")
+    return f"{watermark_column} > TIMESTAMP('{lit}')"
+
+
+def plan_incremental_extract(
+    design: TableDesign,
+    watermark_column: str,
+    last_seen,
+    table_size_bytes: int = FALLBACK_TABLE_SIZE,
+    max_partitions: int = DEFAULT_MAX_PARTITIONS,
+) -> JdbcExtractPlan:
+    """Extract only rows past ``last_seen`` on ``watermark_column``.
+
+    Same partitioned read machinery as :func:`plan_extract` — the
+    watermark predicate is pushed INTO the extract subquery so every
+    partition reads its slice of the delta only.  Pairs with the
+    merge/CDC operators (``operators/merge.py``): extract the delta,
+    keep-latest/upsert it into the lake table, and record the new
+    ``MAX(watermark)`` as the next run's mark.  At 100 TB upstream this
+    is the difference between moving the table and moving the day.
+    """
+    base = plan_extract(design, table_size_bytes, max_partitions)
+    cond = incremental_condition(watermark_column, last_seen)
+    # select_statement emits "... FROM table" or "... WHERE <condition>";
+    # splice the watermark predicate accordingly
+    query = (
+        f"{base.query} AND {cond}"
+        if " WHERE " in base.query
+        else f"{base.query} WHERE {cond}"
+    )
+    return JdbcExtractPlan(
+        query=query,
+        partition_column=base.partition_column,
+        num_partitions=base.num_partitions,
+        boundary_query=base.boundary_query,
+    )

@@ -129,3 +129,52 @@ def test_jdbc_writeback_roundtrip(spark, derby_url):
     )
     assert back.count() == 3
     assert {r[0] for r in back.select("o_status").collect()} == {"O", "F", "P"}
+
+
+def test_incremental_extract_moves_only_the_delta(spark, derby_url):
+    """Watermark extract: only rows past the previous high-water mark
+    travel, partitioned read machinery intact, and the union of
+    incremental slices equals the full extract."""
+    from arthur_redshift_etl_spark.sources.jdbc import plan_incremental_extract
+
+    mark = N_ROWS // 2 - 1
+    plan = plan_incremental_extract(
+        orders_design(num_partitions=4), "o_orderkey", last_seen=mark
+    )
+    df = plan.read(spark, derby_url, lower_bound=0, upper_bound=N_ROWS)
+    got = sorted(r["O_ORDERKEY"] for r in df.collect())
+    assert got == list(range(mark + 1, N_ROWS))
+
+    # next run from the new mark: nothing new -> empty delta
+    plan2 = plan_incremental_extract(
+        orders_design(num_partitions=4), "o_orderkey", last_seen=N_ROWS - 1
+    )
+    assert plan2.read(spark, derby_url, lower_bound=0, upper_bound=N_ROWS).count() == 0
+
+
+def test_incremental_extract_composes_with_condition(spark, derby_url):
+    """The watermark predicate splices after an existing extract WHERE."""
+    from arthur_redshift_etl_spark.sources.jdbc import plan_incremental_extract
+
+    plan = plan_incremental_extract(
+        orders_design(condition="o_status = 'O'"), "o_orderkey", last_seen=10
+    )
+    assert " WHERE " in plan.query and " AND " in plan.query
+    df = plan.read(spark, derby_url)
+    rows = df.collect()
+    assert all(r["O_STATUS"] == "O" and r["O_ORDERKEY"] > 10 for r in rows)
+    assert len(rows) == sum(
+        1 for i in range(11, N_ROWS) if "OFP"[i % 3] == "O"
+    )
+
+
+def test_incremental_condition_requires_mark_and_quotes_timestamps():
+    import pytest as _pytest
+
+    from arthur_redshift_etl_spark.sources.jdbc import incremental_condition
+
+    with _pytest.raises(ValueError):
+        incremental_condition("ts", None)
+    assert incremental_condition("id", 42) == "id > 42"
+    c = incremental_condition("updated_at", "2026-01-01 00:00:00")
+    assert c == "updated_at > TIMESTAMP('2026-01-01 00:00:00')"
