@@ -178,7 +178,19 @@ def cmd_extract(args) -> int:
     for rel in _relations(args, args.patterns):
         if not rel.is_source_relation:
             continue
-        plan = plan_extract(rel.design, use_sampling=args.use_sampling)
+        if getattr(args, "incremental_column", None):
+            from .sources.jdbc import plan_incremental_extract
+
+            mark = args.last_seen
+            try:
+                mark = int(mark)
+            except (TypeError, ValueError):
+                pass  # temporal mark stays a string
+            plan = plan_incremental_extract(
+                rel.design, args.incremental_column, mark
+            )
+        else:
+            plan = plan_extract(rel.design, use_sampling=args.use_sampling)
         print(
             json.dumps(
                 {
@@ -582,6 +594,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--merge-keys", default="", help="comma-separated merge keys")
     sp = add("extract", cmd_extract)
     sp.add_argument("--use-sampling", action="store_true")
+    sp.add_argument("--incremental-column",
+                    help="watermark column for delta-only extract")
+    sp.add_argument("--last-seen",
+                    help="previous high-water mark (int or ISO timestamp)")
     sp = add("unload", cmd_unload)
     sp.add_argument("--force", action="store_true")
     sp = add("run_query", cmd_run_query, patterns=False)

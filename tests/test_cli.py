@@ -64,6 +64,16 @@ def test_extract_plan(design_repo, capsys):
     assert '"num_partitions": 4' in out
 
 
+def test_extract_plan_incremental(design_repo, capsys):
+    assert main([
+        "--repo", design_repo, "extract",
+        "--incremental-column", "o_orderkey", "--last-seen", "1000",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "o_orderkey > 1000" in out
+    assert '"partition_column": "o_orderkey"' in out
+
+
 def test_show_ddl(design_repo, capsys):
     assert main(["--repo", design_repo, "show_ddl"]) == 0
     out = capsys.readouterr().out
