@@ -389,3 +389,49 @@ def brute_force_knn_gemm(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def knn_merge_incremental(
+    old_topk: DataFrame,
+    new_batch: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maintain exact per-query top-k when a NEW vector batch arrives.
+
+    Top-k lists are mergeable state: the previous result (query_id,
+    neighbor_id, sim) rows stay valid because cosine scores never change,
+    so an arriving batch only needs ITS OWN vectors scored (broadcast
+    queries × new batch — linear in the batch), unioned with the old
+    rows, and re-ranked per query.  Cost per ingest is O(|batch|·|q|)
+    + a window over ≤ (k + |batch-survivors|)·|q| rows — the corpus is
+    never rescanned.  (Incremental top-k maintenance in interactive
+    sessions is a studied pattern, e.g. EDBT 2020's incremental top-k
+    framework; this is the mergeable-state formulation of it.)
+
+    ``old_topk`` must carry (query_id, neighbor_id, sim) — the sim column
+    is the mergeable part; re-ranking without it would need a rescan.
+    """
+    q = normalized(queries, id_col, "query_id", vec_col, "qv")
+    nb = normalized(new_batch, id_col, "neighbor_id", vec_col, "cv")
+    scored_new = (
+        nb.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            dot(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    merged = old_topk.select("query_id", "neighbor_id", "sim").unionByName(
+        scored_new
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -5768,3 +5768,47 @@ def quantile_sketch_prices(spark, sf_dir):
          for p, e in zip(probs, est)],
         "p double, estimate double",
     )
+
+
+@query(
+    "knn_incremental_merge",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.vv, c.vv) AS sim
+      FROM v q, v c
+      WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS knn_rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    description=(
+        "exact incremental top-k maintenance: the corpus arrives as two "
+        "batches; the second ingest scores ONLY the new batch against the "
+        "broadcast queries and merges with the prior top-k state "
+        "(top-k lists are mergeable because sims never change) — "
+        "provably equal to brute force over the full corpus, which is "
+        "what the oracle computes (operators/similarity.py "
+        "knn_merge_incremental)"
+    ),
+)
+def knn_incremental_merge(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    empty = spark.createDataFrame(
+        [], "query_id long, neighbor_id long, sim double"
+    )
+    state = sim.knn_merge_incremental(empty, old, queries_df, k=5)
+    merged = sim.knn_merge_incremental(state, new, queries_df, k=5)
+    return merged.select(
+        "query_id", "neighbor_id", F.col("rank").alias("knn_rank")
+    )

@@ -20,6 +20,10 @@ ALLOWED_NL_JOIN = {
     # intended broadcast nested-loop shapes: a deliberately tiny broadcast
     # side (query set / centroids / 1-row aggregate) against the corpus
     "knn_bruteforce": "query set broadcast vs corpus — scored scan by design",
+    "knn_incremental_merge": (
+        "query set broadcast vs each arriving batch — incremental scored "
+        "scan by design"
+    ),
     "decontaminate_semantic_eval": (
         "benchmark-sized eval set broadcast vs train corpus — exact "
         "contamination scan by design"
