@@ -272,3 +272,30 @@ def test_gemm_knn_zero_norm_query_is_deterministic(spark):
     assert gemm == jvm
     # the zero query ties everywhere -> lowest ids win deterministically
     assert [jvm[(0, r)] for r in range(1, 6)] == [1, 2, 3, 4, 5]
+
+
+def test_knn_incremental_merge_is_batch_order_invariant(spark):
+    """Splitting the corpus into batches in ANY order and merging
+    incrementally equals single-shot brute force — top-k lists are
+    mergeable state."""
+    from arthur_redshift_etl_spark.operators.similarity import (
+        brute_force_knn,
+        knn_merge_incremental,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_knn(emb, queries, k=5).collect()
+    }
+    empty = spark.createDataFrame([], "query_id long, neighbor_id long, sim double")
+    batches = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    for order in ([0, 1, 2], [2, 0, 1]):
+        state = empty
+        for i in order:
+            state = knn_merge_incremental(state, batches[i], queries, k=5)
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"] for r in state.collect()
+        }
+        assert got == full, order
