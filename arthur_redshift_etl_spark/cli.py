@@ -171,6 +171,23 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_scrub(args) -> int:
+    """Right-to-be-forgotten: scrub request keys out of selected tables."""
+    from .loader import scrub_table
+
+    spark = _spark(args)
+    ctx = _ctx(args, spark)
+    requests = spark.read.parquet(args.requests)
+    selector = TableSelector(args.patterns)
+    for rel in _relations(args):
+        if not selector.match(rel.table_name):
+            continue
+        audit = scrub_table(ctx, rel, requests, args.key)
+        print(json.dumps({"relation": rel.identifier, **{
+            k: int(v) for k, v in audit.items()}}))
+    return 0
+
+
 def cmd_extract(args) -> int:
     """Print the JDBC extract plan per source relation (no upstream here)."""
     from .sources.jdbc import plan_extract
@@ -592,6 +609,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("update", cmd_update)
     sp.add_argument("--merge-delta", help="parquet path of a delta to MERGE")
     sp.add_argument("--merge-keys", default="", help="comma-separated merge keys")
+    sp = add("scrub", cmd_scrub)
+    sp.add_argument("--requests", required=True,
+                    help="parquet path holding the request keys")
+    sp.add_argument("--key", required=True, help="key column to scrub on")
     sp = add("extract", cmd_extract)
     sp.add_argument("--use-sampling", action="store_true")
     sp.add_argument("--incremental-column",

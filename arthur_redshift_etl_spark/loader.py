@@ -510,6 +510,38 @@ def merge_update_table(
     return materialize_dataframe(ctx, rel, merged, db)
 
 
+def scrub_table(
+    ctx: LoadContext,
+    rel: Relation,
+    requests: DataFrame,
+    key: str,
+    db: str | None = None,
+) -> dict:
+    """Right-to-be-forgotten applied to a production table, atomically.
+
+    The loader half of ``operators/pii.forget_rows``: scrub the current
+    table against the request list, GATE on the evidence-based audit
+    (residual_matches must be 0 — counted from the actual scrubbed
+    output), then write to a new versioned location and re-register
+    (same old-or-new atomicity as publish/merge).  Returns the audit
+    dict; production is untouched if the gate fails.
+    """
+    from .operators.pii import forget_rows
+
+    db = db or rel.table_name.schema
+    fq = f"{_quote(db)}.{_quote(rel.table_name.table)}"
+    current = ctx.spark.table(fq)
+    scrubbed, audit_df = forget_rows(current, requests, key)
+    audit = audit_df.collect()[0].asDict()
+    if audit["residual_matches"] != 0:
+        raise RuntimeError(
+            f"scrub gate failed for {rel.identifier}: "
+            f"{audit['residual_matches']} requested rows survive"
+        )
+    materialize_dataframe(ctx, rel, scrubbed, db)
+    return audit
+
+
 def content_checksum(df: DataFrame) -> tuple[int, int]:
     """Order-independent whole-table content checksum: (n_rows, checksum).
 

@@ -351,3 +351,25 @@ def test_compact_table_noop_when_already_compact(spark, tmp_path, clean_dbs):
         .replace("file:", "")
     )
     assert same_loc == loc
+
+
+def test_scrub_table_removes_requested_keys_atomically(spark, tmp_path, clean_dbs):
+    from arthur_redshift_etl_spark.loader import scrub_table
+
+    lake = str(tmp_path / "lake")
+    rel = source_rel(spark, tmp_path, "ssrc.nation", "nation")
+    ctx = LoadContext(spark=spark, data_root=lake, store=EventStore())
+    load_warehouse(ctx, [rel])
+    n_before = spark.table("ssrc.nation").count()
+
+    requests = spark.createDataFrame([(0,), (3,), (3,)], "n_nationkey int")
+    ctx2 = LoadContext(spark=spark, data_root=lake, store=EventStore())
+    audit = scrub_table(ctx2, rel, requests, "n_nationkey")
+    assert audit["rows_before"] == n_before
+    assert audit["rows_removed"] == 2
+    assert audit["residual_matches"] == 0
+    got = spark.table("ssrc.nation")
+    assert got.count() == n_before - 2
+    assert got.filter("n_nationkey IN (0, 3)").count() == 0
+    # versioned re-register: scrubbed data lives at the new etl_id location
+    assert ctx2.etl_id in got.inputFiles()[0]
