@@ -533,3 +533,62 @@ def test_sketch_merge_algebra_properties(spark):
         assert all(
             doubled[k] == whole_c[k] + pc[1].get(k, 0) for k in doubled
         )
+
+
+def test_chunk_paragraph_aware_packs_greedily(spark):
+    """Paragraph packing vs Python reference on random docs: boundaries
+    never split a paragraph, chunks respect the budget (except solo
+    oversized paragraphs), order preserved, all text covered."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.operators.text import chunk_paragraph_aware
+
+    rng = random.Random(3)
+    docs = []
+    for i in range(30):
+        paras = [
+            "".join(rng.choice("abcd ") for _ in range(rng.randint(1, 80))).strip() or "x"
+            for _ in range(rng.randint(1, 12))
+        ]
+        docs.append((i, "\n\n".join(paras)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    max_chars = 100
+
+    def ref_pack(text):
+        paras = [p.strip() for p in __import__("re").split(r"\n\s*\n", text)]
+        paras = [p for p in paras if p]
+        chunks, cur, used = [], [], 0
+        for p in paras:
+            if cur and used + 1 + len(p) <= max_chars:
+                cur.append(p)
+                used += 1 + len(p)
+            else:
+                if cur:
+                    chunks.append("\n".join(cur))
+                cur, used = [p], len(p)
+        if cur:
+            chunks.append("\n".join(cur))
+        return chunks
+
+    got = {}
+    for r in chunk_paragraph_aware(df, max_chars=max_chars).collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk"]))
+    for doc_id, text in docs:
+        chunks = [c for _, c in sorted(got[doc_id])]
+        assert chunks == ref_pack(text), doc_id
+
+
+def test_chunk_paragraph_aware_oversized_paragraph_solo(spark):
+    from arthur_redshift_etl_spark.operators.text import chunk_paragraph_aware
+
+    df = spark.createDataFrame(
+        [(1, "short one\n\n" + "y" * 500 + "\n\nshort two")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["chunk_id"], r["chunk"])
+        for r in chunk_paragraph_aware(df, max_chars=100).collect()
+    )
+    assert [c[:9] for _, c in rows] == ["short one", "yyyyyyyyy", "short two"]
