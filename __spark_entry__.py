@@ -50,18 +50,24 @@ def _driver_verified_from_artifacts() -> frozenset:
     import json
 
     verified = set()
+    # rounds in order; each entry's LATEST verdict wins, so a later red row
+    # pulls a previously-green entry back into the resample block
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
         try:
             rows = json.load(open(path))
-        except Exception:  # noqa: BLE001 - unreadable artifact -> ignore
+            items = rows.items()
+        except Exception:  # noqa: BLE001 - unreadable/misshapen artifact -> ignore
             continue
-        for name, row in rows.items():
+        for name, row in items:
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True:
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if green:
                 verified.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                verified.add(name)  # rows-only check passed (declared no-oracle)
+            else:
+                verified.discard(name)  # latest verdict is red -> resample
     return frozenset(verified)
 
 
@@ -123,9 +129,13 @@ _NEEDS_RESAMPLE = frozenset({
     "grouping_sets_docs", "ann_ivf_recall_eval", "corpus_prep_pipeline",
 })
 
+# _NEEDS_RESAMPLE applies only to the hardcoded FALLBACK: on the artifact
+# path the same entries are already red rows (not in the verified set), and
+# once a later round records them green they must leave the front block —
+# a permanent subtraction would waste 3 sample slots every future round.
 _ARTIFACT_VERIFIED = _driver_verified_from_artifacts()
 _DRIVER_VERIFIED = (
-    _ARTIFACT_VERIFIED - _NEEDS_RESAMPLE
+    _ARTIFACT_VERIFIED
     if _ARTIFACT_VERIFIED
     else (_R01_VERIFIED | _R02_VERIFIED) - _NEEDS_RESAMPLE
 )

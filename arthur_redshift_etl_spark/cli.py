@@ -198,11 +198,20 @@ def cmd_extract(args) -> int:
         if getattr(args, "incremental_column", None):
             from .sources.jdbc import plan_incremental_extract
 
+            if args.last_seen is None:
+                print(
+                    "error: --incremental-column requires --last-seen",
+                    file=sys.stderr,
+                )
+                return 2
             mark = args.last_seen
             try:
                 mark = int(mark)
-            except (TypeError, ValueError):
-                pass  # temporal mark stays a string
+            except ValueError:
+                try:
+                    mark = float(mark)
+                except ValueError:
+                    pass  # temporal/string mark stays a string
             plan = plan_incremental_extract(
                 rel.design, args.incremental_column, mark
             )

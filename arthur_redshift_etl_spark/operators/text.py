@@ -310,23 +310,23 @@ def chunk_paragraph_aware(
         ),
         lambda acc: acc["out"],
     )
-    # posexplode + position-sorted reassembly: collect_list's order after a
-    # shuffle is NOT guaranteed, so paragraph order inside a chunk must be
-    # pinned by the carried position, not by arrival order
-    exploded = df.select(
-        *df.columns, F.posexplode(assigned).alias("__pos", "__p")
+    # Chunks are assembled ROW-LOCALLY (filter + transform over the
+    # assigned array per chunk id), never via a groupBy over the input
+    # columns: grouping by input columns would collapse duplicate rows and
+    # interleave their paragraphs, and a shuffle would be pure waste for a
+    # per-document computation.  The whole operator stays map-only.
+    # A document with no non-empty paragraphs yields zero chunks.
+    max_cid = F.element_at(assigned, -1)["cid"]
+    chunks = F.transform(
+        F.sequence(F.lit(0), max_cid),
+        lambda cid: F.concat_ws(
+            "\n",
+            F.transform(
+                F.filter(assigned, lambda s: s["cid"] == cid),
+                lambda s: s["para"],
+            ),
+        ),
     )
-    return (
-        exploded.groupBy(*df.columns, F.col("__p.cid").alias("chunk_id"))
-        .agg(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("__pos", F.col("__p.para")))
-                    ),
-                    lambda s: s["para"],
-                ),
-            ).alias("chunk")
-        )
+    return df.select(
+        *df.columns, F.posexplode(chunks).alias("chunk_id", "chunk")
     )

@@ -210,7 +210,14 @@ def incremental_condition(watermark_column: str, last_seen) -> str:
     if isinstance(last_seen, (int, float)):
         return f"{watermark_column} > {last_seen}"
     lit = str(last_seen).replace("'", "''")
-    return f"{watermark_column} > TIMESTAMP('{lit}')"
+    import re as _re
+
+    if _re.match(r"^\d{4}-\d{2}-\d{2}([ T]|$)", str(last_seen)):
+        # SQL-standard TIMESTAMP literal — portable (Postgres/Redshift/
+        # Derby/MySQL); the TIMESTAMP('...') function-call form is not
+        return f"{watermark_column} > TIMESTAMP '{lit}'"
+    # non-temporal string mark (e.g. a varchar business key): plain literal
+    return f"{watermark_column} > '{lit}'"
 
 
 def plan_incremental_extract(

@@ -592,3 +592,20 @@ def test_chunk_paragraph_aware_oversized_paragraph_solo(spark):
         for r in chunk_paragraph_aware(df, max_chars=100).collect()
     )
     assert [c[:9] for _, c in rows] == ["short one", "yyyyyyyyy", "short two"]
+
+
+def test_chunk_paragraph_aware_handles_duplicate_rows(spark):
+    """Two identical input rows must yield two identical chunk sets —
+    chunk assembly is row-local, never a groupBy over input columns
+    (which would collapse duplicates and interleave their paragraphs)."""
+    from arthur_redshift_etl_spark.operators.text import chunk_paragraph_aware
+
+    df = spark.createDataFrame(
+        [("aaa\n\nbbb",), ("aaa\n\nbbb",)], "text string"
+    )
+    rows = chunk_paragraph_aware(df, max_chars=100).collect()
+    assert len(rows) == 2
+    assert all(r["chunk"] == "aaa\nbbb" and r["chunk_id"] == 0 for r in rows)
+    # empty doc: zero chunks (no paragraphs to pack)
+    empty = spark.createDataFrame([("",), ("  \n\n  ",)], "text string")
+    assert chunk_paragraph_aware(empty, max_chars=100).count() == 0

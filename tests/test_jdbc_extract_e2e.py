@@ -177,4 +177,7 @@ def test_incremental_condition_requires_mark_and_quotes_timestamps():
         incremental_condition("ts", None)
     assert incremental_condition("id", 42) == "id > 42"
     c = incremental_condition("updated_at", "2026-01-01 00:00:00")
-    assert c == "updated_at > TIMESTAMP('2026-01-01 00:00:00')"
+    # SQL-standard literal, portable across Postgres/Redshift/Derby/MySQL
+    assert c == "updated_at > TIMESTAMP '2026-01-01 00:00:00'"
+    # non-temporal string marks become plain literals (varchar watermarks)
+    assert incremental_condition("batch_key", "A-1003") == "batch_key > 'A-1003'"
