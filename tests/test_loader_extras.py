@@ -373,3 +373,48 @@ def test_scrub_table_removes_requested_keys_atomically(spark, tmp_path, clean_db
     assert got.filter("n_nationkey IN (0, 3)").count() == 0
     # versioned re-register: scrubbed data lives at the new etl_id location
     assert ctx2.etl_id in got.inputFiles()[0]
+
+
+def test_cli_scrub_e2e(spark, tmp_path, clean_dbs, capsys):
+    """Full CLI drive: load a table, then scrub request keys out of it."""
+    import json as _json
+    import os
+
+    from arthur_redshift_etl_spark.cli import main
+    from arthur_redshift_etl_spark.repo import write_design
+
+    root = str(tmp_path / "repo")
+    os.makedirs(root, exist_ok=True)
+    write_design(
+        root,
+        {
+            "name": "scrb.nation",
+            "source_name": "up.public.nation",
+            "columns": [
+                {"name": "n_nationkey", "type": "long", "not_null": True},
+                {"name": "n_name", "type": "string"},
+            ],
+            "constraints": [{"primary_key": ["n_nationkey"]}],
+        },
+    )
+    data_dir = os.path.join(root, "data", "scrb", "nation")
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    ).write.mode("overwrite").parquet(data_dir)
+    assert main(["--repo", root, "load"]) == 0
+    n0 = spark.table("scrb.nation").count()
+
+    req_dir = str(tmp_path / "requests")
+    spark.createDataFrame([(1,), (2,)], "n_nationkey long").write.mode(
+        "overwrite"
+    ).parquet(req_dir)
+    assert (
+        main(["--repo", root, "scrub", "scrb.nation",
+              "--requests", req_dir, "--key", "n_nationkey"])
+        == 0
+    )
+    audit = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["rows_removed"] == 2 and audit["residual_matches"] == 0
+    got = spark.table("scrb.nation")
+    assert got.count() == n0 - 2
+    assert got.filter("n_nationkey IN (1, 2)").count() == 0
