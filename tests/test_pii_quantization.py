@@ -106,3 +106,32 @@ def test_quantized_knn_excludes_self(emb_df):
     q = qz.quantize(emb_df)
     res = qz.quantized_knn(q, q, k=10)
     assert res.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_forget_rows_matches_filter_semantics_random(spark):
+    """Random request subsets: scrubbed == plain NOT-IN filter, audit
+    arithmetic consistent, nulls in request keys never match anything."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.operators.pii import forget_rows
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id"
+    )
+    users = [r["user_id"] for r in ev.select("user_id").distinct().collect()]
+    rng = random.Random(11)
+    for trial in range(3):
+        req_keys = rng.sample(users, k=min(5, len(users)))
+        requests = spark.createDataFrame(
+            [(k,) for k in req_keys] + [(None,)], "user_id long"
+        )
+        scrubbed, audit_df = forget_rows(ev, requests, "user_id")
+        audit = audit_df.collect()[0]
+        expect = ev.filter(~F.col("user_id").isin(req_keys))
+        assert scrubbed.count() == expect.count(), trial
+        assert audit["rows_before"] == ev.count()
+        assert audit["rows_removed"] == ev.count() - expect.count()
+        assert audit["rows_after"] == expect.count()
+        assert audit["residual_matches"] == 0
