@@ -258,3 +258,27 @@ def hll_estimate_grouped(registers: DataFrame, group_cols: list) -> DataFrame:
     return sums.select(
         *group_cols, "m", "m_used", "int_sum", est.alias("hll_estimate")
     )
+
+
+def heavy_hitters_per_group_exact(
+    df: DataFrame, key_col: str, group_col: str, threshold: int
+) -> DataFrame:
+    """Exact (group, key) pairs where the key's IN-GROUP frequency ≥
+    threshold, prefiltered by ONE global CMS.
+
+    The global sketch estimate upper-bounds every per-group count for the
+    same key (counts only ever add across groups), so rows whose global
+    estimate falls under the threshold cannot be heavy in ANY group —
+    one-sided error carries over, and the exact grouped recount runs
+    only on surviving rows.  One bounded sketch serves every group;
+    building per-group sketches would multiply state by group count for
+    no extra pruning power at this threshold.
+    """
+    flat = collect_cms(cms_table(df, key_col))
+    est = cms_estimate_col(flat, F.col(key_col))
+    return (
+        df.filter(est >= F.lit(threshold))
+        .groupBy(group_col, key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )

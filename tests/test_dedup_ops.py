@@ -609,3 +609,29 @@ def test_chunk_paragraph_aware_handles_duplicate_rows(spark):
     # empty doc: zero chunks (no paragraphs to pack)
     empty = spark.createDataFrame([("",), ("  \n\n  ",)], "text string")
     assert chunk_paragraph_aware(empty, max_chars=100).count() == 0
+
+
+def test_heavy_hitters_per_group_matches_naive(spark):
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.operators import sketch as sk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    for threshold in (5, 20):
+        naive = {
+            (r["lang"], r["tok"], r["cnt"])
+            for r in toks.groupBy("lang", "tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= threshold)
+            .collect()
+        }
+        fast = {
+            (r["lang"], r["tok"], r["cnt"])
+            for r in sk.heavy_hitters_per_group_exact(
+                toks, "tok", "lang", threshold
+            ).collect()
+        }
+        assert fast == naive and len(fast) > 0
