@@ -48,13 +48,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def _driver_verified_from_artifacts() -> frozenset:
     import glob
     import json
+    import re
 
     verified = set()
-    # rounds in order; each entry's LATEST verdict wins, so a later red row
-    # pulls a previously-green entry back into the resample block
-    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+
+    def _round_no(path: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    # rounds in NUMERIC order (lexicographic would put r100 before r99 and
+    # let a stale verdict win); each entry's LATEST verdict wins, so a later
+    # red row pulls a previously-green entry back into the resample block
+    for path in sorted(
+        glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")), key=_round_no
+    ):
         try:
-            rows = json.load(open(path))
+            with open(path) as fh:
+                rows = json.load(fh)
             items = rows.items()
         except Exception:  # noqa: BLE001 - unreadable/misshapen artifact -> ignore
             continue

@@ -204,14 +204,34 @@ def cmd_extract(args) -> int:
                     file=sys.stderr,
                 )
                 return 2
+            if args.use_sampling:
+                # sampling composes with the full-extract predicate, not the
+                # watermark delta — a silent ignore would under-extract
+                print(
+                    "error: --use-sampling cannot be combined with "
+                    "--incremental-column",
+                    file=sys.stderr,
+                )
+                return 2
             mark = args.last_seen
-            try:
+            lst = getattr(args, "last_seen_type", "auto")
+            if lst == "int":
                 mark = int(mark)
-            except ValueError:
+            elif lst == "float":
+                mark = float(mark)
+            elif lst == "auto":
+                # coerce only unambiguous numerics: leading-zero / exponent /
+                # sign forms round-trip differently and stay strings so a
+                # varchar watermark's predicate compares the original literal
                 try:
-                    mark = float(mark)
+                    if str(int(mark)) == mark:
+                        mark = int(mark)
                 except ValueError:
-                    pass  # temporal/string mark stays a string
+                    try:
+                        if str(float(mark)) == mark:
+                            mark = float(mark)
+                    except ValueError:
+                        pass  # temporal/string mark stays a string
             plan = plan_incremental_extract(
                 rel.design, args.incremental_column, mark
             )
@@ -628,6 +648,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="watermark column for delta-only extract")
     sp.add_argument("--last-seen",
                     help="previous high-water mark (int or ISO timestamp)")
+    sp.add_argument("--last-seen-type", default="auto",
+                    choices=["auto", "string", "int", "float"],
+                    help="how to interpret --last-seen; 'string' stops "
+                         "numeric-looking varchar marks ('0050', '1e5') "
+                         "being coerced to numbers")
     sp = add("unload", cmd_unload)
     sp.add_argument("--force", action="store_true")
     sp = add("run_query", cmd_run_query, patterns=False)

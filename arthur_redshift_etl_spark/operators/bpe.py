@@ -141,7 +141,14 @@ def learn_bpe_merges(
     vocab = vocab.localCheckpoint()
     n_vocab = vocab.count()  # vocab-sized job over checkpointed blocks
     parts = max(1, min(spark.sparkContext.defaultParallelism, n_vocab // 65536 + 1))
-    if parts != vocab.rdd.getNumPartitions():
+    # The checkpoint's partition count equals the (possibly AQE-coalesced)
+    # shuffle width of the word-frequency groupBy; reading it exactly would
+    # mean materializing the RDD conversion lineage just for a number.
+    # Compact only when the loop wants FEWER partitions than the session's
+    # static shuffle width — the only case the per-iteration task-overhead
+    # argument above applies; a matching-width repartition would be a no-op
+    # paid as an extra vocab copy.
+    if parts < int(spark.conf.get("spark.sql.shuffle.partitions")):
         vocab = vocab.repartition(parts).localCheckpoint()
     merges: List[Tuple[str, str, int]] = []
     for _ in range(n_merges):

@@ -84,14 +84,18 @@ def with_identity(
 
     ``distributed`` selects the plan, not the result (ids are identical):
 
-    - ``None`` (default) — auto: use the distributed two-phase path whenever
-      the input has more than one partition, else the plain window.  A 100 TB
-      "dimension" build can no longer silently funnel through one task.
+    - ``None`` (default) — the distributed two-phase path: safe at every
+      scale (a 100 TB "dimension" build can never silently funnel through
+      one task), and on a tiny dim the extra range-shuffle costs microseconds.
+      (Deciding from the input's partition count would mean materializing
+      the RDD conversion lineage just to read a number — and one-partition
+      inputs are the only case the plain window wins, by a margin too small
+      to buy that.)
     - ``False`` — single global window (one-task sort; tiny dims only).
-    - ``True`` — always the two-phase path (see :func:`global_row_number`).
+    - ``True`` — same as the default, kept for call-site explicitness.
     """
     if distributed is None:
-        distributed = df.rdd.getNumPartitions() > 1
+        distributed = True
     if not distributed:
         w = Window.orderBy(*[F.col(c) for c in order_by])
         return df.withColumn(identity_column, F.row_number().over(w).cast("long"))

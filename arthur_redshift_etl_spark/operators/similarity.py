@@ -275,15 +275,16 @@ def brute_force_knn_gemm(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    candidate_margin: int = 4,
+    candidate_margin: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors via an Arrow-batched GEMM candidate scan.
 
     Relationship to ``vectorized.brute_force_knn_vectorized``: that variant
     ranks by the GEMM doubles directly ("identical in practice"); this one
-    adds a candidate margin + deterministic JVM rescore so the ranking is
-    PROVABLY bit-identical to :func:`brute_force_knn` and to an external
-    SQL oracle — the driver-checkable flavor of the same kernel.
+    adds a candidate margin + an error-bound near-tie band + deterministic
+    JVM rescore so the ranking is bit-identical to :func:`brute_force_knn`
+    under the tie conditions stated below — the driver-checkable flavor of
+    the same kernel.  ``candidate_margin`` defaults to ``max(4, k)``.
 
     Same contract and output as :func:`brute_force_knn` — (query_id,
     neighbor_id, rank), ties by neighbor id — but the scoring kernel is one
@@ -295,19 +296,28 @@ def brute_force_knn_gemm(
     that is the difference between shipping n*q rows through the shuffle-free
     plan and shipping ~num_batches * q * (k+margin) candidate rows.
 
-    Exactness: GEMM doubles can differ from the sequential JVM dot in the
-    last ulp, so batch-local top-k is taken with a margin (a true top-k
-    member can only be displaced by candidates within ~2 ulp of the k-th
-    score); the batch selection itself is tie-EXACT — equal-sim rows are
-    thresholded in together and lexsorted by (sim desc, id asc), so mass
-    ties (a degenerate zero-norm query scores 0.0 against everything)
-    select the same ids every engine would; and the surviving candidates
-    are RE-SCORED with the same deterministic sequential ``dot`` used by
-    brute_force_knn before the final rank — so output ordering is
-    bit-identical to the JVM baseline.  (Agreement with an EXTERNAL
-    oracle additionally requires the data's similarity gaps to exceed the
-    cross-engine ulp difference — the same caveat brute_force_knn itself
-    carries, since the oracle's cosine arithmetic differs in rounding.)
+    Exactness: GEMM doubles can differ from the sequential JVM dot by a
+    bounded rounding error delta (ulp-scale for unit vectors).  A true
+    top-k member x therefore satisfies ``gemm(x) >= v - 2*delta`` where v
+    is the batch's take-th largest GEMM score — so besides the margin-
+    padded top-take slice, EVERY row in the open band
+    ``[v - NEAR_TIE_EPS, v)`` is kept as a candidate (untruncated; with
+    NEAR_TIE_EPS = 2e-12 >> 2*delta for unit vectors this provably covers
+    near-tie crowding, where more than ``margin`` distinct scores sit
+    within rounding noise of the k-th — previously a heuristic gap).
+    Rows EXACTLY equal to v are thresholded in together and lexsorted by
+    (sim desc, id asc) before the take-truncation, so mass exact ties
+    (a degenerate zero-norm query scores 0.0 against everything) stay
+    bounded and select the same ids every engine would — exact for ties
+    that rescore to equal values (duplicate vectors, zero queries), the
+    only case mass GEMM ties arise in practice.  Surviving candidates are
+    RE-SCORED with the same deterministic sequential ``dot`` used by
+    brute_force_knn before the final rank, so output ordering matches the
+    JVM baseline under those stated tie conditions.  (Agreement with an
+    EXTERNAL oracle additionally requires the data's similarity gaps to
+    exceed the cross-engine ulp difference — the same caveat
+    brute_force_knn itself carries, since the oracle's cosine arithmetic
+    differs in rounding.)
 
     Two narrow scans of the collection (candidate scan + rescore join with
     the tiny broadcast candidate set), zero wide shuffles; the final window
@@ -329,7 +339,7 @@ def brute_force_knn_gemm(
     qids = q_pdf["query_id"].to_numpy(dtype="int64")
     qm = np.stack(q_pdf["qv"].to_numpy()).astype("float64")
     bq = spark.sparkContext.broadcast((qids, qm))
-    kk = k + candidate_margin
+    kk = k + (max(4, k) if candidate_margin is None else candidate_margin)
 
     cn = normalized(collection, id_col, "neighbor_id", vec_col, "cv").withColumn(
         "neighbor_id", F.col("neighbor_id").cast("long")
@@ -365,6 +375,17 @@ def brute_force_knn_gemm(
                 cand = np.flatnonzero(s >= v)
                 order = np.lexsort((nb[cand], -s[cand]))[:take]
                 sel = cand[order]
+                # Near-tie band: every row with score in [v - eps, v) is a
+                # potential true top-k member displaced only by GEMM-vs-
+                # sequential rounding noise — keep ALL of them (untruncated)
+                # so crowding beyond the margin can never evict a true
+                # neighbor before the deterministic rescore.  eps = 2e-12 is
+                # orders of magnitude above the rounding bound for unit
+                # vectors yet tight enough that real data contributes ~0
+                # extra rows.
+                band = np.flatnonzero((s >= v - 2e-12) & (s < v))
+                if band.shape[0]:
+                    sel = np.concatenate([sel, band])
                 out_q.append(np.full(sel.shape[0], b_qids[j]))
                 out_n.append(nb[sel])
             yield pd.DataFrame(

@@ -316,7 +316,10 @@ def chunk_paragraph_aware(
     # interleave their paragraphs, and a shuffle would be pure waste for a
     # per-document computation.  The whole operator stays map-only.
     # A document with no non-empty paragraphs yields zero chunks.
-    max_cid = F.element_at(assigned, -1)["cid"]
+    # try_element_at: NULL (not INVALID_ARRAY_INDEX) on the empty array, so
+    # the operator behaves identically under spark.sql.ansi.enabled=true
+    # (Spark 4.x default) — sequence(0, NULL) is NULL, posexplode drops it.
+    max_cid = F.try_element_at(assigned, F.lit(-1))["cid"]
     chunks = F.transform(
         F.sequence(F.lit(0), max_cid),
         lambda cid: F.concat_ws(

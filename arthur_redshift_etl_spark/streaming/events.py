@@ -161,6 +161,24 @@ def dedup_stream(events: DataFrame, keys=("event_id",),
     )
 
 
+def _require_local_path(target_path: str) -> None:
+    """The marker/rename exactly-once machinery is os.rename/open-based and
+    therefore only correct on a driver-local POSIX path.  A URI-scheme
+    target (hdfs://, s3a://, even file://) would have Spark write the data
+    remotely while the marker read and atomic swap silently operate on a
+    nonexistent LOCAL path — defeating the exactly-once guard.  Fail loudly
+    instead; remote targets need the Hadoop FileSystem API variant."""
+    import re
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", target_path):
+        raise ValueError(
+            "streaming table maintenance requires a driver-local POSIX "
+            f"path; got URI {target_path!r} (the atomic-swap + batch-id "
+            "marker protocol uses os.rename and would not see the data "
+            "Spark writes to that scheme)"
+        )
+
+
 def _committed_batch_id(target_path: str):
     """Batch id carried INSIDE the maintained table directory.
 
@@ -176,6 +194,7 @@ def _committed_batch_id(target_path: str):
     """
     import os
 
+    _require_local_path(target_path)
     _recover_swapped(target_path)
     marker = os.path.join(target_path, "_batch_id")
     if os.path.exists(marker):
@@ -212,6 +231,7 @@ def _swap_with_marker(result: DataFrame, target_path: str, batch_id: int) -> Non
     import os
     import shutil
 
+    _require_local_path(target_path)
     tmp = target_path + f".tmp-{batch_id}"
     result.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_batch_id"), "w") as f:

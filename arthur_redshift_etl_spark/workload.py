@@ -69,8 +69,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in ("documents", "embeddings"):
         # single small parquet file → one input split; the downstream
         # explode/cross pipelines are CPU-bound, so spread them across cores.
+        # Input-file count (catalog metadata, no RDD materialization — the
+        # .rdd conversion would build the whole Python-serialization lineage
+        # just to read a number) is the right scan-width proxy here: these
+        # tables are written as one-file-per-table, so files < cores means
+        # the scan cannot fill the machine.
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        if len(df.inputFiles()) < target:
             df = df.repartition(target)
     return df
 
