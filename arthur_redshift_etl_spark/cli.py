@@ -541,6 +541,25 @@ def cmd_promote_schemas(args) -> int:
     return 0
 
 
+def cmd_restore_schemas(args) -> int:
+    """Undo a bad publish: production re-pointed at the backup registrations
+    (reference restore_schemas, commands.py:1461-1474)."""
+    from .loader import restore_schemas
+
+    spark = _spark(args)
+    restored = restore_schemas(
+        _ctx(args, spark),
+        _relations(args),
+        TableSelector(args.patterns) if args.patterns else None,
+    )
+    if not restored:
+        print("nothing to restore (no backup registrations matched)")
+        return 1
+    for ident in restored:
+        print(f"restored {ident}")
+    return 0
+
+
 def cmd_sync(args) -> int:
     """Validate designs, then deploy them to the target directory.
 
@@ -681,6 +700,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     add("create_schemas", cmd_create_schemas)
     add("promote_schemas", cmd_promote_schemas)
+    add("restore_schemas", cmd_restore_schemas)
     add("vacuum", cmd_vacuum, patterns=False)
     sp = add("compact", cmd_compact)
     sp.add_argument("--target-mb", type=int, default=128,

@@ -658,6 +658,90 @@ def promote_schemas(ctx: LoadContext, relations: Sequence[Relation]) -> None:
     publish(ctx, list(relations))
 
 
+def restore_schemas(
+    ctx: LoadContext,
+    relations: Sequence[Relation],
+    selector: Optional[TableSelector] = None,
+) -> List[str]:
+    """Undo a bad publish: re-point production at the backup registrations.
+
+    Reference parity: ``promote_schemas --from backup`` / ``restore_schemas``
+    (commands.py:1461-1474 → data_warehouse.py:185-194), where the inverse of
+    publish is an ALTER SCHEMA RENAME of the backup into the standard
+    position.  Here publish keeps the previous production registrations in
+    ``etl_backup__<schema>`` databases (metadata only — the blue-green data
+    versions both stay on disk until vacuum), so restore walks the BACKUP
+    database's actual tables — not the design list, which may have changed
+    since the bad publish — and re-registers each at its backed-up location,
+    preserving bucket/partition specs when a matching design still exists.
+    Views over the restored schema are recreated from their design SQL so
+    they resolve against the restored tables.  The consumed backup
+    registrations are dropped (the rename semantics: a backup restores ONCE);
+    returns the restored identifiers.
+    """
+    selector = selector or TableSelector([])
+    by_ident = {
+        r.identifier: r for r in relations if not r.is_view_relation
+    }
+    schemas = sorted(
+        {
+            r.table_name.schema
+            for r in relations
+            if selector.match_schema(r.table_name.schema)
+        }
+    )
+    restored: List[str] = []
+    for schema in schemas:
+        backup_db = as_backup(schema)
+        try:
+            backup_tables = [t.name for t in ctx.spark.catalog.listTables(backup_db)]
+        except Exception:  # no backup database for this schema
+            continue
+        create_schema(ctx.spark, schema)
+        for table in sorted(backup_tables):
+            ident = f"{schema}.{table}"
+            if not selector.match(TableName(schema, table)):
+                continue
+            loc = (
+                ctx.spark.sql(f"DESCRIBE FORMATTED {_quote(backup_db)}.{_quote(table)}")
+                .filter("col_name = 'Location'")
+                .collect()
+            )
+            if not loc:
+                logger.warning("backup %s.%s has no location; skipped", backup_db, table)
+                continue
+            location = loc[0]["data_type"]
+            rel = by_ident.get(ident)
+            _drop_relation(ctx, schema, table)
+            if rel is not None and _bucket_spec(rel.design):
+                _register_bucketed_table(ctx, schema, rel, location)
+            elif rel is not None and rel.design.attributes.get("partition_by"):
+                _register_partitioned_table(ctx, schema, rel, location)
+            else:
+                _register_external_table(ctx, schema, table, location)
+            ctx.spark.sql(f"DROP TABLE IF EXISTS {_quote(backup_db)}.{_quote(table)}")
+            restored.append(ident)
+        if not ctx.spark.catalog.listTables(backup_db):
+            drop_schema(ctx.spark, backup_db)
+    # recreate the selection's views last, against the restored tables
+    for rel in relations:
+        if not rel.is_view_relation:
+            continue
+        tn = rel.table_name
+        if tn.schema not in schemas or not selector.match(tn):
+            continue
+        full = f"{_quote(tn.schema)}.{_quote(tn.table)}"
+        ctx.spark.sql(f"DROP VIEW IF EXISTS {full}")
+        ctx.spark.sql(f"DROP TABLE IF EXISTS {full}")
+        try:
+            query = rewrite_redshift_sql(rel.sql())
+            ctx.spark.sql(f"CREATE VIEW {full} AS {query}")
+            restored.append(rel.identifier)
+        except Exception as exc:
+            logger.warning("view %s not restored: %s", rel.identifier, exc)
+    return restored
+
+
 def vacuum_lake(spark: SparkSession, data_root: str) -> List[str]:
     """Garbage-collect lake versions no production/staging table references.
 

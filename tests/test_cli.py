@@ -102,6 +102,12 @@ def test_events_empty(design_repo, capsys):
     assert main(["--repo", design_repo, "tail_events"]) == 0
 
 
+def test_restore_schemas_nothing_to_restore(design_repo, capsys, spark):
+    # no backup databases exist -> nonzero exit + clear message
+    assert main(["--repo", design_repo, "restore_schemas"]) == 1
+    assert "nothing to restore" in capsys.readouterr().out
+
+
 def test_sync_validates_and_deploys(design_repo, tmp_path, capsys):
     target = str(tmp_path / "deployed")
     assert main(["--repo", design_repo, "sync", "--to", target]) == 0

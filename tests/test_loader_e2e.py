@@ -250,6 +250,80 @@ def test_upgrade_in_place(warehouse):
     assert spark.table("dw.fact_order_line").count() == before
 
 
+def test_restore_schemas_undoes_bad_publish(warehouse):
+    """publish good -> publish bad -> restore -> queries read the good data
+    (reference restore_schemas, commands.py:1461-1474)."""
+    from arthur_redshift_etl_spark.loader import restore_schemas
+
+    spark, root, ctx = warehouse
+    relations = find_file_sets(root)
+    load_warehouse(ctx, relations)
+    good_fact = spark.table("dw.fact_order_line").count()
+    good_rev = {
+        r["nation_name"]: r["revenue"]
+        for r in spark.table("dw.v_revenue_by_nation").collect()
+    }
+    assert good_fact > 0
+
+    # "bad" second publish: half the lineitem rows vanish upstream
+    li_dir = os.path.join(root, "data", "src", "lineitem")
+    li = spark.read.parquet(li_dir)
+    li.filter("l_orderkey % 2 = 0").write.mode("overwrite").parquet(li_dir + "_bad")
+    import shutil
+
+    shutil.rmtree(li_dir)
+    os.rename(li_dir + "_bad", li_dir)
+    ctx2 = LoadContext(spark=spark, data_root=ctx.data_root, store=EventStore())
+    load_warehouse(ctx2, find_file_sets(root))
+    bad_fact = spark.table("dw.fact_order_line").count()
+    assert bad_fact < good_fact  # the bad data is live
+
+    restored = restore_schemas(ctx2, find_file_sets(root))
+    assert "dw.fact_order_line" in restored
+    assert spark.table("dw.fact_order_line").count() == good_fact
+    # views were recreated and resolve against the restored tables
+    rev = {
+        r["nation_name"]: r["revenue"]
+        for r in spark.table("dw.v_revenue_by_nation").collect()
+    }
+    assert rev == good_rev
+    # consumed backups are gone (a backup restores once)
+    dbs = {r.namespace for r in spark.sql("SHOW DATABASES").collect()}
+    assert not any(db.startswith("etl_backup__") for db in dbs)
+
+
+def test_restore_schemas_selector_scopes_restore(warehouse):
+    """A pattern-scoped restore touches only the matching schema."""
+    from arthur_redshift_etl_spark.loader import restore_schemas
+
+    spark, root, ctx = warehouse
+    relations = find_file_sets(root)
+    load_warehouse(ctx, relations)
+    good_fact = spark.table("dw.fact_order_line").count()
+    good_cust = spark.table("src.customer").count()
+
+    cust_dir = os.path.join(root, "data", "src", "customer")
+    cust = spark.read.parquet(cust_dir)
+    cust.limit(5).write.mode("overwrite").parquet(cust_dir + "_bad")
+    import shutil
+
+    shutil.rmtree(cust_dir)
+    os.rename(cust_dir + "_bad", cust_dir)
+    ctx2 = LoadContext(spark=spark, data_root=ctx.data_root, store=EventStore())
+    load_warehouse(ctx2, find_file_sets(root))
+    assert spark.table("src.customer").count() == 5
+
+    restored = restore_schemas(
+        ctx2, find_file_sets(root), TableSelector(["src"])
+    )
+    assert all(ident.startswith("src.") for ident in restored)
+    assert spark.table("src.customer").count() == good_cust
+    # dw was NOT restored: still the second publish's (recomputed) fact
+    assert spark.table("dw.fact_order_line").count() == good_fact
+    dbs = {r.namespace for r in spark.sql("SHOW DATABASES").collect()}
+    assert "etl_backup__dw" in dbs  # unconsumed backup stays
+
+
 def test_rewrite_query_for_staging():
     q = "SELECT * FROM dw.fact f JOIN src.orders o ON f.k = o.k WHERE 'dw.fact' = 'x'"
     out = rewrite_query_for_staging(q, ["dw.fact", "src.orders"])
