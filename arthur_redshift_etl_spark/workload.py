@@ -1614,14 +1614,70 @@ def median_quantity_by_flag(spark, sf_dir):
 
 @query(
     "approx_distinct_customers",
-    oracle=None,  # approx sketches differ across engines → rows-only check
-    description="APPROXIMATE COUNT(DISTINCT …) analog: HLL++ sketch per segment",
+    oracle="""
+    WITH hashed AS (
+      SELECT c_mktsegment,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2)) AS INTEGER)
+               AS register,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 3, 8)) AS BIGINT)
+               AS v
+      FROM customer
+    ),
+    regs AS (
+      SELECT c_mktsegment, register,
+             MAX(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS max_rho
+      FROM hashed GROUP BY c_mktsegment, register
+    ),
+    sums AS (
+      SELECT c_mktsegment, COUNT(*) AS m_used,
+             SUM(CAST(1 AS BIGINT) << (33 - max_rho)) AS used_sum
+      FROM regs GROUP BY c_mktsegment
+    ),
+    sketch AS (
+      SELECT c_mktsegment, CAST(256 AS INTEGER) AS m,
+             CAST(m_used AS BIGINT) AS m_used,
+             CAST(used_sum + (256 - m_used) * (CAST(1 AS BIGINT) << 33) AS BIGINT)
+               AS int_sum,
+             CAST(256 - m_used AS BIGINT) AS m_empty
+      FROM sums
+    ),
+    exact AS (
+      SELECT c_mktsegment, CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+               AS exact_customers
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT s.c_mktsegment, m, m_used, int_sum,
+           CASE WHEN (404351522913636.8 / int_sum)
+                     <= 640.0 AND m_empty > 0
+                THEN 256.0 * ln(256.0 / m_empty)
+                ELSE 404351522913636.8 / int_sum
+           END AS approx_customers,
+           exact_customers
+    FROM sketch s JOIN exact e ON s.c_mktsegment = e.c_mktsegment
+    """,
+    description=(
+        "APPROXIMATE COUNT(DISTINCT ...) analog realized with the engine's "
+        "own portable HLL (operators/sketch.py grouped registers + exact "
+        "scaled-integer estimator) so the per-segment estimate is "
+        "bit-identical across engines and fully oracle-checkable — "
+        "previously a rows-only entry around Spark's opaque "
+        "approx_count_distinct, whose dialect mapping stays covered by "
+        "functions/compat.py; exact distinct shown alongside for the "
+        "error profile"
+    ),
 )
 def approx_distinct_customers(spark, sf_dir):
+    from .operators import sketch as sk
+
     cust = t(spark, sf_dir, "customer")
-    return cust.groupBy("c_mktsegment").agg(
-        F.approx_count_distinct("c_custkey").alias("approx_customers")
+    regs = sk.hll_registers_grouped(cust, "c_custkey", ["c_mktsegment"])
+    est = sk.hll_estimate_grouped(regs, ["c_mktsegment"]).withColumnRenamed(
+        "hll_estimate", "approx_customers"
     )
+    exact = cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").cast("long").alias("exact_customers")
+    )
+    return est.join(F.broadcast(exact), "c_mktsegment")
 
 
 @query(
@@ -1912,16 +1968,82 @@ def gapfilled_hourly_by_type(spark, sf_dir):
 
 @query(
     "kmeans_embedding_clusters",
-    oracle=None,  # iterative fixpoint — not SQL-expressible; rows-only check
-    description="iterative Lloyd k-means over embeddings (3 rounds, k=8)",
+    oracle=_IVF_ASSIGN_CTE
+    + """
+    , ex AS (
+      SELECT a.centroid_id, t.i AS dim, v.vv[t.i] AS x
+      FROM assign a
+      JOIN v ON v.vec_id = a.vec_id,
+           UNNEST(range(1, len(v.vv) + 1)) AS t(i)
+    ),
+    means AS (
+      SELECT centroid_id, dim,
+             CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 1000000.0 AS cx
+      FROM ex GROUP BY centroid_id, dim
+    ),
+    cent2 AS (
+      SELECT centroid_id, list(cx ORDER BY dim) AS cv2
+      FROM means GROUP BY centroid_id
+    ),
+    assign2 AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, cent2.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(vv, cv2) DESC, centroid_id
+               ) AS rk
+        FROM v, cent2
+      ) WHERE rk = 1
+    )
+    SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM assign2 GROUP BY centroid_id
+    """,
+    description=(
+        "TWO chained Lloyd iterations, oracle-checked end-to-end: seed "
+        "centroids -> assignment -> micro-unit-exact means (the "
+        "kmeans_single_iteration arithmetic: integer sums of floor(x*1e6), "
+        "so both engines derive bit-identical centroid doubles) -> arrays "
+        "rebuilt in dim order -> second assignment -> bucket sizes.  The "
+        "CONVERGED loop (operators/clustering.py kmeans, localCheckpoint "
+        "per iteration) remains the production path, pinned by pytest "
+        "parity tests — this entry proves the per-iteration building "
+        "blocks compose across iterations under the driver's hash check"
+    ),
 )
 def kmeans_embedding_clusters(spark, sf_dir):
-    from .operators.clustering import kmeans
-
     emb = t(spark, sf_dir, "embeddings")
-    assignment, _ = kmeans(emb, k=8, iterations=3)
-    return assignment.groupBy("centroid_id").agg(
-        F.count(F.lit(1)).alias("n_vectors")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign1 = sim.ivf_assign(emb, seeds)
+    means = (
+        emb.join(assign1, "vec_id")
+        .select(
+            "centroid_id",
+            F.posexplode(sim.as_double_array(F.col("embedding"))).alias("dim", "x"),
+        )
+        .groupBy("centroid_id", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("x") * 1000000).cast("long")).alias("sq"),
+        )
+        .select(
+            "centroid_id",
+            "dim",
+            (F.col("sq").cast("double") / F.col("n") / F.lit(1000000.0)).alias("cx"),
+        )
+    )
+    cent2 = (
+        means.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("a"))
+        .select(
+            "centroid_id", F.transform("a", lambda s: s["cx"]).alias("embedding")
+        )
+    )
+    assign2 = sim.ivf_assign(emb, cent2)
+    return assign2.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
     )
 
 # ===========================================================================
