@@ -6,9 +6,12 @@ initialize, bootstrap_sources/transformations, sync, extract (plan), load,
 upgrade, update, unload, validate, run_query, check_constraints, diff,
 explain,
 show_ddl, show_downstream_dependents, show_upstream_dependencies,
-create_schemas, create_index, ls, ping, query_events, summarize_events,
-tail_events, selftest.  AWS-ops commands (EMR, Data Pipeline, IAM) are out
-of scope for a Spark engine (stubbed with a clear message).
+create_schemas, promote_schemas, restore_schemas (commands.py:1461-1474),
+create_index, ls, ping, query_events, summarize_events,
+tail_events (--follow = live-monitor analog, monitor.py:433-575), selftest,
+show_value / show_vars / render_template (commands.py:1891-1944).  AWS-ops
+commands (EMR, Data Pipeline, IAM) are out of scope for a Spark engine
+(stubbed with a clear message).
 
 Usage: ``python -m arthur_redshift_etl_spark.cli <command> [args]`` with
 ``--repo <dir>`` pointing at a design repository (see ``repo.py`` layout).
@@ -623,6 +626,90 @@ def cmd_events(args) -> int:
         rows = store.tail(args.limit)
     for row in rows:
         print(json.dumps(row, sort_keys=True))
+    if args.command == "tail_events" and args.follow:
+        # live mode (reference monitor dashboard analog): print the tail,
+        # then stream rows as the ETL appends them
+        try:
+            for row in store.follow(
+                poll_interval=args.poll_interval, timeout=args.follow_seconds
+            ):
+                print(json.dumps(row, sort_keys=True), flush=True)
+        except KeyboardInterrupt:
+            pass
+    return 0
+
+
+def _config(args):
+    from .config import WarehouseConfig
+
+    path = os.path.join(args.repo, "config.yaml")
+    if os.path.exists(path):
+        return WarehouseConfig.load(path)
+    return WarehouseConfig()
+
+
+def cmd_show_value(args) -> int:
+    """Resolved value of one setting (reference commands.py:1913-1927)."""
+    from .config import show_value as show_value_fn
+    from .errors import ETLConfigError
+
+    try:
+        print(show_value_fn(_config(args), args.name, args.default))
+    except ETLConfigError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def cmd_show_vars(args) -> int:
+    """All template variables and their values (reference show_vars)."""
+    from .config import flatten_vars
+
+    variables = flatten_vars(_config(args))
+    names = args.names or sorted(variables)
+    missing = [n for n in names if n not in variables]
+    if missing:
+        print(f"error: unknown setting(s): {missing}", file=sys.stderr)
+        return 1
+    for name in names:
+        print(f"{name}={variables[name]}")
+    return 0
+
+
+def cmd_render_template(args) -> int:
+    """Render a template from <repo>/templates with ${name} substitution
+    (reference commands.py:1891-1910)."""
+    from .config import flatten_vars, render_template
+    from .errors import ETLConfigError
+
+    tdir = os.path.join(args.repo, "templates")
+    if args.list:
+        names = (
+            sorted(f for f in os.listdir(tdir) if not f.startswith("."))
+            if os.path.isdir(tdir)
+            else []
+        )
+        for name in names:
+            print(name)
+        return 0
+    if args.template is None:
+        print("error: template name required (or --list)", file=sys.stderr)
+        return 2
+    path = (
+        args.template
+        if os.path.sep in args.template and os.path.exists(args.template)
+        else os.path.join(tdir, args.template)
+    )
+    if not os.path.exists(path):
+        print(f"error: no such template: {args.template}", file=sys.stderr)
+        return 1
+    with open(path) as fh:
+        text = fh.read()
+    try:
+        print(render_template(text, flatten_vars(_config(args))), end="")
+    except ETLConfigError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
     return 0
 
 
@@ -721,6 +808,20 @@ def build_parser() -> argparse.ArgumentParser:
     add("summarize_events", cmd_events, patterns=False)
     sp = add("tail_events", cmd_events, patterns=False)
     sp.add_argument("--limit", type=int, default=10)
+    sp.add_argument("--follow", action="store_true",
+                    help="stream new events as the ETL appends them")
+    sp.add_argument("--poll-interval", type=float, default=0.5)
+    sp.add_argument("--follow-seconds", type=float, default=None,
+                    help="stop following after this many seconds "
+                         "(default: follow until interrupted)")
+    sp = add("show_value", cmd_show_value, patterns=False)
+    sp.add_argument("name", help="dotted setting path, e.g. settings.etl.max_concurrency")
+    sp.add_argument("default", nargs="?", help="value if the setting is unset")
+    sp = add("show_vars", cmd_show_vars, patterns=False)
+    sp.add_argument("names", nargs="*", help="restrict to these settings")
+    sp = add("render_template", cmd_render_template, patterns=False)
+    sp.add_argument("template", nargs="?", help="name under <repo>/templates or a path")
+    sp.add_argument("-l", "--list", action="store_true", help="list available templates")
     return p
 
 

@@ -10,6 +10,7 @@ and the required-for-success selector (:215-216).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
@@ -130,3 +131,75 @@ class WarehouseConfig:
     def load(cls, path: str) -> "WarehouseConfig":
         with open(path) as fh:
             return cls.from_dict(yaml.safe_load(fh) or {})
+
+
+# -- settings introspection + template substitution ---------------------------
+# Reference parity: ``python/etl/commands.py:1891-1944`` (ShowValueCommand /
+# RenderTemplateCommand / ShowVarsCommand) backed by etl.config.settings and
+# etl.templates — resolved configuration exposed as dotted-path variables
+# usable in ``${name}`` template placeholders.
+
+_PLACEHOLDER = re.compile(r"\$\{([A-Za-z0-9_][A-Za-z0-9_.-]*)\}")
+
+
+def flatten_vars(config: "WarehouseConfig") -> Dict[str, str]:
+    """All resolvable dotted-path variables and their (string) values.
+
+    ``settings.*`` flattens the free-form settings tree; ``schemas.<name>.*``
+    exposes each namespace's resolved role and attributes (the values an
+    operator actually wants to check after editing config); scalar lists
+    render as comma-joined strings so they drop cleanly into templates.
+    """
+    out: Dict[str, str] = {}
+
+    def render(v: Any) -> str:
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (list, tuple)):
+            return ",".join(render(x) for x in v)
+        return "" if v is None else str(v)
+
+    def walk(prefix: str, node: Any) -> None:
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}.{k}" if prefix else str(k), v)
+        else:
+            out[prefix] = render(node)
+
+    walk("settings", config.settings)
+    out["required_for_success"] = render(config.required_patterns)
+    for s in config.schemas:
+        p = f"schemas.{s.name}"
+        out[f"{p}.kind"] = s.kind
+        out[f"{p}.read_access"] = render(s.read_access)
+        out[f"{p}.s3_path"] = render(s.s3_path)
+        out[f"{p}.unload_target"] = render(s.unload_target)
+        out[f"{p}.data_format"] = s.data_format.format
+        out[f"{p}.groups"] = render(s.groups)
+    return out
+
+
+def show_value(
+    config: "WarehouseConfig", name: str, default: Optional[str] = None
+) -> str:
+    """The resolved value for one dotted-path setting (reference
+    ShowValueCommand): unset + no default is a configuration ERROR, not an
+    empty string — a template relying on it must fail loudly."""
+    variables = flatten_vars(config)
+    if name in variables:
+        return variables[name]
+    if default is not None:
+        return default
+    raise ETLConfigError(f"setting {name!r} is unset and no default was given")
+
+
+def render_template(text: str, variables: Dict[str, str]) -> str:
+    """Replace every ``${dotted.name}`` placeholder; unknown names raise
+    (reference RenderTemplateCommand behavior — a silently-left placeholder
+    would ship a broken artifact)."""
+    missing = sorted(
+        {m.group(1) for m in _PLACEHOLDER.finditer(text)} - set(variables)
+    )
+    if missing:
+        raise ETLConfigError(f"template references unset setting(s): {missing}")
+    return _PLACEHOLDER.sub(lambda m: variables[m.group(1)], text)

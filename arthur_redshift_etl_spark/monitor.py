@@ -88,6 +88,49 @@ class EventStore:
     def tail(self, n: int = 10) -> List[Dict[str, Any]]:
         return self.events()[-n:]
 
+    def follow(
+        self,
+        poll_interval: float = 0.5,
+        timeout: Optional[float] = None,
+    ) -> Iterable[Dict[str, Any]]:
+        """Stream events appended AFTER this call (reference live-monitor
+        analog: monitor.py:433-575 serves an in-memory HTTP dashboard; here
+        the daily-driver flavor is a poll-the-jsonl follow, `tail -f` with
+        JSON framing).  File mode tails by byte offset — each poll reads
+        only the appended bytes (complete lines; a partially-written line
+        waits for its newline), never re-parses the history, so a
+        long-running follow on a large event log stays O(new events).
+        ``timeout`` bounds the follow for scripted use; None follows until
+        interrupted.
+        """
+        start = time.monotonic()
+        mem_idx = len(self._memory)
+        pos = (
+            os.path.getsize(self.path)
+            if self.path and os.path.exists(self.path)
+            else 0
+        )
+        while True:
+            if self.path:
+                if os.path.exists(self.path):
+                    with open(self.path) as fh:
+                        fh.seek(pos)
+                        chunk = fh.read()
+                    last_nl = chunk.rfind("\n")
+                    if last_nl >= 0:
+                        for line in chunk[:last_nl].splitlines():
+                            if line.strip():
+                                yield json.loads(line)
+                        pos += last_nl + 1
+            else:
+                with self._lock:
+                    new = self._memory[mem_idx:]
+                mem_idx += len(new)
+                yield from new
+            if timeout is not None and time.monotonic() - start >= timeout:
+                return
+            time.sleep(poll_interval)
+
     def latest_finish(self, target: str, step: str) -> Optional[Dict[str, Any]]:
         found = None
         for e in self.query(target=target, step=step):

@@ -102,6 +102,74 @@ def test_events_empty(design_repo, capsys):
     assert main(["--repo", design_repo, "tail_events"]) == 0
 
 
+def test_tail_events_follow_sees_mid_follow_appends(design_repo, capsys):
+    """--follow streams events appended WHILE following (reference
+    live-monitor analog)."""
+    import json as _json
+    import threading
+    import time as _time
+
+    from arthur_redshift_etl_spark.monitor import EventStore
+
+    store = EventStore(os.path.join(design_repo, "events.jsonl"))
+    store.append({"event": "start", "target": "pre.existing", "step": "load"})
+
+    def appender():
+        _time.sleep(0.4)
+        store.append({"event": "finish", "target": "live.row", "step": "load"})
+        store.append({"event": "finish", "target": "live.row2", "step": "load"})
+
+    th = threading.Thread(target=appender)
+    th.start()
+    rc = main([
+        "--repo", design_repo, "tail_events",
+        "--follow", "--follow-seconds", "1.5", "--poll-interval", "0.1",
+    ])
+    th.join()
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    targets = [_json.loads(ln)["target"] for ln in lines]
+    # tail printed the pre-existing event; follow picked up both live rows
+    assert targets == ["pre.existing", "live.row", "live.row2"]
+
+
+def test_show_value_and_vars_and_template(design_repo, capsys, tmp_path):
+    with open(os.path.join(design_repo, "config.yaml"), "w") as fh:
+        fh.write(
+            "schemas:\n"
+            "  - name: src\n"
+            "    read_access: SRC_DSN\n"
+            "  - name: dw\n"
+            "required_for_success: [dw.*]\n"
+            "settings:\n"
+            "  etl:\n"
+            "    max_concurrency: 4\n"
+            "    owner: data-eng\n"
+        )
+    assert main(["--repo", design_repo, "show_value", "settings.etl.owner"]) == 0
+    assert capsys.readouterr().out.strip() == "data-eng"
+    # unset without default -> error; with default -> default
+    assert main(["--repo", design_repo, "show_value", "settings.nope"]) == 1
+    capsys.readouterr()
+    assert main(["--repo", design_repo, "show_value", "settings.nope", "fallback"]) == 0
+    assert capsys.readouterr().out.strip() == "fallback"
+    assert main(["--repo", design_repo, "show_vars", "schemas.src.kind"]) == 0
+    assert capsys.readouterr().out.strip() == "schemas.src.kind=database_source"
+
+    tdir = os.path.join(design_repo, "templates")
+    os.makedirs(tdir)
+    with open(os.path.join(tdir, "grant.sql"), "w") as fh:
+        fh.write("-- owner ${settings.etl.owner}, workers ${settings.etl.max_concurrency}\n")
+    with open(os.path.join(tdir, "broken.sql"), "w") as fh:
+        fh.write("SELECT '${settings.never.set}'\n")
+    assert main(["--repo", design_repo, "render_template", "--list"]) == 0
+    assert capsys.readouterr().out.split() == ["broken.sql", "grant.sql"]
+    assert main(["--repo", design_repo, "render_template", "grant.sql"]) == 0
+    assert capsys.readouterr().out == "-- owner data-eng, workers 4\n"
+    # unresolved placeholder fails loudly, never ships half-rendered
+    assert main(["--repo", design_repo, "render_template", "broken.sql"]) == 1
+
+
 def test_restore_schemas_nothing_to_restore(design_repo, capsys, spark):
     # no backup databases exist -> nonzero exit + clear message
     assert main(["--repo", design_repo, "restore_schemas"]) == 1
