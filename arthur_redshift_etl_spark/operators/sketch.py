@@ -136,8 +136,11 @@ def cms_table(df: DataFrame, key_col: str) -> DataFrame:
     state is the whole point vs an exact per-key groupBy.  Sketches over
     different batches merge by UNION ALL + groupBy + SUM (counters are
     additive); estimates only ever overestimate (no deletions).
+
+    ``key_col`` may be a column name or a Column expression (e.g. the
+    (group, key) composite used by :func:`heavy_hitters_per_group_exact`).
     """
-    key = F.col(key_col)
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
     pairs = F.array(
         *[
             F.struct(
@@ -261,21 +264,48 @@ def hll_estimate_grouped(registers: DataFrame, group_cols: list) -> DataFrame:
 
 
 def heavy_hitters_per_group_exact(
-    df: DataFrame, key_col: str, group_col: str, threshold: int
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    threshold: int,
+    prefilter: str = "composite",
 ) -> DataFrame:
     """Exact (group, key) pairs where the key's IN-GROUP frequency ≥
-    threshold, prefiltered by ONE global CMS.
+    threshold, CMS-prefiltered; output identical to the naive
+    GROUP BY group, key HAVING count >= threshold.
 
-    The global sketch estimate upper-bounds every per-group count for the
-    same key (counts only ever add across groups), so rows whose global
-    estimate falls under the threshold cannot be heavy in ANY group —
-    one-sided error carries over, and the exact grouped recount runs
-    only on surviving rows.  One bounded sketch serves every group;
-    building per-group sketches would multiply state by group count for
-    no extra pruning power at this threshold.
+    ``prefilter`` selects the sketch (both one-sided: no true heavy pair
+    is ever dropped; the exact recount kills false positives):
+
+    - ``"composite"`` (default) — sketch the ``(group, key)`` COMPOSITE.
+      This is the distributed form of "per-group sketches" with NO state
+      multiplication: still one DEPTH×WIDTH counter table, but each
+      (group, key) pair is estimated separately, so the bound tracks the
+      pair's own count.  Pruning power is therefore INDEPENDENT of group
+      count — the regime that defeats the global sketch (a key globally
+      heavy but locally light in every group) prunes perfectly here.
+      Collision noise is the same for both sketches (N increments over
+      the same WIDTH columns), so the composite bound is stochastically
+      tighter whenever keys span >1 group and identical at one group —
+      measured falloff table in SCALE.md ("groups axis").
+    - ``"global"`` — sketch the key alone; the estimate upper-bounds every
+      per-group count (counts only add across groups).  Strictly weaker
+      pruning, but the sketch is REUSABLE for the global
+      :func:`heavy_hitters_exact` question over the same scan — pick it
+      when both questions are asked of one pass.
     """
-    flat = collect_cms(cms_table(df, key_col))
-    est = cms_estimate_col(flat, F.col(key_col))
+    if prefilter not in ("composite", "global"):
+        raise ValueError(f"unknown prefilter: {prefilter!r}")
+    key = F.col(key_col)
+    if prefilter == "composite":
+        # \x1f separator: unambiguous (group, key) framing for string casts
+        sk_col = F.concat_ws(
+            "\x1f", F.col(group_col).cast("string"), key.cast("string")
+        )
+    else:
+        sk_col = key
+    flat = collect_cms(cms_table(df, sk_col))
+    est = cms_estimate_col(flat, sk_col)
     return (
         df.filter(est >= F.lit(threshold))
         .groupBy(group_col, key_col)
