@@ -223,7 +223,10 @@ class TableDesign:
     """A full table design document (reference: table_design.schema)."""
 
     name: str  # "schema.table"
-    source_name: str  # upstream "source.schema.table", or "CTAS" / "VIEW"
+    # upstream "source.schema.table", or "CTAS" / "VIEW" / "EXTERNAL"
+    # (EXTERNAL = Spectrum-analog: queried in place at attributes.location,
+    # never copied — reference config/dw.py:85)
+    source_name: str
     columns: List[ColumnDefinition] = field(default_factory=list)
     constraints: List[Dict[str, List[str]]] = field(default_factory=list)
     attributes: Dict[str, Any] = field(default_factory=dict)
@@ -240,6 +243,8 @@ class TableDesign:
             return "CTAS"
         if self.source_name == "VIEW":
             return "VIEW"
+        if self.source_name == "EXTERNAL":
+            return "EXTERNAL"
         return "TABLE"
 
     @property

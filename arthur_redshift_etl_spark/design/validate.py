@@ -80,6 +80,24 @@ def validate_design_semantics(design: TableDesign) -> None:
             f"{design.name}: upstream TABLE may not declare depends_on"
         )
 
+    if design.kind == "EXTERNAL":
+        # Spectrum-analog (reference config/dw.py:85): attached in place —
+        # it has no upstream extract and no build query, so it may carry
+        # neither; the location is the one thing it cannot live without
+        if design.depends_on:
+            raise TableDesignSemanticError(
+                f"{design.name}: EXTERNAL relation may not declare depends_on"
+            )
+        es = design.extract_settings
+        if es.condition or es.split_by or es.boundary_query:
+            raise TableDesignSemanticError(
+                f"{design.name}: EXTERNAL relation may not have extract_settings"
+            )
+        if not design.attributes.get("location"):
+            raise TableDesignSemanticError(
+                f"{design.name}: EXTERNAL relation requires attributes.location"
+            )
+
     if design.kind in ("CTAS", "VIEW"):
         es = design.extract_settings
         if es.condition or es.split_by or es.boundary_query:

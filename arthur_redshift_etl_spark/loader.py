@@ -224,6 +224,80 @@ def build_source_relation(ctx: LoadContext, rel: Relation, db: str) -> int:
     return materialize_dataframe(ctx, rel, df, db)
 
 
+def build_external_relation(ctx: LoadContext, rel: Relation, db: str) -> int:
+    """EXTERNAL path (Spectrum analog, reference config/dw.py:85): register
+    the table AT its declared location — metadata only, zero data movement.
+
+    Validated like other sources: the location must exist and its actual
+    file schema must cover every design column with a compatible type (the
+    in-place analog of apply_design_schema's cast-and-prune — we cannot
+    rewrite files we do not own, so a mismatch is an error, not a cast).
+    Staging and production registrations point at the SAME location, so the
+    blue-green publish re-point is a no-op move, and restore keeps working.
+    """
+    location = str(rel.design.attributes["location"])
+    try:
+        actual = {f.name: f for f in ctx.spark.read.parquet(location).schema.fields}
+    except Exception as exc:
+        raise ETLRuntimeError(
+            f"{rel.identifier}: external location {location!r} is not readable: {exc}"
+        ) from exc
+    for col in rel.design.unskipped_columns:
+        if col.name not in actual:
+            raise ETLRuntimeError(
+                f"{rel.identifier}: external data at {location!r} lacks design "
+                f"column {col.name!r} (has {sorted(actual)})"
+            )
+    _drop_relation(ctx, db, rel.table_name.table)
+    if rel.design.attributes.get("partition_by"):
+        _register_partitioned_table(ctx, db, rel, location)
+    else:
+        _register_external_table(ctx, db, rel.table_name.table, location)
+    if ctx.analyze:
+        ctx.spark.sql(
+            f"ANALYZE TABLE {_quote(db)}.{_quote(rel.table_name.table)} "
+            "COMPUTE STATISTICS"
+        )
+    return ctx.spark.table(f"{_quote(db)}.{_quote(rel.table_name.table)}").count()
+
+
+def attach_external_schema(
+    ctx: LoadContext, schema: str, location: str
+) -> List[str]:
+    """Attach an existing directory-of-parquet DATABASE in one call.
+
+    Reference parity: an external (Spectrum) schema is declared once in the
+    warehouse config and all its tables appear (config/dw.py:85; bootstrap
+    scrape design/bootstrap.py:208-278).  Here every immediate subdirectory
+    of ``location`` that contains parquet becomes ``schema.<subdir>``,
+    registered in place — metadata only.  Returns the attached identifiers;
+    an empty directory is an error (an operator attaching the wrong path
+    should hear about it, not get a silently empty schema).
+    """
+    import os as _os
+
+    if not _os.path.isdir(location):
+        raise ETLRuntimeError(f"external schema location {location!r} is not a directory")
+    create_schema(ctx.spark, schema)
+    attached: List[str] = []
+    for entry in sorted(_os.listdir(location)):
+        table_dir = _os.path.join(location, entry)
+        if not _os.path.isdir(table_dir):
+            continue
+        try:
+            ctx.spark.read.parquet(table_dir).schema
+        except Exception:
+            logger.warning("skipping %s: not readable as parquet", table_dir)
+            continue
+        _register_external_table(ctx, schema, entry, table_dir)
+        attached.append(f"{schema}.{entry}")
+    if not attached:
+        raise ETLRuntimeError(
+            f"external schema location {location!r} contains no parquet tables"
+        )
+    return attached
+
+
 def build_transformation(
     ctx: LoadContext, rel: Relation, db: str, staging_identifiers: Iterable[str]
 ) -> int:
@@ -265,12 +339,21 @@ def build_one_relation(
     create_schema(ctx.spark, db)
     with Monitor(ctx.store, rel.identifier, STEP_LOAD, etl_id=ctx.etl_id) as mon:
         def attempt() -> int:
+            if rel.is_external_relation:
+                return build_external_relation(ctx, rel, db)
             if rel.is_source_relation:
                 return build_source_relation(ctx, rel, db)
             return build_transformation(ctx, rel, db, staging_identifiers)
 
         n = call_with_retry(2, attempt, sleep_seconds=0.2)
-        if not (rel.skip_copy or ctx.skip_copy) and not rel.is_view_relation:
+        # constraints are enforced on data the engine MOVED; external
+        # relations are queried in place (the reference's Spectrum schemas
+        # likewise cannot be constraint-enforced at load time)
+        if (
+            not (rel.skip_copy or ctx.skip_copy)
+            and not rel.is_view_relation
+            and not rel.is_external_relation
+        ):
             check_all_constraints(
                 ctx.spark.table(f"{_quote(db)}.{_quote(rel.table_name.table)}"),
                 rel.design,
@@ -287,7 +370,10 @@ def _build_all(
     staging_ids = [r.identifier for r in relations] if use_staging else []
     failed: List[Relation] = []
 
-    sources = [r for r in relations if r.is_source_relation]
+    # externals attach alongside sources: no data movement, no dependencies
+    sources = [
+        r for r in relations if r.is_source_relation or r.is_external_relation
+    ]
     transforms = [r for r in relations if r.is_transformation]
 
     def build_empty_fallback(rel: Relation) -> None:

@@ -71,6 +71,11 @@ class Relation:
         return self.kind == "TABLE"
 
     @property
+    def is_external_relation(self) -> bool:
+        """Spectrum-analog: attached at its location, never copied."""
+        return self.kind == "EXTERNAL"
+
+    @property
     def is_transformation(self) -> bool:
         return self.kind in ("CTAS", "VIEW")
 

@@ -324,6 +324,97 @@ def test_restore_schemas_selector_scopes_restore(warehouse):
     assert "etl_backup__dw" in dbs  # unconsumed backup stays
 
 
+def test_external_relation_attached_in_place(warehouse, tmp_path):
+    """EXTERNAL kind (Spectrum analog): registered at its location, zero
+    copy; dependents query it; constraints are not load-enforced."""
+    spark, root, ctx = warehouse
+    ext_dir = str(tmp_path / "ext" / "clickstream")
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").write.parquet(ext_dir)
+
+    write_design(
+        root,
+        {
+            "name": "ext.clickstream",
+            "source_name": "EXTERNAL",
+            "columns": [
+                {"name": "o_orderkey", "type": "long", "not_null": True},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+            "attributes": {"location": ext_dir},
+        },
+    )
+    write_design(
+        root,
+        {
+            "name": "dw.click_totals",
+            "source_name": "CTAS",
+            "columns": [{"name": "n", "type": "long"}, {"name": "total", "type": "double"}],
+            "depends_on": ["ext.clickstream"],
+        },
+        query="SELECT COUNT(*) AS n, SUM(o_totalprice) AS total FROM ext.clickstream",
+    )
+    relations = find_file_sets(root)
+    load_warehouse(ctx, relations)
+
+    expected = spark.read.parquet(ext_dir).count()
+    assert spark.table("ext.clickstream").count() == expected
+    # attached IN PLACE: the production table reads the external directory
+    loc = (
+        spark.sql("DESCRIBE FORMATTED ext.clickstream")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    )
+    assert loc.replace("file:", "") == ext_dir
+    # dependent transformation resolved it during the staged build
+    row = spark.table("dw.click_totals").collect()[0]
+    assert row["n"] == expected
+
+
+def test_external_relation_schema_mismatch_fails(warehouse, tmp_path):
+    from arthur_redshift_etl_spark.loader import build_one_relation
+
+    spark, root, ctx = warehouse
+    ext_dir = str(tmp_path / "ext" / "bad")
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").write.parquet(ext_dir)
+    write_design(
+        root,
+        {
+            "name": "ext.bad",
+            "source_name": "EXTERNAL",
+            "columns": [{"name": "no_such_column", "type": "long"}],
+            "attributes": {"location": ext_dir},
+        },
+    )
+    rel = [r for r in find_file_sets(root) if r.identifier == "ext.bad"][0]
+    from arthur_redshift_etl_spark.errors import ETLRuntimeError
+
+    with pytest.raises(ETLRuntimeError, match="lacks design column"):
+        build_one_relation(ctx, rel, use_staging=False)
+
+
+def test_attach_external_schema_directory_of_tables(warehouse, tmp_path):
+    from arthur_redshift_etl_spark.loader import attach_external_schema
+    from arthur_redshift_etl_spark.errors import ETLRuntimeError
+
+    spark, root, ctx = warehouse
+    base = str(tmp_path / "extdb")
+    for name in ("nation", "region"):
+        spark.read.parquet(f"{SF_DIR}/{name}.parquet").write.parquet(
+            os.path.join(base, name)
+        )
+    attached = attach_external_schema(ctx, "lake", base)
+    assert attached == ["lake.nation", "lake.region"]
+    assert spark.table("lake.nation").count() == spark.read.parquet(
+        f"{SF_DIR}/nation.parquet"
+    ).count()
+    empty_dir = str(tmp_path / "empty_db")
+    os.makedirs(empty_dir)
+    with pytest.raises(ETLRuntimeError, match="no parquet tables"):
+        attach_external_schema(ctx, "empty", empty_dir)
+    with pytest.raises(ETLRuntimeError, match="not a directory"):
+        attach_external_schema(ctx, "empty", str(tmp_path / "nothing_here"))
+
+
 def test_rewrite_query_for_staging():
     q = "SELECT * FROM dw.fact f JOIN src.orders o ON f.k = o.k WHERE 'dw.fact' = 'x'"
     out = rewrite_query_for_staging(q, ["dw.fact", "src.orders"])
