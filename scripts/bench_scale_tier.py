@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Engine-generated sf0.3 bench tier: one more scaling row for SCALE.md.
+
+The provided testdata stops at sf0.1; to catch superlinear surprises before
+a real 100x ever happens, this script synthesizes a 3x-lineitem/orders tier
+(union of 3 copies with order-key offsets — new distinct orders, foreign
+keys into the UNCHANGED customer/supplier/part dims stay valid) and runs the
+standard 23-query bench against it.
+
+Only the relational core scales: events/documents/embeddings are copied
+verbatim, so the text/dedup/knn rows measure fixed-size work and are
+reported but excluded from the scaling-factor summary.  (Duplicating
+documents verbatim would manufacture quadratic near-dup pairs — a different
+experiment, covered by scripts/dedup_stress.py.)
+
+Run ALONE (32-core contention trap):  python scripts/bench_scale_tier.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("SPARK_GRAFT_SCALE_TIER_DIR", "/tmp/spark_graft_sf0.3")
+COPIES = 3
+SCALED = ("orders", "lineitem")
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+# fixed-size inputs at this tier -> excluded from the scaling summary
+UNSCALED_QUERIES = {
+    "hourly_event_rollup", "event_sessions", "text_token_stats",
+    "text_quality", "dedup_exact_prefix", "dedup_minhash_lsh",
+    "knn_bruteforce",
+}
+
+
+def generate() -> None:
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark import workload
+    from arthur_redshift_etl_spark.session import build_session
+
+    os.makedirs(DST, exist_ok=True)
+    spark = build_session(
+        app_name="gen-sf0.3",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    off = (
+        spark.read.parquet(f"{SRC}/orders.parquet")
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+        + 1
+    )
+    for name in TABLES:
+        out = f"{DST}/{name}.parquet"
+        if os.path.exists(out):
+            continue
+        if name in SCALED:
+            df = workload.t(spark, SRC, name)
+            key = "o_orderkey" if name == "orders" else "l_orderkey"
+            parts = [
+                df.withColumn(key, F.col(key) + F.lit(i * off))
+                for i in range(COPIES)
+            ]
+            union = parts[0]
+            for p in parts[1:]:
+                union = union.unionAll(p)
+            union.write.mode("overwrite").parquet(out + ".dir")
+            # bench's t() expects a single path; a directory works for
+            # spark.read.parquet, so just rename the directory into place
+            os.rename(out + ".dir", out)
+        else:
+            shutil.copyfile(f"{SRC}/{name}.parquet", out)
+        print(f"# {name}: {'x3 scaled' if name in SCALED else 'copied'}")
+    spark.stop()
+
+
+def main() -> None:
+    generate()
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_SF_DIR=DST,
+        SPARK_GRAFT_BENCH_RECHECK="0",
+        SPARK_GRAFT_BENCH_WARM="1",
+    )
+    bench = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+    out = subprocess.run([sys.executable, bench], env=env, capture_output=True, text=True)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    result = json.loads(line)
+    print(line)
+    scaled = {
+        k: v for k, v in result["queries"].items() if k not in UNSCALED_QUERIES
+    }
+    print(
+        f"# scaled-core cold total: {sum(scaled.values()):.2f}s over "
+        f"{len(scaled)} queries; fixed-size rows excluded: "
+        f"{sorted(UNSCALED_QUERIES)}"
+    )
+
+
+if __name__ == "__main__":
+    main()
