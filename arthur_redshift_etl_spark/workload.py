@@ -5587,6 +5587,36 @@ def heavy_hitter_tokens(spark, sf_dir):
 
 
 @query(
+    "heavy_hitter_tokens_per_lang",
+    oracle="""
+    SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) u
+    WHERE tok <> ''
+    GROUP BY lang, tok HAVING COUNT(*) >= 30
+    """,
+    description=(
+        "exact PER-GROUP heavy hitters (token frequency >= 30 within each "
+        "language) via the composite (group,key) count-min prefilter: one "
+        "bounded DEPTH x WIDTH sketch over the (lang,tok) composite, so "
+        "pruning power is independent of group count — the regime where a "
+        "globally-heavy key is light in every group (which defeats a "
+        "global-key bound) still prunes; one-sided error keeps the output "
+        "equal to the naive GROUP BY HAVING "
+        "(operators/sketch.py heavy_hitters_per_group_exact; groups-axis "
+        "falloff measurements in SCALE.md)"
+    ),
+)
+def heavy_hitter_tokens_per_lang(spark, sf_dir):
+    from .operators import sketch as sk
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return sk.heavy_hitters_per_group_exact(toks, "tok", "lang", threshold=30)
+
+
+@query(
     "chunk_overlap_windows",
     oracle="""
     WITH c AS (
