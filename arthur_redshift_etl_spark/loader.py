@@ -780,7 +780,14 @@ def restore_schemas(
     for schema in schemas:
         backup_db = as_backup(schema)
         try:
-            backup_tables = [t.name for t in ctx.spark.catalog.listTables(backup_db)]
+            # listTables(db) also returns SESSION TEMP VIEWS (they shadow
+            # into every database listing); a temp view is not a backup
+            # registration and DESCRIBE db.tempview would fail — skip them
+            backup_tables = [
+                t.name
+                for t in ctx.spark.catalog.listTables(backup_db)
+                if not t.isTemporary
+            ]
         except Exception:  # no backup database for this schema
             continue
         create_schema(ctx.spark, schema)
@@ -807,7 +814,9 @@ def restore_schemas(
                 _register_external_table(ctx, schema, table, location)
             ctx.spark.sql(f"DROP TABLE IF EXISTS {_quote(backup_db)}.{_quote(table)}")
             restored.append(ident)
-        if not ctx.spark.catalog.listTables(backup_db):
+        if not any(
+            not t.isTemporary for t in ctx.spark.catalog.listTables(backup_db)
+        ):
             drop_schema(ctx.spark, backup_db)
     # recreate the selection's views last, against the restored tables
     for rel in relations:

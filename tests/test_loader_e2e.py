@@ -278,8 +278,12 @@ def test_restore_schemas_undoes_bad_publish(warehouse):
     bad_fact = spark.table("dw.fact_order_line").count()
     assert bad_fact < good_fact  # the bad data is live
 
+    # session temp views shadow into every listTables() result; restore must
+    # ignore them (regression: DESCRIBE backup_db.tempview blew up)
+    spark.range(1).createOrReplaceTempView("stray_temp_view")
     restored = restore_schemas(ctx2, find_file_sets(root))
     assert "dw.fact_order_line" in restored
+    assert not any("stray_temp_view" in ident for ident in restored)
     assert spark.table("dw.fact_order_line").count() == good_fact
     # views were recreated and resolve against the restored tables
     rev = {
