@@ -5969,3 +5969,209 @@ def knn_incremental_merge(spark, sf_dir):
     return merged.select(
         "query_id", "neighbor_id", F.col("rank").alias("knn_rank")
     )
+
+
+@query(
+    "doc_lm_crossentropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks,
+           UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    ),
+    pdb AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS npos FROM bg GROUP BY 1, 2, 3
+    ),
+    g2 AS (
+      SELECT w1, w2, CAST(SUM(npos) AS BIGINT) AS c2 FROM pdb GROUP BY 1, 2
+    ),
+    g1 AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM g2 GROUP BY 1
+    ),
+    v AS (SELECT COUNT(DISTINCT w2) AS vsz FROM g2),
+    p AS (
+      SELECT g2.w1, g2.w2,
+             CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vsz AS DOUBLE) AS pr
+      FROM g2 JOIN g1 USING (w1) CROSS JOIN v
+    )
+    SELECT pdb.doc_id,
+           CAST(SUM(npos) AS BIGINT) AS n_bigrams,
+           -SUM(npos * LN(pr)) / SUM(npos) AS cross_entropy
+    FROM pdb JOIN p ON pdb.w1 = p.w1 AND pdb.w2 = p.w2
+    GROUP BY pdb.doc_id
+    """,
+    description=(
+        "KenLM-style corpus-LM quality scoring (the perplexity filter used "
+        "by published pretraining pipelines, e.g. CCNet): train an add-one "
+        "bigram LM on the corpus itself in one pass, then score every "
+        "document's per-bigram cross-entropy against it.  All counts stay "
+        "integers until ONE IEEE division per distinct bigram, so "
+        "probabilities are bit-identical across engines; the per-doc log "
+        "sum is same-sign (no cancellation) so the %g-normalized compare "
+        "is stable.  Scale shape: bigram explode is map-only (arrays_zip "
+        "of two slices, no positional join); counts are partial-agg "
+        "shuffles on (doc,w1,w2) then (w1,w2); the score join shuffles "
+        "pdb against the probability table on the bigram key — skewed "
+        "common bigrams are AQE skew-join territory; vocab table g1 "
+        "stays vocab-sized, never corpus-sized"
+    ),
+)
+def doc_lm_crossentropy(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    # map-only bigram stream: zip t[1..n-1] with t[2..n]
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z")["0"].alias("w1"), F.col("z")["1"].alias("w2"))
+    pdb = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("npos"))
+    g2 = pdb.groupBy("w1", "w2").agg(F.sum("npos").cast("long").alias("c2"))
+    g1 = g2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    vsz = g2.agg(F.countDistinct("w2").alias("vsz"))
+    probs = (
+        g2.join(g1, "w1")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("c2") + 1).cast("double")
+                / (F.col("c1") + F.col("vsz")).cast("double")
+            ).alias("pr"),
+        )
+    )
+    return (
+        pdb.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("npos").cast("long").alias("n_bigrams"),
+            (
+                -F.sum(F.col("npos") * F.log("pr")) / F.sum("npos")
+            ).alias("cross_entropy"),
+        )
+    )
+
+
+@query(
+    "pca_power_iteration",
+    oracle="""
+    WITH xq AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+             ) AS q
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, u.i - 1 AS dim, q[u.i] AS xj
+      FROM xq, UNNEST(generate_series(1, len(q))) AS u(i)
+    ),
+    d0 AS (
+      SELECT vec_id, CAST(SUM(xj) AS BIGINT) AS dot0 FROM ex GROUP BY vec_id
+    ),
+    s1 AS (
+      SELECT dim, CAST(SUM(xj * dot0) AS BIGINT) AS s
+      FROM ex JOIN d0 USING (vec_id) GROUP BY dim
+    ),
+    n1 AS (
+      SELECT SQRT(SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS nrm FROM s1
+    ),
+    v1 AS (SELECT dim, CAST(s AS DOUBLE) / nrm AS v FROM s1, n1),
+    d1 AS (
+      SELECT ex.vec_id,
+             CAST(FLOOR(SUM(CAST(ex.xj AS DOUBLE) * v1.v)) AS BIGINT) AS dot1
+      FROM ex JOIN v1 USING (dim) GROUP BY ex.vec_id
+    ),
+    s2 AS (
+      SELECT ex.dim, CAST(SUM(ex.xj * d1.dot1) AS BIGINT) AS s
+      FROM ex JOIN d1 USING (vec_id) GROUP BY ex.dim
+    ),
+    n2 AS (
+      SELECT SQRT(SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS nrm FROM s2
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, CAST(s AS DOUBLE) / nrm AS component
+    FROM s2, n2
+    """,
+    description=(
+        "top principal component by two distributed power iterations, "
+        "hash-oracle-checked: embeddings are fixed-pointed once "
+        "(floor(x*1e4), exact for float32 inputs), both matrix-vector "
+        "products run in EXACT int64 arithmetic (magnitude budget "
+        "~5e12 << 2^63 at 100x rows), and doubles appear only in the two "
+        "normalizations, where every component is exact_int/norm — "
+        "uniform relative error ~1e-14 with no cancellation, so %g-digit "
+        "parity holds even for near-zero components.  The inter-iteration "
+        "dot product is floor-quantized to keep iteration 2 integer-exact "
+        "(direction error ~1e-4, bounded and documented).  Scale shape: "
+        "per-row dots are map-only array folds; the two 64-key vector "
+        "sums partial-agg to <=64 rows per task before a 64-key shuffle; "
+        "v1 joins back by broadcast.  No driver collect anywhere — the "
+        "normalizer is a 1-row aggregate crossJoin.  At 100 TB the "
+        "re-derived explode lineage (used by s1/d1/s2) would be "
+        "persisted once (same pattern as dedup's materialize_dir)"
+    ),
+)
+def pca_power_iteration(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 10000).cast("long"),
+        ).alias("q"),
+    )
+    ex = xq.select(
+        "vec_id", F.posexplode("q").alias("dim", "xj")
+    )
+    # iteration 1 against the (implicit, unnormalized) all-ones start
+    # vector: dot0 = sum(q) per row, exact int64
+    d0 = xq.select(
+        "vec_id",
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "dot0"
+        ),
+    )
+    s1 = (
+        ex.join(d0, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("xj") * F.col("dot0")).cast("long").alias("s"))
+    )
+    n1 = s1.agg(
+        F.sqrt(F.sum(F.col("s").cast("double") * F.col("s").cast("double"))).alias("nrm")
+    )
+    v1 = s1.crossJoin(F.broadcast(n1)).select(
+        "dim", (F.col("s").cast("double") / F.col("nrm")).alias("v")
+    )
+    # iteration 2: dot1 floor-quantized so the second product is integer
+    d1 = (
+        ex.join(F.broadcast(v1), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.floor(F.sum(F.col("xj").cast("double") * F.col("v")))
+            .cast("long")
+            .alias("dot1")
+        )
+    )
+    s2 = (
+        ex.join(d1, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("xj") * F.col("dot1")).cast("long").alias("s"))
+    )
+    n2 = s2.agg(
+        F.sqrt(F.sum(F.col("s").cast("double") * F.col("s").cast("double"))).alias("nrm")
+    )
+    return s2.crossJoin(F.broadcast(n2)).select(
+        F.col("dim").cast("int").alias("dim"),
+        (F.col("s").cast("double") / F.col("nrm")).alias("component"),
+    )

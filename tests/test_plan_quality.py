@@ -281,3 +281,24 @@ def test_gemm_knn_rescore_broadcasts_candidates(spark):
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p
+
+
+def test_pca_power_iteration_broadcasts_and_no_python(spark):
+    p = plan(spark, "pca_power_iteration")
+    # the 64-row v1 table and the 1-row normalizers join back by broadcast,
+    # never by shuffle; no Python in the hot path (array folds are codegen)
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
+    # the two vector sums partial-aggregate before their 64-key shuffle
+    assert len(re.findall(r"HashAggregate", p)) >= 4, p
+
+
+def test_doc_lm_crossentropy_partial_aggs_no_cartesian(spark):
+    p = plan(spark, "doc_lm_crossentropy")
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
+    # bigram counts partial-aggregate map-side before the key shuffles
+    assert len(re.findall(r"HashAggregate", p)) >= 4, p
+    # the 1-row vocab-size aggregate rides a broadcast, not a shuffle join
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
