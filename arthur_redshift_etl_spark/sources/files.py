@@ -105,6 +105,13 @@ def read_source(
             return read_avro(spark, avro_dir, schema=schema)
     if fmt == "parquet":
         return reader.parquet(path)
+    if fmt == "orc":
+        # Built-in columnar alternative to parquet (native Spark datasource,
+        # same predicate-pushdown / column-pruning path).  The reference
+        # never reads ORC, but lake sources routinely hold it; directory
+        # reads keep Spark's own part-file discovery (ORC dirs carry no
+        # sidecars that would confuse the glob).
+        return reader.orc(path)
     raise ValueError(f"unsupported source format: {fmt}")
 
 

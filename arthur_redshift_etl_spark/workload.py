@@ -6114,12 +6114,14 @@ def doc_lm_crossentropy(spark, sf_dir):
         "parity holds even for near-zero components.  The inter-iteration "
         "dot product is floor-quantized to keep iteration 2 integer-exact "
         "(direction error ~1e-4, bounded and documented).  Scale shape: "
-        "per-row dots are map-only array folds; the two 64-key vector "
-        "sums partial-agg to <=64 rows per task before a 64-key shuffle; "
-        "v1 joins back by broadcast.  No driver collect anywhere — the "
-        "normalizer is a 1-row aggregate crossJoin.  At 100 TB the "
-        "re-derived explode lineage (used by s1/d1/s2) would be "
-        "persisted once (same pattern as dedup's materialize_dir)"
+        "each iteration is exactly ONE corpus scan + ONE 64-key shuffle — "
+        "the per-row dot rides the same projection as the posexplode (no "
+        "self-join of the exploded table on vec_id), the vector sums "
+        "partial-agg to <=64 rows per task, and the intermediate "
+        "eigenvector travels as a single broadcast 64-double array row "
+        "folded by zip_with.  No driver collect anywhere — normalizers "
+        "are whole-set window sums over the 64-row vector table, bounded "
+        "by dimensionality, not data"
     ),
 )
 def pca_power_iteration(spark, sf_dir):
@@ -6131,47 +6133,59 @@ def pca_power_iteration(spark, sf_dir):
             lambda x: F.floor(x.cast("double") * 10000).cast("long"),
         ).alias("q"),
     )
-    ex = xq.select(
-        "vec_id", F.posexplode("q").alias("dim", "xj")
-    )
     # iteration 1 against the (implicit, unnormalized) all-ones start
-    # vector: dot0 = sum(q) per row, exact int64
-    d0 = xq.select(
-        "vec_id",
+    # vector: the per-row dot rides the SAME projection as the explode, so
+    # the whole iteration is one scan + one 64-key partial-agg shuffle —
+    # no self-join of the exploded table on vec_id (that shape shuffles
+    # 64x the corpus by row key; this one shuffles <=64 rows per task)
+    ex1 = xq.select(
         F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias(
             "dot0"
         ),
+        F.posexplode("q").alias("dim", "xj"),
     )
-    s1 = (
-        ex.join(d0, "vec_id")
-        .groupBy("dim")
-        .agg(F.sum(F.col("xj") * F.col("dot0")).cast("long").alias("s"))
+    s1 = ex1.groupBy("dim").agg(
+        F.sum(F.col("xj") * F.col("dot0")).cast("long").alias("s")
     )
-    n1 = s1.agg(
-        F.sqrt(F.sum(F.col("s").cast("double") * F.col("s").cast("double"))).alias("nrm")
+    # normalizer = whole-set window sum over the 64-row vector table —
+    # bounded by dimensionality, not data, and it keeps the s1 subtree
+    # appearing ONCE in the plan (a separate 1-row aggregate would clone
+    # the whole upstream lineage into each consumer)
+    wall = Window.partitionBy()
+    nrm1 = F.sqrt(
+        F.sum(F.col("s").cast("double") * F.col("s").cast("double")).over(wall)
     )
-    v1 = s1.crossJoin(F.broadcast(n1)).select(
-        "dim", (F.col("s").cast("double") / F.col("nrm")).alias("v")
-    )
-    # iteration 2: dot1 floor-quantized so the second product is integer
-    d1 = (
-        ex.join(F.broadcast(v1), "dim")
-        .groupBy("vec_id")
-        .agg(
-            F.floor(F.sum(F.col("xj").cast("double") * F.col("v")))
-            .cast("long")
-            .alias("dot1")
+    # pivot v1 into ONE 64-double array row and broadcast it — iteration 2
+    # folds it row-wise (zip_with), again one scan + one 64-key shuffle
+    v1arr = (
+        s1.select(
+            F.struct(
+                "dim", (F.col("s").cast("double") / nrm1).alias("v")
+            ).alias("sv")
         )
+        .agg(F.array_sort(F.collect_list("sv")).alias("a"))
+        .select(F.transform("a", lambda st: st["v"]).alias("varr"))
     )
-    s2 = (
-        ex.join(d1, "vec_id")
-        .groupBy("dim")
-        .agg(F.sum(F.col("xj") * F.col("dot1")).cast("long").alias("s"))
+    # dot1 floor-quantized so the second matrix product is integer-exact
+    ex2 = xq.crossJoin(F.broadcast(v1arr)).select(
+        F.floor(
+            F.aggregate(
+                F.zip_with("q", "varr", lambda x, v: x.cast("double") * v),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        .cast("long")
+        .alias("dot1"),
+        F.posexplode("q").alias("dim", "xj"),
     )
-    n2 = s2.agg(
-        F.sqrt(F.sum(F.col("s").cast("double") * F.col("s").cast("double"))).alias("nrm")
+    s2 = ex2.groupBy("dim").agg(
+        F.sum(F.col("xj") * F.col("dot1")).cast("long").alias("s")
     )
-    return s2.crossJoin(F.broadcast(n2)).select(
+    nrm2 = F.sqrt(
+        F.sum(F.col("s").cast("double") * F.col("s").cast("double")).over(wall)
+    )
+    return s2.select(
         F.col("dim").cast("int").alias("dim"),
-        (F.col("s").cast("double") / F.col("nrm")).alias("component"),
+        (F.col("s").cast("double") / nrm2).alias("component"),
     )

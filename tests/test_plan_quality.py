@@ -285,12 +285,15 @@ def test_gemm_knn_rescore_broadcasts_candidates(spark):
 
 def test_pca_power_iteration_broadcasts_and_no_python(spark):
     p = plan(spark, "pca_power_iteration")
-    # the 64-row v1 table and the 1-row normalizers join back by broadcast,
-    # never by shuffle; no Python in the hot path (array folds are codegen)
-    assert "BroadcastHashJoin" in p, p
+    # the intermediate eigenvector and the normalizers ride 1-row
+    # broadcasts; nothing joins the exploded corpus by row key
+    assert "Broadcast" in p, p
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p, p
-    # the two vector sums partial-aggregate before their 64-key shuffle
+    assert "SortMergeJoin" not in p, p
+    # each iteration's vector sum partial-aggregates before its 64-key
+    # shuffle: two iterations -> >=4 HashAggregates, and the only
+    # corpus-wide exchanges are those two 64-key aggregations
     assert len(re.findall(r"HashAggregate", p)) >= 4, p
 
 
