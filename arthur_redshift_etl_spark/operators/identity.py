@@ -74,6 +74,57 @@ def global_row_number(
     return out, acc
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[str],
+    value_col: str,
+    sum_column: str = "__gsum",
+) -> tuple[DataFrame, int]:
+    """Exact global running sum of ``value_col`` over ``order_by`` — no
+    single-task window.
+
+    Same two-phase shape as :func:`global_row_number`: range-repartition for
+    a globally ordered layout, per-partition prefix sums via a window keyed
+    by partition id, and a driver-side prefix sum over per-partition value
+    TOTALS (metadata only — K numbers, never row data) to lift local sums to
+    global ones.  Returns ``(df_with_column, grand_total)``.  Integer values
+    only (the metadata prefix sum must be exact).
+    """
+    keys = [F.col(c) for c in order_by]
+    ordered = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    totals = {
+        r["__pid"]: r["s"] or 0
+        for r in with_pid.groupBy("__pid")
+        .agg(F.sum(value_col).cast("long").alias("s"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    if not offsets:
+        return df.withColumn(sum_column, F.lit(None).cast("long")), 0
+    offset_col = F.create_map(
+        *[item for pid, off in offsets.items() for item in (F.lit(pid), F.lit(off))]
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        with_pid.withColumn("__lsum", F.sum(value_col).over(w))
+        .withColumn(
+            sum_column,
+            (offset_col[F.col("__pid")] + F.col("__lsum")).cast("long"),
+        )
+        .drop("__pid", "__lsum")
+    )
+    return out, acc
+
+
 def with_identity(
     df: DataFrame,
     identity_column: str,

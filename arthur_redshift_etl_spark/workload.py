@@ -6189,3 +6189,58 @@ def pca_power_iteration(spark, sf_dir):
         F.col("dim").cast("int").alias("dim"),
         (F.col("s").cast("double") / nrm2).alias("component"),
     )
+
+
+@query(
+    "corpus_token_budget_select",
+    oracle="""
+    WITH sc AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS score
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, score, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS cum_tokens
+      FROM sc
+    )
+    SELECT doc_id, score, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens - n_tokens < 20000
+    """,
+    description=(
+        "data selection under a global token budget (the 'take the best "
+        "docs until the budget is spent' stage of a pretraining mix): "
+        "docs are ranked by a quality score (distinct-token ratio, exact "
+        "integer-derived division; doc_id tiebreak) and the greedy prefix "
+        "whose running token total stays under the budget is selected, "
+        "straddler included — identical to SUM OVER (ORDER BY) semantics. "
+        "The running sum is the EXACT distributed two-phase form "
+        "(operators/identity.py global_running_sum): range-repartition on "
+        "the rank key, per-partition window prefix sums, and a "
+        "metadata-only driver prefix sum over per-partition totals — the "
+        "data never funnels through one task, unlike a partition-less "
+        "SUM OVER window"
+    ),
+)
+def corpus_token_budget_select(spark, sf_dir):
+    from .operators.identity import global_running_sum
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sc = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("score"),
+    ).withColumn("neg_score", -F.col("score"))
+    cum, _total = global_running_sum(
+        sc, ["neg_score", "doc_id"], "n_tokens", sum_column="cum_tokens"
+    )
+    return cum.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < 20000
+    ).select("doc_id", "score", "n_tokens", "cum_tokens")

@@ -305,3 +305,14 @@ def test_doc_lm_crossentropy_partial_aggs_no_cartesian(spark):
     assert len(re.findall(r"HashAggregate", p)) >= 4, p
     # the 1-row vocab-size aggregate rides a broadcast, not a shuffle join
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_token_budget_select_no_single_partition_window(spark):
+    p = plan(spark, "corpus_token_budget_select")
+    # the global running sum must come from the two-phase form: a range
+    # repartition plus per-partition windows — never a partition-less
+    # SUM OVER funneling the corpus through one task
+    assert "Exchange SinglePartition" not in p, p
+    assert "rangepartitioning" in p.lower(), p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p

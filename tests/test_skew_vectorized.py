@@ -299,3 +299,27 @@ def test_knn_incremental_merge_is_batch_order_invariant(spark):
             (r["query_id"], r["rank"]): r["neighbor_id"] for r in state.collect()
         }
         assert got == full, order
+
+
+def test_global_running_sum_matches_naive(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.operators.identity import global_running_sum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long").repartition(8)
+    out, total = global_running_sum(df, ["k"], "v", sum_column="cs")
+    got = {r["k"]: r["cs"] for r in out.collect()}
+    acc = 0
+    for k, v in sorted(rows):
+        acc += v
+        assert got[k] == acc, (k, got[k], acc)
+    assert total == acc
+
+    empty = spark.createDataFrame([], "k long, v long")
+    out_e, total_e = global_running_sum(empty, ["k"], "v")
+    assert total_e == 0 and out_e.count() == 0
