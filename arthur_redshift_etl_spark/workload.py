@@ -6244,3 +6244,182 @@ def corpus_token_budget_select(spark, sf_dir):
     return cum.filter(
         F.col("cum_tokens") - F.col("n_tokens") < 20000
     ).select("doc_id", "score", "n_tokens", "cum_tokens")
+
+
+@query(
+    "split_leakage_safe",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tokens) - 1),
+                      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+                 AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT ta.doc_id AS id_a, tb.doc_id AS id_b
+      FROM toks ta JOIN toks tb
+        ON ta.shingle = tb.shingle AND ta.doc_id < tb.doc_id
+    ),
+    inter AS (
+      SELECT id_a, id_b, COUNT(*) AS inter_size
+      FROM cand
+      JOIN toks ta ON ta.doc_id = id_a
+      JOIN toks tb ON tb.doc_id = id_b AND tb.shingle = ta.shingle
+      GROUP BY id_a, id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               CAST(inter_size AS DOUBLE)
+                 / CAST(sa.set_size + sb.set_size - inter_size AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      ) WHERE jaccard >= 0.5
+    ),
+    bidir AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, reach.r FROM bidir e JOIN reach ON e.b = reach.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT doc_id, component,
+           CAST((component * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket,
+           CASE WHEN (component * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+                WHEN (component * 2654435761) % 4294967296 % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM comp
+    """,
+    description=(
+        "leakage-safe train/valid/test split: near-duplicate documents must "
+        "never straddle a split boundary (a test doc with a train near-dup "
+        "is contamination), so the split key is the doc's near-dup "
+        "connected-component id (min doc_id via iterative hash-min, "
+        "operators/clustering.py) rather than the doc id — every component "
+        "lands wholly on one side by construction, with the same "
+        "multiplicative-hash bucketing as the plain split.  Scale shape "
+        "inherits the CC entry's: prefix-filtered exact Jaccard pairs, "
+        "localCheckpointed hash-min iterations with early stop, then a "
+        "narrow hash expression — the split itself adds zero shuffles"
+    ),
+)
+def split_leakage_safe(spark, sf_dir):
+    from .operators.clustering import connected_components
+    from .operators.sampling import hash_bucket
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_join(docs, "doc_id", "text", threshold=0.5)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(nodes, edges).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    bucket = hash_bucket(F.col("component"))
+    return (
+        comp.withColumn("bucket", bucket.cast("long"))
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "valid")
+            .otherwise("test"),
+        )
+    )
+
+
+@query(
+    "doc_lm_crossentropy_loo",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks,
+           UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    ),
+    pdb AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS npos FROM bg GROUP BY 1, 2, 3
+    ),
+    g2 AS (
+      SELECT w1, w2, CAST(SUM(npos) AS BIGINT) AS c2 FROM pdb GROUP BY 1, 2
+    ),
+    g1 AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM g2 GROUP BY 1
+    ),
+    v AS (SELECT COUNT(DISTINCT w2) AS vsz FROM g2),
+    scored AS (
+      SELECT pdb.doc_id, pdb.npos,
+             CAST(g2.c2 - pdb.npos + 1 AS DOUBLE)
+               / CAST(g1.c1
+                      - SUM(pdb.npos) OVER (PARTITION BY pdb.doc_id, pdb.w1)
+                      + v.vsz AS DOUBLE) AS pr
+      FROM pdb
+      JOIN g2 ON pdb.w1 = g2.w1 AND pdb.w2 = g2.w2
+      JOIN g1 ON pdb.w1 = g1.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(SUM(npos) AS BIGINT) AS n_bigrams,
+           -SUM(npos * LN(pr)) / SUM(npos) AS loo_cross_entropy
+    FROM scored GROUP BY doc_id
+    """,
+    description=(
+        "leave-one-document-out LM scoring — the methodologically honest "
+        "form of the perplexity filter: each doc is scored against the "
+        "corpus LM with its OWN bigram contributions subtracted "
+        "(c2 - own_pair_count, c1 - own_context_count), so a document "
+        "cannot look high-quality merely by having trained the model on "
+        "itself; a doc scores well only if its content is common beyond "
+        "itself.  Algebraically exact — no second LM fit, the exclusion "
+        "is count subtraction on the SAME aggregates, with the own-context "
+        "sum a window over the per-doc bigram table (no extra shuffle: "
+        "same (doc,w1) grouping key prefix).  Integer counts + one IEEE "
+        "division keep probabilities engine-exact; log terms same-sign"
+    ),
+)
+def doc_lm_crossentropy_loo(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z")["0"].alias("w1"), F.col("z")["1"].alias("w2"))
+    pdb = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("npos"))
+    g2 = pdb.groupBy("w1", "w2").agg(F.sum("npos").cast("long").alias("c2"))
+    g1 = g2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    vsz = g2.agg(F.countDistinct("w2").alias("vsz"))
+    own1 = F.sum("npos").over(Window.partitionBy("doc_id", "w1"))
+    scored = (
+        pdb.withColumn("own_c1", own1)
+        .join(g2.join(g1, "w1"), ["w1", "w2"])
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            "npos",
+            (
+                (F.col("c2") - F.col("npos") + 1).cast("double")
+                / (F.col("c1") - F.col("own_c1") + F.col("vsz")).cast("double")
+            ).alias("pr"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("npos").cast("long").alias("n_bigrams"),
+        (-F.sum(F.col("npos") * F.log("pr")) / F.sum("npos")).alias(
+            "loo_cross_entropy"
+        ),
+    )
