@@ -218,10 +218,15 @@ def cmd_extract(args) -> int:
                 return 2
             mark = args.last_seen
             lst = getattr(args, "last_seen_type", "auto")
-            if lst == "int":
-                mark = int(mark)
-            elif lst == "float":
-                mark = float(mark)
+            if lst in ("int", "float"):
+                try:
+                    mark = int(mark) if lst == "int" else float(mark)
+                except ValueError:
+                    print(
+                        f"error: --last-seen {mark!r} is not a valid {lst}",
+                        file=sys.stderr,
+                    )
+                    return 2
             elif lst == "auto":
                 # coerce only unambiguous numerics: leading-zero / exponent /
                 # sign forms round-trip differently and stay strings so a
@@ -623,6 +628,9 @@ def cmd_events(args) -> int:
     elif args.command == "summarize_events":
         rows = store.summarize()
     else:
+        # snapshot the log position BEFORE printing the tail so events
+        # appended while printing land in the follow stream, not in a gap
+        follow_from = store.offset()
         rows = store.tail(args.limit)
     for row in rows:
         print(json.dumps(row, sort_keys=True))
@@ -631,7 +639,9 @@ def cmd_events(args) -> int:
         # then stream rows as the ETL appends them
         try:
             for row in store.follow(
-                poll_interval=args.poll_interval, timeout=args.follow_seconds
+                poll_interval=args.poll_interval,
+                timeout=args.follow_seconds,
+                from_offset=follow_from,
             ):
                 print(json.dumps(row, sort_keys=True), flush=True)
         except KeyboardInterrupt:

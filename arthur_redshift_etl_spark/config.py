@@ -188,6 +188,17 @@ def show_value(
     variables = flatten_vars(config)
     if name in variables:
         return variables[name]
+    # a SECTION path (prefix of leaf settings) is configured, just not a
+    # leaf — render its subtree as JSON instead of claiming it is unset
+    prefix = name + "."
+    subtree = {k: v for k, v in variables.items() if k.startswith(prefix)}
+    if subtree:
+        import json
+
+        return json.dumps(
+            {k[len(prefix):]: v for k, v in sorted(subtree.items())},
+            sort_keys=True,
+        )
     if default is not None:
         return default
     raise ETLConfigError(f"setting {name!r} is unset and no default was given")

@@ -242,11 +242,23 @@ def build_external_relation(ctx: LoadContext, rel: Relation, db: str) -> int:
         raise ETLRuntimeError(
             f"{rel.identifier}: external location {location!r} is not readable: {exc}"
         ) from exc
+    design_fields = {
+        f.name: f.dataType for f in rel.design.to_spark_schema().fields
+    }
     for col in rel.design.unskipped_columns:
         if col.name not in actual:
             raise ETLRuntimeError(
                 f"{rel.identifier}: external data at {location!r} lacks design "
                 f"column {col.name!r} (has {sorted(actual)})"
+            )
+        declared = design_fields.get(col.name)
+        if declared is not None and actual[col.name].dataType != declared:
+            raise ETLRuntimeError(
+                f"{rel.identifier}: external column {col.name!r} at "
+                f"{location!r} is {actual[col.name].dataType.simpleString()} "
+                f"but the design declares {declared.simpleString()} — "
+                "external data is registered in place, so a type mismatch "
+                "is an error, not a cast"
             )
     _drop_relation(ctx, db, rel.table_name.table)
     if rel.design.attributes.get("partition_by"):
@@ -278,8 +290,10 @@ def attach_external_schema(
 
     if not _os.path.isdir(location):
         raise ETLRuntimeError(f"external schema location {location!r} is not a directory")
-    create_schema(ctx.spark, schema)
-    attached: List[str] = []
+    # validate BEFORE creating the schema: failing after create_schema would
+    # leave behind exactly the silently-empty schema the error exists to
+    # prevent
+    readable: List[str] = []
     for entry in sorted(_os.listdir(location)):
         table_dir = _os.path.join(location, entry)
         if not _os.path.isdir(table_dir):
@@ -289,12 +303,16 @@ def attach_external_schema(
         except Exception:
             logger.warning("skipping %s: not readable as parquet", table_dir)
             continue
-        _register_external_table(ctx, schema, entry, table_dir)
-        attached.append(f"{schema}.{entry}")
-    if not attached:
+        readable.append(entry)
+    if not readable:
         raise ETLRuntimeError(
             f"external schema location {location!r} contains no parquet tables"
         )
+    create_schema(ctx.spark, schema)
+    attached: List[str] = []
+    for entry in readable:
+        _register_external_table(ctx, schema, entry, _os.path.join(location, entry))
+        attached.append(f"{schema}.{entry}")
     return attached
 
 
@@ -758,17 +776,19 @@ def restore_schemas(
     ``etl_backup__<schema>`` databases (metadata only — the blue-green data
     versions both stay on disk until vacuum), so restore walks the BACKUP
     database's actual tables — not the design list, which may have changed
-    since the bad publish — and re-registers each at its backed-up location,
-    preserving bucket/partition specs when a matching design still exists.
-    Views over the restored schema are recreated from their design SQL so
-    they resolve against the restored tables.  The consumed backup
-    registrations are dropped (the rename semantics: a backup restores ONCE);
-    returns the restored identifiers.
+    since the bad publish — and clones each backup registration's OWN DDL
+    (``SHOW CREATE TABLE``) into the production position: location, bucket
+    spec, and partitioning are exactly what the backup was registered with,
+    immune to design drift since the bad publish (re-deriving the physical
+    spec from the CURRENT design could declare 16 buckets over 8-bucket
+    files).  Views over a restored schema are recreated from their design
+    SQL so they resolve against the restored tables — only for schemas
+    where something was actually restored, so a no-op restore reports
+    nothing instead of churning production views.  The consumed backup
+    registrations are dropped (the rename semantics: a backup restores
+    ONCE); returns the restored identifiers.
     """
     selector = selector or TableSelector([])
-    by_ident = {
-        r.identifier: r for r in relations if not r.is_view_relation
-    }
     schemas = sorted(
         {
             r.table_name.schema
@@ -777,6 +797,7 @@ def restore_schemas(
         }
     )
     restored: List[str] = []
+    restored_schemas = set()
     for schema in schemas:
         backup_db = as_backup(schema)
         try:
@@ -795,35 +816,33 @@ def restore_schemas(
             ident = f"{schema}.{table}"
             if not selector.match(TableName(schema, table)):
                 continue
-            loc = (
-                ctx.spark.sql(f"DESCRIBE FORMATTED {_quote(backup_db)}.{_quote(table)}")
-                .filter("col_name = 'Location'")
-                .collect()
-            )
-            if not loc:
-                logger.warning("backup %s.%s has no location; skipped", backup_db, table)
+            backup_full = f"{_quote(backup_db)}.{_quote(table)}"
+            ddl = ctx.spark.sql(f"SHOW CREATE TABLE {backup_full}").collect()[0][0]
+            name_match = re.match(r"CREATE TABLE\s+(\S+)", ddl)
+            if not name_match:
+                logger.warning(
+                    "backup %s.%s DDL not recognized; skipped", backup_db, table
+                )
                 continue
-            location = loc[0]["data_type"]
-            rel = by_ident.get(ident)
             _drop_relation(ctx, schema, table)
-            if rel is not None and _bucket_spec(rel.design):
-                _register_bucketed_table(ctx, schema, rel, location)
-            elif rel is not None and rel.design.attributes.get("partition_by"):
-                _register_partitioned_table(ctx, schema, rel, location)
-            else:
-                _register_external_table(ctx, schema, table, location)
-            ctx.spark.sql(f"DROP TABLE IF EXISTS {_quote(backup_db)}.{_quote(table)}")
+            prod_full = f"{_quote(schema)}.{_quote(table)}"
+            ctx.spark.sql(ddl.replace(name_match.group(1), prod_full, 1))
+            if re.search(r"\bPARTITIONED BY\b", ddl):
+                ctx.spark.sql(f"ALTER TABLE {prod_full} RECOVER PARTITIONS")
+            ctx.spark.sql(f"DROP TABLE IF EXISTS {backup_full}")
             restored.append(ident)
+            restored_schemas.add(schema)
         if not any(
             not t.isTemporary for t in ctx.spark.catalog.listTables(backup_db)
         ):
             drop_schema(ctx.spark, backup_db)
-    # recreate the selection's views last, against the restored tables
+    # recreate views last, against the restored tables — only where a
+    # restore actually happened
     for rel in relations:
         if not rel.is_view_relation:
             continue
         tn = rel.table_name
-        if tn.schema not in schemas or not selector.match(tn):
+        if tn.schema not in restored_schemas or not selector.match(tn):
             continue
         full = f"{_quote(tn.schema)}.{_quote(tn.table)}"
         ctx.spark.sql(f"DROP VIEW IF EXISTS {full}")

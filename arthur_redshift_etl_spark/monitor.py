@@ -9,12 +9,15 @@ query/summarize/tail commands (:656-973).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import threading
 import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any, Dict, Iterable, List, Optional
+
+logger = logging.getLogger(__name__)
 
 STEP_EXTRACT = "extract"
 STEP_LOAD = "load"
@@ -88,24 +91,38 @@ class EventStore:
     def tail(self, n: int = 10) -> List[Dict[str, Any]]:
         return self.events()[-n:]
 
+    def offset(self) -> int:
+        """Current end-of-log position — pass to ``follow(from_offset=...)``
+        so events appended between a ``tail()`` printout and the follow loop
+        are not lost in the gap (file mode: byte offset; memory mode: event
+        index)."""
+        if self.path:
+            return os.path.getsize(self.path) if os.path.exists(self.path) else 0
+        return len(self._memory)
+
     def follow(
         self,
         poll_interval: float = 0.5,
         timeout: Optional[float] = None,
+        from_offset: Optional[int] = None,
     ) -> Iterable[Dict[str, Any]]:
-        """Stream events appended AFTER this call (reference live-monitor
-        analog: monitor.py:433-575 serves an in-memory HTTP dashboard; here
-        the daily-driver flavor is a poll-the-jsonl follow, `tail -f` with
-        JSON framing).  File mode tails by byte offset — each poll reads
-        only the appended bytes (complete lines; a partially-written line
-        waits for its newline), never re-parses the history, so a
-        long-running follow on a large event log stays O(new events).
+        """Stream events appended AFTER ``from_offset`` (default: after this
+        call) — reference live-monitor analog: monitor.py:433-575 serves an
+        in-memory HTTP dashboard; here the daily-driver flavor is a
+        poll-the-jsonl follow, `tail -f` with JSON framing.  File mode tails
+        by byte offset — each poll reads only the appended bytes (complete
+        lines; a partially-written line waits for its newline), never
+        re-parses the history, so a long-running follow on a large event log
+        stays O(new events).  A shrinking file (rotation/truncation) resets
+        the offset to the start instead of stalling past EOF forever.
         ``timeout`` bounds the follow for scripted use; None follows until
         interrupted.
         """
         start = time.monotonic()
-        mem_idx = len(self._memory)
-        pos = (
+        mem_idx = from_offset if (not self.path and from_offset is not None) else len(
+            self._memory
+        )
+        pos = from_offset if (self.path and from_offset is not None) else (
             os.path.getsize(self.path)
             if self.path and os.path.exists(self.path)
             else 0
@@ -113,14 +130,23 @@ class EventStore:
         while True:
             if self.path:
                 if os.path.exists(self.path):
+                    if os.path.getsize(self.path) < pos:
+                        pos = 0  # rotated/truncated underneath the follow
                     with open(self.path) as fh:
                         fh.seek(pos)
                         chunk = fh.read()
                     last_nl = chunk.rfind("\n")
                     if last_nl >= 0:
                         for line in chunk[:last_nl].splitlines():
-                            if line.strip():
+                            if not line.strip():
+                                continue
+                            try:
                                 yield json.loads(line)
+                            except ValueError:
+                                # a same-size rotation can leave the offset
+                                # mid-line; skip the fragment rather than
+                                # killing the follow
+                                logger.debug("follow: skipping partial line")
                         pos += last_nl + 1
             else:
                 with self._lock:

@@ -141,14 +141,16 @@ def learn_bpe_merges(
     vocab = vocab.localCheckpoint()
     n_vocab = vocab.count()  # vocab-sized job over checkpointed blocks
     parts = max(1, min(spark.sparkContext.defaultParallelism, n_vocab // 65536 + 1))
-    # The checkpoint's partition count equals the (possibly AQE-coalesced)
-    # shuffle width of the word-frequency groupBy; reading it exactly would
-    # mean materializing the RDD conversion lineage just for a number.
-    # Compact only when the loop wants FEWER partitions than the session's
-    # static shuffle width — the only case the per-iteration task-overhead
-    # argument above applies; a matching-width repartition would be a no-op
-    # paid as an extra vocab copy.
-    if parts < int(spark.conf.get("spark.sql.shuffle.partitions")):
+    # The checkpoint's partition count is whatever the (possibly
+    # AQE-coalesced) word-frequency groupBy produced — comparing against
+    # the session's static shuffle width would MISS the coalesced case
+    # (AQE packs a big vocab into 4 partitions, every merge iteration then
+    # runs 4-wide on a 32-core box).  Read the real count from the JVM-side
+    # RDD handle of the already-materialized checkpoint blocks — unlike the
+    # Python ``df.rdd`` property this builds no Python-serialization
+    # lineage — and resize only on actual mismatch.
+    actual = vocab._jdf.rdd().getNumPartitions()
+    if actual != parts:
         vocab = vocab.repartition(parts).localCheckpoint()
     merges: List[Tuple[str, str, int]] = []
     for _ in range(n_merges):

@@ -1,5 +1,6 @@
 """CLI surface tests — the non-Spark commands run fast and in-process."""
 
+import json
 import os
 
 import pytest
@@ -72,6 +73,18 @@ def test_extract_plan_incremental(design_repo, capsys):
     out = capsys.readouterr().out
     assert "o_orderkey > 1000" in out
     assert '"partition_column": "o_orderkey"' in out
+
+
+def test_extract_last_seen_type_rejects_bad_literal(design_repo, capsys):
+    """An explicitly typed watermark that does not parse is a CLI error
+    (message + exit 2), not a traceback (regression)."""
+    rc = main([
+        "--repo", design_repo, "extract",
+        "--incremental-column", "o_orderkey",
+        "--last-seen", "2024-01-01", "--last-seen-type", "int",
+    ])
+    assert rc == 2
+    assert "not a valid int" in capsys.readouterr().err
 
 
 def test_show_ddl(design_repo, capsys):
@@ -155,6 +168,11 @@ def test_show_value_and_vars_and_template(design_repo, capsys, tmp_path):
     assert capsys.readouterr().out.strip() == "fallback"
     assert main(["--repo", design_repo, "show_vars", "schemas.src.kind"]) == 0
     assert capsys.readouterr().out.strip() == "schemas.src.kind=database_source"
+    # a SECTION path is configured, just not a leaf: render the subtree
+    # instead of claiming the setting is unset (regression)
+    assert main(["--repo", design_repo, "show_value", "settings.etl"]) == 0
+    section = json.loads(capsys.readouterr().out)
+    assert section == {"max_concurrency": "4", "owner": "data-eng"}
 
     tdir = os.path.join(design_repo, "templates")
     os.makedirs(tdir)

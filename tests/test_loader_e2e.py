@@ -328,6 +328,34 @@ def test_restore_schemas_selector_scopes_restore(warehouse):
     assert "etl_backup__dw" in dbs  # unconsumed backup stays
 
 
+def test_restore_schemas_nothing_to_restore_is_a_noop(warehouse):
+    """With no backups left, restore must return [] and leave production
+    views untouched (regression: views were dropped/recreated and reported
+    as 'restored' even when no backup database existed)."""
+    from arthur_redshift_etl_spark.loader import restore_schemas
+
+    spark, root, ctx = warehouse
+    relations = find_file_sets(root)
+    load_warehouse(ctx, relations)
+    # second publish creates the backups; restore consumes them
+    ctx2 = LoadContext(spark=spark, data_root=ctx.data_root, store=EventStore())
+    load_warehouse(ctx2, find_file_sets(root))
+    restored = restore_schemas(ctx2, relations)
+    assert "dw.fact_order_line" in restored
+
+    before = {
+        r["nation_name"]: r["revenue"]
+        for r in spark.table("dw.v_revenue_by_nation").collect()
+    }
+    again = restore_schemas(ctx, relations)
+    assert again == []  # CLI maps this to 'nothing to restore', exit 1
+    after = {
+        r["nation_name"]: r["revenue"]
+        for r in spark.table("dw.v_revenue_by_nation").collect()
+    }
+    assert after == before
+
+
 def test_external_relation_attached_in_place(warehouse, tmp_path):
     """EXTERNAL kind (Spectrum analog): registered at its location, zero
     copy; dependents query it; constraints are not load-enforced."""
@@ -394,6 +422,22 @@ def test_external_relation_schema_mismatch_fails(warehouse, tmp_path):
 
     with pytest.raises(ETLRuntimeError, match="lacks design column"):
         build_one_relation(ctx, rel, use_staging=False)
+
+    # a present column with the WRONG TYPE is equally an error (in-place
+    # registration cannot cast files it does not own)
+    write_design(
+        root,
+        {
+            "name": "ext.badtype",
+            "source_name": "EXTERNAL",
+            # nation.parquet's n_name is a string, not a long
+            "columns": [{"name": "n_name", "type": "long"}],
+            "attributes": {"location": ext_dir},
+        },
+    )
+    rel2 = [r for r in find_file_sets(root) if r.identifier == "ext.badtype"][0]
+    with pytest.raises(ETLRuntimeError, match="type mismatch is an error"):
+        build_one_relation(ctx, rel2, use_staging=False)
 
 
 def test_attach_external_schema_directory_of_tables(warehouse, tmp_path):

@@ -249,3 +249,47 @@ def test_orc_read_source_roundtrip_with_pushdown(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_source(spark, path, "feather")
+
+
+def test_follow_offset_gap_and_truncation(tmp_path):
+    """follow(from_offset=...) picks up events appended between the offset
+    snapshot and the follow loop, and a truncated/rotated log resets the
+    byte offset instead of stalling past EOF forever."""
+    path = str(tmp_path / "events.jsonl")
+    store = EventStore(path)
+    store.append({"event": "start", "target": "a.t", "step": "load"})
+    offset = store.offset()
+    # appended AFTER the snapshot but BEFORE the follow loop begins — the
+    # regression had follow() snapshot its own position and skip this one
+    store.append({"event": "finish", "target": "a.t", "step": "load"})
+    seen = [
+        e["event"]
+        for e in store.follow(poll_interval=0.05, timeout=0.3, from_offset=offset)
+    ]
+    assert "finish" in seen and "start" not in seen
+
+    # rotation: the log was replaced and is now SMALLER than the follow's
+    # offset — the follow must reset to the start instead of seeking past
+    # EOF and silently yielding nothing forever
+    with open(path, "w") as fh:
+        fh.write("")
+    store.append({"event": "after-rotate", "target": "a.t", "step": "load"})
+    oversized = os.path.getsize(path) + 1000
+    seen2 = [
+        e["event"]
+        for e in store.follow(
+            poll_interval=0.05, timeout=0.3, from_offset=oversized
+        )
+    ]
+    assert "after-rotate" in seen2
+
+    # same-size rotation leaves the offset mid-line: the fragment is
+    # skipped, the follow survives, and later whole lines still arrive
+    frag_offset = 5
+    seen3 = [
+        e["event"]
+        for e in store.follow(
+            poll_interval=0.05, timeout=0.3, from_offset=frag_offset
+        )
+    ]
+    assert seen3 == []  # the fragment did not crash the follow
