@@ -6423,3 +6423,122 @@ def doc_lm_crossentropy_loo(spark, sf_dir):
             "loo_cross_entropy"
         ),
     )
+
+
+@query(
+    "pca_grouped_by_label",
+    oracle="""
+    WITH xq AS (
+      SELECT vec_id, label,
+             list_transform(
+               embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+             ) AS q
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label, u.i - 1 AS dim, q[u.i] AS xj,
+             CAST(list_sum(q) AS BIGINT) AS dot0
+      FROM xq, UNNEST(generate_series(1, len(q))) AS u(i)
+    ),
+    s1 AS (
+      SELECT label, dim, CAST(SUM(xj * dot0) AS BIGINT) AS s
+      FROM ex GROUP BY label, dim
+    ),
+    v1 AS (
+      SELECT label, dim,
+             CAST(s AS DOUBLE)
+               / SQRT(SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      OVER (PARTITION BY label)) AS v
+      FROM s1
+    ),
+    d1 AS (
+      SELECT ex.vec_id, ex.label,
+             CAST(FLOOR(SUM(CAST(ex.xj AS DOUBLE) * v1.v)) AS BIGINT) AS dot1
+      FROM ex JOIN v1 ON ex.label = v1.label AND ex.dim = v1.dim
+      GROUP BY ex.vec_id, ex.label
+    ),
+    s2 AS (
+      SELECT ex.label, ex.dim, CAST(SUM(ex.xj * d1.dot1) AS BIGINT) AS s
+      FROM ex JOIN d1 ON ex.vec_id = d1.vec_id
+      GROUP BY ex.label, ex.dim
+    )
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           CAST(s AS DOUBLE)
+             / SQRT(SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                    OVER (PARTITION BY label)) AS component
+    FROM s2
+    """,
+    description=(
+        "per-group top principal component (the grouped form of "
+        "pca_power_iteration — per-domain/per-label embedding drift "
+        "analysis): the same two fixed-point int64 power iterations run "
+        "independently for every label in ONE pair of corpus scans, with "
+        "all vector sums keyed by (label, dim) — partial aggregation still "
+        "bounds shuffle rows at groups x 64 per task — and normalizers as "
+        "per-label window sums over the (label, dim) table (64 rows per "
+        "label, bounded by dimensionality).  The intermediate per-label "
+        "eigenvectors travel as a broadcast (label -> 64-double array) "
+        "table folded row-wise by zip_with after a broadcast hash join on "
+        "the label — no shuffle of the corpus by row key anywhere"
+    ),
+)
+def pca_grouped_by_label(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 10000).cast("long"),
+        ).alias("q"),
+    )
+    ex1 = xq.select(
+        "label",
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "dot0"
+        ),
+        F.posexplode("q").alias("dim", "xj"),
+    )
+    s1 = ex1.groupBy("label", "dim").agg(
+        F.sum(F.col("xj") * F.col("dot0")).cast("long").alias("s")
+    )
+    wlab = Window.partitionBy("label")
+    nrm1 = F.sqrt(
+        F.sum(F.col("s").cast("double") * F.col("s").cast("double")).over(wlab)
+    )
+    v1arr = (
+        s1.select(
+            "label",
+            F.struct(
+                "dim", (F.col("s").cast("double") / nrm1).alias("v")
+            ).alias("sv"),
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list("sv")).alias("a"))
+        .select("label", F.transform("a", lambda st: st["v"]).alias("varr"))
+    )
+    ex2 = xq.join(F.broadcast(v1arr), "label").select(
+        "label",
+        F.floor(
+            F.aggregate(
+                F.zip_with("q", "varr", lambda x, v: x.cast("double") * v),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        .cast("long")
+        .alias("dot1"),
+        F.posexplode("q").alias("dim", "xj"),
+    )
+    s2 = ex2.groupBy("label", "dim").agg(
+        F.sum(F.col("xj") * F.col("dot1")).cast("long").alias("s")
+    )
+    nrm2 = F.sqrt(
+        F.sum(F.col("s").cast("double") * F.col("s").cast("double")).over(wlab)
+    )
+    return s2.select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        (F.col("s").cast("double") / nrm2).alias("component"),
+    )
