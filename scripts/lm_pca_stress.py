@@ -76,12 +76,22 @@ def main() -> int:
         "lm-pca-stress",
         extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "24g"},
     )
-    for factor in [int(x) for x in args.doc_tiers.split(",") if x]:
-        row = run_tier(spark, "doc_lm_crossentropy", "documents", "doc_id", factor)
-        print(json.dumps(row), flush=True)
-    for factor in [int(x) for x in args.emb_tiers.split(",") if x]:
-        row = run_tier(spark, "pca_power_iteration", "embeddings", "vec_id", factor)
-        print(json.dumps(row), flush=True)
+    doc_entries = os.environ.get(
+        "SPARK_GRAFT_STRESS_DOC_ENTRIES",
+        "doc_lm_crossentropy,corpus_token_budget_select",
+    ).split(",")
+    emb_entries = os.environ.get(
+        "SPARK_GRAFT_STRESS_EMB_ENTRIES",
+        "pca_power_iteration,pca_grouped_by_label",
+    ).split(",")
+    for entry in [e for e in doc_entries if e]:
+        for factor in [int(x) for x in args.doc_tiers.split(",") if x]:
+            row = run_tier(spark, entry, "documents", "doc_id", factor)
+            print(json.dumps(row), flush=True)
+    for entry in [e for e in emb_entries if e]:
+        for factor in [int(x) for x in args.emb_tiers.split(",") if x]:
+            row = run_tier(spark, entry, "embeddings", "vec_id", factor)
+            print(json.dumps(row), flush=True)
     return 0
 
 
