@@ -6542,3 +6542,71 @@ def pca_grouped_by_label(spark, sf_dir):
         F.col("dim").cast("int").alias("dim"),
         (F.col("s").cast("double") / nrm2).alias("component"),
     )
+
+
+@query(
+    "embedding_standardize_dims",
+    oracle="""
+    WITH xq AS (
+      SELECT vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+             ) AS q
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, u.i - 1 AS dim, q[u.i] AS xj
+      FROM xq, UNNEST(generate_series(1, len(q))) AS u(i)
+    ),
+    m AS (
+      SELECT vec_id, dim, xj,
+             CAST(SUM(xj) OVER (PARTITION BY dim) AS BIGINT) AS s1,
+             CAST(SUM(xj * xj) OVER (PARTITION BY dim) AS BIGINT) AS s2,
+             CAST(COUNT(*) OVER (PARTITION BY dim) AS BIGINT) AS n
+      FROM ex
+    )
+    SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+           (CAST(xj AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+             / SQRT(CAST(s2 AS DOUBLE) / n
+                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             AS z
+    FROM m
+    """,
+    description=(
+        "per-dimension standardization of the embedding table (the "
+        "whitening step before distance-based ANN/clustering, where a "
+        "high-variance dimension would otherwise dominate the metric): "
+        "moments come from EXACT int64 sums of the fixed-pointed values "
+        "(sum and sum-of-squares are order-free integers, so mean/var "
+        "derive from identical operands in both engines — no float-sum "
+        "order sensitivity anywhere), then one deterministic double "
+        "expression per value.  Scale shape: one corpus scan; the moment "
+        "sums partial-aggregate to <=64 rows per task before a 64-key "
+        "window (implemented as a dim-keyed aggregate joined back by "
+        "broadcast, so the corpus is never shuffled by row key and the "
+        "standardized output streams map-side)"
+    ),
+)
+def embedding_standardize_dims(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 10000).cast("long"),
+        ).alias("q"),
+    )
+    ex = xq.select("vec_id", F.posexplode("q").alias("dim", "xj"))
+    moments = ex.groupBy("dim").agg(
+        F.sum("xj").cast("long").alias("s1"),
+        F.sum(F.col("xj") * F.col("xj")).cast("long").alias("s2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    return ex.join(F.broadcast(moments), "dim").select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        ((F.col("xj").cast("double") - mean) / F.sqrt(var)).alias("z"),
+    )
