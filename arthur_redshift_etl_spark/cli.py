@@ -628,10 +628,11 @@ def cmd_events(args) -> int:
     elif args.command == "summarize_events":
         rows = store.summarize()
     else:
-        # snapshot the log position BEFORE printing the tail so events
-        # appended while printing land in the follow stream, not in a gap
+        # one snapshot drives BOTH the printed tail and the follow start:
+        # an event appended mid-print is excluded from the tail and
+        # delivered exactly once by the follow — no gap, no duplicate
         follow_from = store.offset()
-        rows = store.tail(args.limit)
+        rows = store.tail_at(follow_from, args.limit)
     for row in rows:
         print(json.dumps(row, sort_keys=True))
     if args.command == "tail_events" and args.follow:

@@ -188,6 +188,10 @@ def show_value(
     variables = flatten_vars(config)
     if name in variables:
         return variables[name]
+    # an explicitly supplied default wins over the section rendering below
+    # — a caller passing one expects a scalar, not a JSON blob
+    if default is not None:
+        return default
     # a SECTION path (prefix of leaf settings) is configured, just not a
     # leaf — render its subtree as JSON instead of claiming it is unset
     prefix = name + "."
@@ -199,8 +203,6 @@ def show_value(
             {k[len(prefix):]: v for k, v in sorted(subtree.items())},
             sort_keys=True,
         )
-    if default is not None:
-        return default
     raise ETLConfigError(f"setting {name!r} is unset and no default was given")
 
 

@@ -245,6 +245,12 @@ def build_external_relation(ctx: LoadContext, rel: Relation, db: str) -> int:
     design_fields = {
         f.name: f.dataType for f in rel.design.to_spark_schema().fields
     }
+    # partition columns are exempt from the type check: spark.read.parquet
+    # VALUE-infers their types from the directory names (ds=2024-01-01 ->
+    # DATE, id=1 -> INT), while registration uses the design's declared
+    # types — comparing inference against declaration would reject valid
+    # partitioned externals
+    part_cols = set(rel.design.attributes.get("partition_by") or [])
     for col in rel.design.unskipped_columns:
         if col.name not in actual:
             raise ETLRuntimeError(
@@ -252,6 +258,8 @@ def build_external_relation(ctx: LoadContext, rel: Relation, db: str) -> int:
                 f"column {col.name!r} (has {sorted(actual)})"
             )
         declared = design_fields.get(col.name)
+        if col.name in part_cols:
+            continue
         if declared is not None and actual[col.name].dataType != declared:
             raise ETLRuntimeError(
                 f"{rel.identifier}: external column {col.name!r} at "
@@ -817,7 +825,29 @@ def restore_schemas(
             if not selector.match(TableName(schema, table)):
                 continue
             backup_full = f"{_quote(backup_db)}.{_quote(table)}"
-            ddl = ctx.spark.sql(f"SHOW CREATE TABLE {backup_full}").collect()[0][0]
+            try:
+                # a backup entry that cannot be introspected (hive-serde
+                # table, corrupt metadata) must not abort the whole restore
+                # mid-loop — warn and move on, like the rest of the walk
+                ddl = ctx.spark.sql(
+                    f"SHOW CREATE TABLE {backup_full}"
+                ).collect()[0][0]
+                # partitioned-ness from catalog metadata, not a substring
+                # scan of the DDL (which a column COMMENT could fake)
+                partitioned = any(
+                    c.isPartition
+                    for c in ctx.spark.catalog.listColumns(
+                        f"{backup_db}.{table}"
+                    )
+                )
+            except Exception as exc:  # noqa: BLE001 - skip, don't abort
+                logger.warning(
+                    "backup %s.%s not introspectable (%s); skipped",
+                    backup_db,
+                    table,
+                    exc,
+                )
+                continue
             name_match = re.match(r"CREATE TABLE\s+(\S+)", ddl)
             if not name_match:
                 logger.warning(
@@ -827,7 +857,7 @@ def restore_schemas(
             _drop_relation(ctx, schema, table)
             prod_full = f"{_quote(schema)}.{_quote(table)}"
             ctx.spark.sql(ddl.replace(name_match.group(1), prod_full, 1))
-            if re.search(r"\bPARTITIONED BY\b", ddl):
+            if partitioned:
                 ctx.spark.sql(f"ALTER TABLE {prod_full} RECOVER PARTITIONS")
             ctx.spark.sql(f"DROP TABLE IF EXISTS {backup_full}")
             restored.append(ident)

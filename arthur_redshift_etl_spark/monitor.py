@@ -91,6 +91,28 @@ class EventStore:
     def tail(self, n: int = 10) -> List[Dict[str, Any]]:
         return self.events()[-n:]
 
+    def tail_at(self, offset: int, n: int = 10) -> List[Dict[str, Any]]:
+        """Last ``n`` events at or before ``offset`` (from :meth:`offset`).
+
+        Using the SAME snapshot for the printed tail and the follow start
+        closes both sides of the race: an event appended after the snapshot
+        is excluded here and delivered exactly once by
+        ``follow(from_offset=offset)`` — neither lost in a gap nor printed
+        twice."""
+        if self.path:
+            if not os.path.exists(self.path):
+                return []
+            with open(self.path) as fh:
+                chunk = fh.read(offset)
+            rows = [
+                json.loads(line)
+                for line in chunk.splitlines()
+                if line.strip()
+            ]
+            return rows[-n:]
+        with self._lock:
+            return list(self._memory[:offset][-n:])
+
     def offset(self) -> int:
         """Current end-of-log position — pass to ``follow(from_offset=...)``
         so events appended between a ``tail()`` printout and the follow loop

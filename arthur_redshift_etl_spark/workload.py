@@ -6313,7 +6313,7 @@ def corpus_token_budget_select(spark, sf_dir):
 )
 def split_leakage_safe(spark, sf_dir):
     from .operators.clustering import connected_components
-    from .operators.sampling import hash_bucket
+    from .operators.sampling import split_assign
 
     docs = t(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_join(docs, "doc_id", "text", threshold=0.5)
@@ -6322,15 +6322,10 @@ def split_leakage_safe(spark, sf_dir):
     comp = connected_components(nodes, edges).select(
         F.col("node").alias("doc_id"), "component"
     )
-    bucket = hash_bucket(F.col("component"))
-    return (
-        comp.withColumn("bucket", bucket.cast("long"))
-        .withColumn(
-            "split",
-            F.when(F.col("bucket") < 80, "train")
-            .when(F.col("bucket") < 90, "valid")
-            .otherwise("test"),
-        )
+    # the ONE split implementation, keyed on the component instead of the
+    # doc id — same hash, same 80/90 cut points as split_train_valid_test
+    return split_assign(comp, id_col="component").select(
+        "doc_id", "component", F.col("bucket").cast("long").alias("bucket"), "split"
     )
 
 

@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
-"""Scaling stress for the round-4 catalog additions: the corpus-LM scorer
-(``doc_lm_crossentropy``) and the distributed PCA power iteration
-(``pca_power_iteration``).
+"""Scaling stress for the round-4 catalog additions.
+
+Default entries: ``doc_lm_crossentropy`` + ``corpus_token_budget_select``
+over replicated documents, ``pca_power_iteration`` +
+``pca_grouped_by_label`` over replicated embeddings.  Override with
+comma-separated entry names in ``SPARK_GRAFT_STRESS_DOC_ENTRIES`` /
+``SPARK_GRAFT_STRESS_EMB_ENTRIES``.
 
 Replicates the sf0.1 documents/embeddings tables K-fold with key offsets
 into a temp sf-dir and runs the EXACT catalog entries against each tier, so
@@ -84,11 +88,11 @@ def main() -> int:
         "SPARK_GRAFT_STRESS_EMB_ENTRIES",
         "pca_power_iteration,pca_grouped_by_label",
     ).split(",")
-    for entry in [e for e in doc_entries if e]:
+    for entry in [e.strip() for e in doc_entries if e.strip()]:
         for factor in [int(x) for x in args.doc_tiers.split(",") if x]:
             row = run_tier(spark, entry, "documents", "doc_id", factor)
             print(json.dumps(row), flush=True)
-    for entry in [e for e in emb_entries if e]:
+    for entry in [e.strip() for e in emb_entries if e.strip()]:
         for factor in [int(x) for x in args.emb_tiers.split(",") if x]:
             row = run_tier(spark, entry, "embeddings", "vec_id", factor)
             print(json.dumps(row), flush=True)

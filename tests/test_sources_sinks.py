@@ -293,3 +293,20 @@ def test_follow_offset_gap_and_truncation(tmp_path):
         )
     ]
     assert seen3 == []  # the fragment did not crash the follow
+
+
+def test_tail_at_snapshot_excludes_later_appends(tmp_path):
+    path = str(tmp_path / "events.jsonl")
+    store = EventStore(path)
+    store.append({"event": "one"})
+    store.append({"event": "two"})
+    offset = store.offset()
+    store.append({"event": "three"})  # after the snapshot
+    rows = store.tail_at(offset, 10)
+    assert [r["event"] for r in rows] == ["one", "two"]
+    # ...and the follow starting at the same snapshot delivers it once
+    seen = [
+        e["event"]
+        for e in store.follow(poll_interval=0.05, timeout=0.3, from_offset=offset)
+    ]
+    assert seen == ["three"]
