@@ -6605,3 +6605,36 @@ def embedding_standardize_dims(spark, sf_dir):
         F.col("dim").cast("int").alias("dim"),
         ((F.col("xj").cast("double") - mean) / F.sqrt(var)).alias("z"),
     )
+
+
+@query(
+    "percentiles_chars_by_lang",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.9) AS p90,
+           quantile_cont(n_chars, 0.99) AS p99
+    FROM documents GROUP BY lang
+    """,
+    description=(
+        "per-group EXACT interpolated percentiles (doc-length profile per "
+        "language): Spark's exact `percentile` aggregate and DuckDB's "
+        "quantile_cont share the same linear-interpolation definition, "
+        "verified by hash.  Scale contract: the exact aggregate buffers "
+        "each group's values in its reducer, which is fine here because "
+        "group count is bounded (languages) and per-group cardinality "
+        "fits a task — for high-cardinality/unbounded groups the engine's "
+        "scale paths are the KLL sketch (bounded state, operators/"
+        "quantiles.py) or the two-phase exact rank (ntile_exact); this "
+        "entry is the small-group exact complement"
+    ),
+)
+def percentiles_chars_by_lang(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("percentile(n_chars, 0.5D)").alias("p50"),
+        F.expr("percentile(n_chars, 0.9D)").alias("p90"),
+        F.expr("percentile(n_chars, 0.99D)").alias("p99"),
+    )
