@@ -6638,3 +6638,102 @@ def percentiles_chars_by_lang(spark, sf_dir):
         F.expr("percentile(n_chars, 0.9D)").alias("p90"),
         F.expr("percentile(n_chars, 0.99D)").alias("p99"),
     )
+
+
+@query(
+    "mad_robust_outlier_bounds",
+    oracle="""
+    WITH med AS (
+      SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY lang
+    ),
+    dev AS (
+      SELECT d.lang, ABS(CAST(d.n_chars AS DOUBLE) - m.med) AS adev, m.med
+      FROM documents d JOIN med m ON d.lang = m.lang
+    )
+    SELECT lang,
+           ANY_VALUE(med) AS median_chars,
+           quantile_cont(adev, 0.5) AS mad,
+           ANY_VALUE(med) - 3 * 1.4826 * quantile_cont(adev, 0.5) AS lo,
+           ANY_VALUE(med) + 3 * 1.4826 * quantile_cont(adev, 0.5) AS hi
+    FROM dev GROUP BY lang
+    """,
+    description=(
+        "median-absolute-deviation outlier bounds per language — the "
+        "robust-statistics alternative to z-scores for length filtering "
+        "(a handful of giant documents cannot drag the center the way "
+        "they drag a mean/stddev): per-group exact median, then the "
+        "median of absolute deviations, then the conventional "
+        "3 x 1.4826 x MAD fence.  Two grouped exact-percentile passes "
+        "with the 5-row median table re-entering by broadcast; same "
+        "bounded-group contract as percentiles_chars_by_lang (KLL sketch "
+        "is the unbounded path)"
+    ),
+)
+def mad_robust_outlier_bounds(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5D)").alias("med")
+    )
+    dev = docs.join(F.broadcast(med), "lang").select(
+        "lang",
+        "med",
+        F.abs(F.col("n_chars").cast("double") - F.col("med")).alias("adev"),
+    )
+    k = 3 * 1.4826
+    return dev.groupBy("lang").agg(
+        F.first("med").alias("median_chars"),
+        F.expr("percentile(adev, 0.5D)").alias("mad"),
+        (F.first("med") - k * F.expr("percentile(adev, 0.5D)")).alias("lo"),
+        (F.first("med") + k * F.expr("percentile(adev, 0.5D)")).alias("hi"),
+    )
+
+
+@query(
+    "doc_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY doc_id, token
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id
+    )
+    SELECT cnt.doc_id,
+           ANY_VALUE(tot.n) AS n_tokens,
+           -SUM((CAST(c AS DOUBLE) / tot.n) * LN(CAST(c AS DOUBLE) / tot.n))
+             AS entropy
+    FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+    GROUP BY cnt.doc_id
+    """,
+    description=(
+        "per-document unigram token entropy — the standard "
+        "gibberish/boilerplate signal (near-zero entropy = one token "
+        "repeated; anomalously high = random noise) used alongside the "
+        "LM cross-entropy filter.  Probabilities are exact-integer count "
+        "ratios (one IEEE division each, engine-identical) and the "
+        "entropy sum is same-sign, so the hash compare is stable.  One "
+        "explode + two partial-agg shuffles on (doc, token) then doc — "
+        "linear in corpus tokens, no joins against corpus-sized tables "
+        "(the per-doc total re-enters via the same doc-keyed shuffle)"
+    ),
+)
+def doc_token_entropy(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n").alias("n_tokens"),
+            (-F.sum(p * F.log(p))).alias("entropy"),
+        )
+    )
