@@ -6737,3 +6737,67 @@ def doc_token_entropy(spark, sf_dir):
             (-F.sum(p * F.log(p))).alias("entropy"),
         )
     )
+
+
+@query(
+    "lang_unigram_kl_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    lc AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY lang, token
+    ),
+    ln_tot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM lc GROUP BY lang
+    ),
+    gc AS (
+      SELECT token, CAST(SUM(c) AS BIGINT) AS g FROM lc GROUP BY token
+    ),
+    gt AS (SELECT CAST(SUM(g) AS BIGINT) AS m FROM gc)
+    SELECT lc.lang,
+           ANY_VALUE(ln_tot.n) AS n_tokens,
+           SUM((CAST(lc.c AS DOUBLE) / ln_tot.n)
+               * LN((CAST(lc.c AS DOUBLE) / ln_tot.n)
+                    / (CAST(gc.g AS DOUBLE) / gt.m))) AS kl_to_corpus
+    FROM lc
+    JOIN ln_tot ON lc.lang = ln_tot.lang
+    JOIN gc ON lc.token = gc.token
+    CROSS JOIN gt
+    GROUP BY lc.lang
+    """,
+    description=(
+        "per-language unigram KL divergence to the whole-corpus "
+        "distribution — the domain-shift / mixture-drift measurement a "
+        "training-mix pipeline monitors (a language whose token "
+        "distribution diverges from the pool needs its mixture weight "
+        "revisited).  Every probability is an exact-integer count ratio "
+        "(one IEEE division), so both engines sum identical terms; terms "
+        "are mixed-sign but O(1e-3) against an O(0.1) total, far inside "
+        "the hash tolerance.  Two partial-agg shuffles on (lang,token) "
+        "then token; the global-total scalar rides a broadcast"
+    ),
+)
+def lang_unigram_kl_divergence(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    lc = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ln_tot = lc.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    gc = lc.groupBy("token").agg(F.sum("c").cast("long").alias("g"))
+    gt = gc.agg(F.sum("g").cast("long").alias("m"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("g").cast("double") / F.col("m")
+    return (
+        lc.join(F.broadcast(ln_tot), "lang")
+        .join(gc, "token")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("lang")
+        .agg(
+            F.first("n").alias("n_tokens"),
+            F.sum(p * F.log(p / q)).alias("kl_to_corpus"),
+        )
+    )

@@ -59,6 +59,7 @@ ALLOWED_NL_JOIN = {
         "scan as knn_bruteforce, integer codes"
     ),
     "doc_lm_crossentropy": "1-row vocab-size aggregate broadcast into the probability table",
+    "lang_unigram_kl_divergence": "1-row corpus-total aggregate broadcast into the ratio terms",
     "doc_lm_crossentropy_loo": "1-row vocab-size aggregate broadcast into the probability table",
     "pca_power_iteration": (
         "1-row eigenvector-array aggregate broadcast (64 doubles) folded "
