@@ -6801,3 +6801,113 @@ def lang_unigram_kl_divergence(spark, sf_dir):
             F.sum(p * F.log(p / q)).alias("kl_to_corpus"),
         )
     )
+
+
+@query(
+    "daily_revenue_trend_fit",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS x,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM daily
+    )
+    SELECT n AS n_days,
+           (n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+             / n AS intercept
+    FROM s
+    """,
+    description=(
+        "ordinary-least-squares trend fit of daily revenue vs time (the "
+        "drift/trend monitor for any daily-rollup metric): the regression "
+        "moments are EXACT — day index is an integer, daily revenue is an "
+        "exact DECIMAL sum, and Sxy/Sy stay decimal until one final "
+        "IEEE-deterministic conversion — so slope and intercept are "
+        "engine-identical without any tolerance.  Plan: one groupBy day "
+        "(partial-agg), then a 1-row moment aggregate; O(days) "
+        "intermediate, no window, no sort"
+    ),
+)
+def daily_revenue_trend_fit(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("x")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
+
+
+@query(
+    "lexical_richness_by_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY lang, token
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS DOUBLE) / SUM(c) AS type_token_ratio,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_frac
+    FROM cnt GROUP BY lang
+    """,
+    description=(
+        "lexical-richness profile per language: type-token ratio and "
+        "hapax-legomena fraction — the vocabulary-growth signals used to "
+        "size tokenizer vocabularies and spot synthetic/templated text "
+        "(unnaturally low TTR) per corpus slice.  Pure integer counts "
+        "with two exact divisions; two partial-agg shuffles on "
+        "(lang,token) then lang"
+    ),
+)
+def lexical_richness_by_lang(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+    return cnt.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias(
+            "type_token_ratio"
+        ),
+        hapax.alias("hapax"),
+        (
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("hapax_frac"),
+    )
