@@ -6911,3 +6911,293 @@ def lexical_richness_by_lang(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("hapax_frac"),
     )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+    WITH tb AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 512 AS b
+      FROM (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+      )
+    ),
+    dtb AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tb GROUP BY doc_id, b
+    ),
+    rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM tb GROUP BY b),
+    tc AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS tc FROM tb
+      WHERE source IN ('src1', 'src2') GROUP BY b
+    ),
+    nr AS (SELECT CAST(SUM(rc) AS BIGINT) AS n_r FROM rc),
+    nt AS (SELECT CAST(COALESCE(SUM(tc), 0) AS BIGINT) AS n_t FROM tc),
+    ratio AS (
+      SELECT rc.b,
+             LN(CAST((COALESCE(tc.tc, 0) + 1) * (nr.n_r + 512) AS DOUBLE)
+                / CAST((rc.rc + 1) * (nt.n_t + 512) AS DOUBLE)) AS llr
+      FROM rc LEFT JOIN tc ON rc.b = tc.b
+      CROSS JOIN nr CROSS JOIN nt
+    )
+    SELECT dtb.doc_id,
+           CAST(SUM(dtb.cnt) AS BIGINT) AS n_tokens,
+           SUM(dtb.cnt * ratio.llr) AS dsir_logweight
+    FROM dtb JOIN ratio ON dtb.b = ratio.b
+    GROUP BY dtb.doc_id
+    """,
+    description=(
+        "DSIR-style importance weights for data selection (Xie et al. "
+        "2023, 'Data Selection for Language Models via Importance "
+        "Resampling'): per-document log-likelihood ratio of a hashed "
+        "unigram model fit on a target domain (sources src1/src2) vs the "
+        "raw corpus, with Laplace smoothing over 512 md5 buckets.  "
+        "Selecting the top-weight documents tilts a pretraining mix "
+        "toward the target domain without training a classifier.  Every "
+        "bucket probability is an exact-integer count ratio ((c+1)/(N+B) "
+        "with products < 2^53, so the doubles are exact) and the md5 "
+        "bucket hash is engine-portable; each doc's weight is a "
+        "cnt-weighted sum of identical LN terms.  Plan: one token scan "
+        "feeds a (doc_id,bucket) partial agg plus two 512-row bucket "
+        "tables; the 512-row ratio table is broadcast back, so the only "
+        "fact-sized shuffle is the (doc_id,bucket) agg — at 100 TB the "
+        "bucket tables stay 512 rows regardless of corpus size"
+    ),
+)
+def dsir_importance_weights(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    b = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long") % 512
+    ).alias("b")
+    tb = toks.select("doc_id", "source", b)
+    dtb = tb.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    rc = tb.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("rc"))
+    tc = (
+        tb.filter(F.col("source").isin("src1", "src2"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    )
+    w = Window.partitionBy()
+    ratio = (
+        rc.join(tc, "b", "left")
+        .withColumn("tc", F.coalesce("tc", F.lit(0)))
+        .withColumn("n_r", F.sum("rc").over(w))
+        .withColumn("n_t", F.sum("tc").over(w))
+        .select(
+            "b",
+            F.log(
+                ((F.col("tc") + 1) * (F.col("n_r") + 512)).cast("double")
+                / ((F.col("rc") + 1) * (F.col("n_t") + 512)).cast("double")
+            ).alias("llr"),
+        )
+    )
+    return (
+        dtb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("llr")).alias("dsir_logweight"),
+        )
+    )
+
+
+@query(
+    "pagerank_two_iterations",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    pr1 AS (
+      SELECT e.dst AS node,
+             CAST(0.15 AS DOUBLE)
+               + CAST(0.85 AS DOUBLE) * SUM(CAST(1 AS DOUBLE) / deg.deg) AS pr
+      FROM e JOIN deg ON e.src = deg.src GROUP BY e.dst
+    ),
+    pr2 AS (
+      SELECT e.dst AS node,
+             CAST(0.15 AS DOUBLE)
+               + CAST(0.85 AS DOUBLE) * SUM(pr1.pr / deg.deg) AS pr
+      FROM e JOIN pr1 ON e.src = pr1.node
+             JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    )
+    SELECT pr2.node AS part_key, deg.deg AS degree, pr2.pr AS pagerank2
+    FROM pr2 JOIN deg ON pr2.node = deg.src
+    """,
+    description=(
+        "two fixed iterations of PageRank (damping 0.85, uniform start "
+        "pr0=1) over the part co-purchase graph: undirected edges between "
+        "parts appearing in the same order.  The graph-centrality family "
+        "beyond connected components — co-purchase PageRank is the "
+        "classic item-importance signal.  Fixed iteration count makes it "
+        "SQL-expressible (each iteration is one join+groupBy round); the "
+        "engine's iterative ops (k-means, CC) show the localCheckpoint "
+        "pattern for open-ended iteration.  Determinism: symmetric edges "
+        "mean in-neighbors=out-neighbors (no dangling mass), and every "
+        "term is positive (no cancellation), so cross-engine sums agree "
+        "far inside 10 digits.  Plan: the edge self-join is co-partitioned "
+        "on l_orderkey (pair blowup bounded by order size, <=7 lines in "
+        "TPC-H); deg and pr are node-sized (dim-scale) and broadcast, so "
+        "each iteration is one fact-free broadcast join + one partial-agg "
+        "shuffle on dst"
+    ),
+)
+def pagerank_two_iterations(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    bq = li.alias("b")
+    e = (
+        a.join(
+            bq,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    d15 = F.lit(0.15).cast("double")
+    d85 = F.lit(0.85).cast("double")
+    pr1 = (
+        e.join(F.broadcast(deg), "src")
+        .groupBy("dst")
+        .agg(
+            (d15 + d85 * F.sum(F.lit(1).cast("double") / F.col("deg"))).alias(
+                "pr"
+            )
+        )
+        .withColumnRenamed("dst", "node")
+    )
+    pr2 = (
+        e.join(F.broadcast(pr1.withColumnRenamed("node", "src")), "src")
+        .join(F.broadcast(deg), "src")
+        .groupBy("dst")
+        .agg((d15 + d85 * F.sum(F.col("pr") / F.col("deg"))).alias("pr"))
+        .withColumnRenamed("dst", "node")
+    )
+    return pr2.join(
+        F.broadcast(deg.withColumnRenamed("src", "node")), "node"
+    ).select(
+        F.col("node").alias("part_key"),
+        F.col("deg").alias("degree"),
+        F.col("pr").alias("pagerank2"),
+    )
+
+
+@query(
+    "contrastive_pair_mining",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 10000)
+                                      AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, label, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS ssq
+      FROM q
+    ),
+    a AS (SELECT * FROM qs WHERE vec_id % 97 = 0),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS alabel,
+             e.vec_id AS cand_id, e.label AS clabel,
+             CAST(list_sum(list_transform(list_zip(a.qv, e.qv),
+                                          p -> p[1] * p[2])) AS DOUBLE)
+               / (sqrt(CAST(a.ssq AS DOUBLE)) * sqrt(CAST(e.ssq AS DOUBLE)))
+               AS sim
+      FROM a, qs e WHERE e.vec_id != a.vec_id
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY anchor_id, (clabel = alabel)
+               ORDER BY sim DESC, cand_id) AS r
+      FROM scored
+    )
+    SELECT anchor_id, alabel AS label,
+           MAX(CASE WHEN clabel = alabel THEN cand_id END) AS pos_id,
+           MAX(CASE WHEN clabel = alabel THEN sim END) AS pos_sim,
+           MAX(CASE WHEN clabel != alabel THEN cand_id END) AS neg_id,
+           MAX(CASE WHEN clabel != alabel THEN sim END) AS neg_sim,
+           MAX(CASE WHEN clabel = alabel THEN sim END)
+             - MAX(CASE WHEN clabel != alabel THEN sim END) AS margin
+    FROM rk WHERE r = 1 GROUP BY anchor_id, alabel
+    """,
+    description=(
+        "contrastive training-pair mining over the embedding table: for "
+        "each anchor (vec_id % 97 = 0), the positive is the most-cosine-"
+        "similar SAME-label vector and the hard negative the most-similar "
+        "DIFFERENT-label vector (the standard hard-negative mining step "
+        "for embedding-model fine-tuning), with the margin pos-neg as the "
+        "pair-quality signal.  Cosine is computed on floor(x*1e4) int64 "
+        "fixed-point vectors — dot and norms are exact integers (<2^53), "
+        "so the one division and two sqrts are IEEE-identical across "
+        "engines and ranking ties break on cand_id.  Plan: anchors are "
+        "broadcast (map-only scoring of the corpus scan), and the per-"
+        "anchor argmax is a partial-agg max of a (sim,-id) struct — no "
+        "window sort, no all-pairs shuffle; at 100 TB cost is "
+        "|corpus| x |anchors| map work plus one |anchors|-row aggregate"
+    ),
+)
+def contrastive_pair_mining(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 10000).cast("long")
+    )
+    qs = emb.select(
+        "vec_id",
+        "label",
+        qv.alias("qv"),
+        F.aggregate(
+            F.transform(qv, lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("ssq"),
+    )
+    anchors = qs.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("alabel"),
+        F.col("qv").alias("aqv"),
+        F.col("ssq").alias("assq"),
+    )
+    pairs = qs.crossJoin(F.broadcast(anchors)).filter(
+        F.col("vec_id") != F.col("anchor_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("aqv", "qv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sim = dot.cast("double") / (
+        F.sqrt(F.col("assq").cast("double")) * F.sqrt(F.col("ssq").cast("double"))
+    )
+    same = F.col("label") == F.col("alabel")
+    cand = F.struct(
+        sim.alias("sim"), (-F.col("vec_id")).alias("negid")
+    )
+    best = pairs.groupBy("anchor_id", "alabel").agg(
+        F.max(F.when(same, cand)).alias("pos"),
+        F.max(F.when(~same, cand)).alias("neg"),
+    )
+    return best.select(
+        "anchor_id",
+        F.col("alabel").alias("label"),
+        (-F.col("pos.negid")).alias("pos_id"),
+        F.col("pos.sim").alias("pos_sim"),
+        (-F.col("neg.negid")).alias("neg_id"),
+        F.col("neg.sim").alias("neg_sim"),
+        (F.col("pos.sim") - F.col("neg.sim")).alias("margin"),
+    )

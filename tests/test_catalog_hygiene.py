@@ -65,6 +65,10 @@ ALLOWED_NL_JOIN = {
         "1-row eigenvector-array aggregate broadcast (64 doubles) folded "
         "row-wise by iteration 2"
     ),
+    "contrastive_pair_mining": (
+        "anchor set broadcast (vec_id % 97) vs corpus — scored scan by "
+        "design, same shape as knn_bruteforce"
+    ),
 }
 
 
