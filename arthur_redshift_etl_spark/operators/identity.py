@@ -45,9 +45,22 @@ def global_row_number(
     the driver, never row data) turns local ranks into global ones.  Returns
     ``(df_with_column, total_row_count)``; the count job is the price of
     exactness and is a map-only pass over the already-shuffled layout.
+
+    The ranked layout is pinned with an eager ``localCheckpoint`` before the
+    count job: the per-partition offsets are Python constants baked into the
+    returned plan, so every later job MUST see the exact same partitioning.
+    Without the pin, re-executing the range exchange in a separate job can
+    legally produce a different layout (AQE re-coalesces from fresh runtime
+    stats; boundary sampling sees a differently-partitioned upstream), which
+    silently mis-ranks rows — observed as a rank that exists in the count job
+    but matches zero rows in the consumer job.
     """
     keys = [F.col(c) for c in order_by]
-    ordered = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+    ordered = (
+        df.repartitionByRange(*keys)
+        .sortWithinPartitions(*keys)
+        .localCheckpoint(eager=True)
+    )
     with_pid = ordered.withColumn("__pid", F.spark_partition_id())
     counts = {
         r["__pid"]: r["cnt"]
@@ -89,9 +102,17 @@ def global_running_sum(
     TOTALS (metadata only — K numbers, never row data) to lift local sums to
     global ones.  Returns ``(df_with_column, grand_total)``.  Integer values
     only (the metadata prefix sum must be exact).
+
+    Same cross-job hazard as :func:`global_row_number`: the per-partition
+    offsets are baked constants, so the layout is pinned with an eager
+    ``localCheckpoint`` before the totals job.
     """
     keys = [F.col(c) for c in order_by]
-    ordered = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+    ordered = (
+        df.repartitionByRange(*keys)
+        .sortWithinPartitions(*keys)
+        .localCheckpoint(eager=True)
+    )
     with_pid = ordered.withColumn("__pid", F.spark_partition_id())
     totals = {
         r["__pid"]: r["s"] or 0

@@ -6937,14 +6937,17 @@ def lexical_richness_by_lang(spark, sf_dir):
     nt AS (SELECT CAST(COALESCE(SUM(tc), 0) AS BIGINT) AS n_t FROM tc),
     ratio AS (
       SELECT rc.b,
-             LN(CAST((COALESCE(tc.tc, 0) + 1) * (nr.n_r + 512) AS DOUBLE)
-                / CAST((rc.rc + 1) * (nt.n_t + 512) AS DOUBLE)) AS llr
+             CAST(floor(
+               LN(CAST((COALESCE(tc.tc, 0) + 1) * (nr.n_r + 512) AS DOUBLE)
+                  / CAST((rc.rc + 1) * (nt.n_t + 512) AS DOUBLE))
+               * 1000000000000.0) AS BIGINT) AS llr_q
       FROM rc LEFT JOIN tc ON rc.b = tc.b
       CROSS JOIN nr CROSS JOIN nt
     )
     SELECT dtb.doc_id,
            CAST(SUM(dtb.cnt) AS BIGINT) AS n_tokens,
-           SUM(dtb.cnt * ratio.llr) AS dsir_logweight
+           CAST(SUM(dtb.cnt * ratio.llr_q) AS DOUBLE) / 1000000000000.0
+             AS dsir_logweight
     FROM dtb JOIN ratio ON dtb.b = ratio.b
     GROUP BY dtb.doc_id
     """,
@@ -6958,8 +6961,11 @@ def lexical_richness_by_lang(spark, sf_dir):
         "toward the target domain without training a classifier.  Every "
         "bucket probability is an exact-integer count ratio ((c+1)/(N+B) "
         "with products < 2^53, so the doubles are exact) and the md5 "
-        "bucket hash is engine-portable; each doc's weight is a "
-        "cnt-weighted sum of identical LN terms.  Plan: one token scan "
+        "bucket hash is engine-portable; the LN terms are floor-quantized "
+        "to 1e-12 units so each doc's weight is an exact INTEGER sum — "
+        "order-independent, hence bit-identical across engines (a raw "
+        "float sum flipped the 10th digit once at sf0.001).  Plan: one "
+        "token scan "
         "feeds a (doc_id,bucket) partial agg plus two 512-row bucket "
         "tables; the 512-row ratio table is broadcast back, so the only "
         "fact-sized shuffle is the (doc_id,bucket) agg — at 100 TB the "
@@ -6992,10 +6998,15 @@ def dsir_importance_weights(spark, sf_dir):
         .withColumn("n_t", F.sum("tc").over(w))
         .select(
             "b",
-            F.log(
-                ((F.col("tc") + 1) * (F.col("n_r") + 512)).cast("double")
-                / ((F.col("rc") + 1) * (F.col("n_t") + 512)).cast("double")
-            ).alias("llr"),
+            F.floor(
+                F.log(
+                    ((F.col("tc") + 1) * (F.col("n_r") + 512)).cast("double")
+                    / ((F.col("rc") + 1) * (F.col("n_t") + 512)).cast("double")
+                )
+                * F.lit(1000000000000.0)
+            )
+            .cast("long")
+            .alias("llr_q"),
         )
     )
     return (
@@ -7003,7 +7014,10 @@ def dsir_importance_weights(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("long").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.col("llr")).alias("dsir_logweight"),
+            (
+                F.sum(F.col("cnt") * F.col("llr_q")).cast("double")
+                / F.lit(1000000000000.0)
+            ).alias("dsir_logweight"),
         )
     )
 
@@ -7200,4 +7214,105 @@ def contrastive_pair_mining(spark, sf_dir):
         (-F.col("neg.negid")).alias("neg_id"),
         F.col("neg.sim").alias("neg_sim"),
         (F.col("pos.sim") - F.col("neg.sim")).alias("margin"),
+    )
+
+
+@query(
+    "daily_revenue_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.x - a.x) AS slope
+      FROM daily a JOIN daily b ON a.x < b.x
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM slopes),
+    rs AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rk FROM slopes),
+    med AS (
+      SELECT CAST(0.5 AS DOUBLE) * (MIN(rs.slope) + MAX(rs.slope)) AS ts_slope
+      FROM rs, n WHERE rs.rk IN ((n.n + 1) // 2, n.n // 2 + 1)
+    ),
+    resid AS (SELECT d.y - m.ts_slope * d.x AS r FROM daily d, med m),
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM resid),
+    rr AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rk FROM resid),
+    inter AS (
+      SELECT CAST(0.5 AS DOUBLE) * (MIN(rr.r) + MAX(rr.r)) AS ts_intercept
+      FROM rr, nr WHERE rr.rk IN ((nr.n + 1) // 2, nr.n // 2 + 1)
+    )
+    SELECT n.n AS n_pairs, med.ts_slope, inter.ts_intercept
+    FROM n, med, inter
+    """,
+    description=(
+        "Theil-Sen robust trend estimate of daily revenue: the median of "
+        "all pairwise day-to-day slopes, plus the median-residual "
+        "intercept — the outlier-resistant counterpart to the OLS fit in "
+        "daily_revenue_trend_fit (one corrupted day moves OLS, not the "
+        "pairwise-slope median).  Key scale property: the pair count "
+        "depends on the DISTINCT-DAY count (~2400 in TPC-H regardless of "
+        "SF), so after the one fact-sized day rollup the O(days^2) slope "
+        "table is bounded at ~3M rows forever — at 100 TB the expensive "
+        "part is still just the daily partial agg.  Both medians come "
+        "from the distributed two-phase rank (operators/identity.py "
+        "global_row_number: range shuffle + metadata prefix sum — no "
+        "single-task percentile buffer), then 0.5*(lo+hi) over the one "
+        "or two middle ranks; slopes are ratios of exact decimal/int "
+        "differences, so every arithmetic step is engine-identical"
+    ),
+)
+def daily_revenue_theil_sen(spark, sf_dir):
+    from .operators.identity import global_row_number
+
+    orders = t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    a = daily.alias("a")
+    bq = daily.alias("b")
+    slopes = a.join(F.broadcast(bq), F.col("a.x") < F.col("b.x")).select(
+        (
+            (F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope")
+    )
+
+    def _median(df, col):
+        ranked, n = global_row_number(df, [col], "__grn")
+        lo, hi = (n + 1) // 2, n // 2 + 1
+        return (
+            ranked.filter(F.col("__grn").isin(lo, hi)).agg(
+                (
+                    F.lit(0.5).cast("double") * (F.min(col) + F.max(col))
+                ).alias("m")
+            ),
+            n,
+        )
+
+    med, n_pairs = _median(slopes, "slope")
+    med = med.withColumnRenamed("m", "ts_slope")
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        (F.col("y") - F.col("ts_slope") * F.col("x")).alias("r")
+    )
+    inter, _ = _median(resid, "r")
+    return (
+        med.crossJoin(F.broadcast(inter.withColumnRenamed("m", "ts_intercept")))
+        .select(
+            F.lit(n_pairs).cast("long").alias("n_pairs"),
+            "ts_slope",
+            "ts_intercept",
+        )
     )

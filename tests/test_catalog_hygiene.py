@@ -69,6 +69,10 @@ ALLOWED_NL_JOIN = {
         "anchor set broadcast (vec_id % 97) vs corpus — scored scan by "
         "design, same shape as knn_bruteforce"
     ),
+    "daily_revenue_theil_sen": (
+        "2400-row daily table broadcast theta self-join (bounded by "
+        "distinct days, not SF) + 1-row median aggregates broadcast"
+    ),
 }
 
 

@@ -311,8 +311,11 @@ def test_token_budget_select_no_single_partition_window(spark):
     p = plan(spark, "corpus_token_budget_select")
     # the global running sum must come from the two-phase form: a range
     # repartition plus per-partition windows — never a partition-less
-    # SUM OVER funneling the corpus through one task
+    # SUM OVER funneling the corpus through one task.  The range layout is
+    # pinned with localCheckpoint (identity.py: baked offsets require a
+    # stable cross-job partitioning), so the final plan shows the
+    # checkpoint scan rather than the range exchange itself.
     assert "Exchange SinglePartition" not in p, p
-    assert "rangepartitioning" in p.lower(), p
+    assert "rangepartitioning" in p.lower() or "ExistingRDD" in p, p
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p, p
