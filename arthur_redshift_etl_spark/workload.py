@@ -7316,3 +7316,160 @@ def daily_revenue_theil_sen(spark, sf_dir):
             "ts_intercept",
         )
     )
+
+
+@query(
+    "bitext_margin_mining",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 10000)
+                                      AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id, label, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS ssq
+      FROM q
+    ),
+    anchors AS (
+      SELECT * FROM qs WHERE vec_id % 53 = 0 AND label % 2 = 0
+    ),
+    cands AS (SELECT * FROM qs WHERE label % 2 = 1),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+             CAST(floor(
+               CAST(list_sum(list_transform(list_zip(a.qv, c.qv),
+                                            p -> p[1] * p[2])) AS DOUBLE)
+               / (sqrt(CAST(a.ssq AS DOUBLE)) * sqrt(CAST(c.ssq AS DOUBLE)))
+               * 1000000000000.0) AS BIGINT) AS sim_q
+      FROM anchors a, cands c
+    ),
+    t4x AS (
+      SELECT anchor_id, CAST(SUM(sim_q) AS BIGINT) AS t4x FROM (
+        SELECT anchor_id, sim_q, ROW_NUMBER() OVER (
+                 PARTITION BY anchor_id ORDER BY sim_q DESC, cand_id) AS r
+        FROM scored
+      ) WHERE r <= 4 GROUP BY anchor_id
+    ),
+    t4y AS (
+      SELECT cand_id, CAST(SUM(sim_q) AS BIGINT) AS t4y FROM (
+        SELECT cand_id, sim_q, ROW_NUMBER() OVER (
+                 PARTITION BY cand_id ORDER BY sim_q DESC, anchor_id) AS r
+        FROM scored
+      ) WHERE r <= 4 GROUP BY cand_id
+    ),
+    margins AS (
+      SELECT s.anchor_id, s.cand_id,
+             (CAST(8 AS DOUBLE) * s.sim_q) / (t4x.t4x + t4y.t4y) AS margin
+      FROM scored s
+      JOIN t4x ON s.anchor_id = t4x.anchor_id
+      JOIN t4y ON s.cand_id = t4y.cand_id
+    )
+    SELECT anchor_id, cand_id AS best_id, margin FROM (
+      SELECT anchor_id, cand_id, margin, ROW_NUMBER() OVER (
+               PARTITION BY anchor_id ORDER BY margin DESC, cand_id) AS r
+      FROM margins
+    ) WHERE r = 1
+    """,
+    description=(
+        "margin-based parallel-pair mining (Artetxe & Schwenk 2019, the "
+        "CCMatrix/LASER bitext-mining criterion): for each anchor on side "
+        "A (even label, vec_id % 53 = 0) score every side-B candidate by "
+        "cosine divided by the mean of both directions' top-4 neighbor "
+        "sims — the margin demotes hub vectors that are close to "
+        "everything, which raw cosine cannot.  Exactness: cosine comes "
+        "from floor(x*1e4) int64 fixed point (deterministic doubles), is "
+        "floor-quantized to 1e-12 integer units, and the top-4 "
+        "normalizers are exact INTEGER sums, so the final margin is one "
+        "IEEE division of exact integers — bit-identical across engines, "
+        "ties broken on ids.  Plan: anchors broadcast (map-only scoring), "
+        "per-anchor top-4 via a keyed window on the anchor-sized side, "
+        "per-candidate top-4 via a keyed window partitioned by cand_id "
+        "(each partition holds |anchors| rows), one shuffle join back on "
+        "cand_id, and a partial-agg argmax per anchor — no global sort; "
+        "at 100 TB the scored block is |anchors| x |B|, linear in the "
+        "corpus for a fixed anchor batch"
+    ),
+)
+def bitext_margin_mining(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 10000).cast("long")
+    )
+    qs = emb.select(
+        "vec_id",
+        "label",
+        qv.alias("qv"),
+        F.aggregate(
+            F.transform(qv, lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("ssq"),
+    )
+    anchors = qs.filter(
+        (F.col("vec_id") % 53 == 0) & (F.col("label") % 2 == 0)
+    ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("qv").alias("aqv"),
+        F.col("ssq").alias("assq"),
+    )
+    cands = qs.filter(F.col("label") % 2 == 1)
+    dot = F.aggregate(
+        F.zip_with("aqv", "qv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sim = dot.cast("double") / (
+        F.sqrt(F.col("assq").cast("double"))
+        * F.sqrt(F.col("ssq").cast("double"))
+    )
+    scored = cands.crossJoin(F.broadcast(anchors)).select(
+        "anchor_id",
+        F.col("vec_id").alias("cand_id"),
+        F.floor(sim * F.lit(1000000000000.0)).cast("long").alias("sim_q"),
+    )
+    wx = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim_q").desc(), F.col("cand_id")
+    )
+    t4x = (
+        scored.withColumn("r", F.row_number().over(wx))
+        .filter(F.col("r") <= 4)
+        .groupBy("anchor_id")
+        .agg(F.sum("sim_q").cast("long").alias("t4x"))
+    )
+    wy = Window.partitionBy("cand_id").orderBy(
+        F.col("sim_q").desc(), F.col("anchor_id")
+    )
+    t4y = (
+        scored.withColumn("r", F.row_number().over(wy))
+        .filter(F.col("r") <= 4)
+        .groupBy("cand_id")
+        .agg(F.sum("sim_q").cast("long").alias("t4y"))
+    )
+    margins = (
+        scored.join(F.broadcast(t4x), "anchor_id")
+        .join(t4y, "cand_id")
+        .select(
+            "anchor_id",
+            "cand_id",
+            (
+                (F.lit(8).cast("double") * F.col("sim_q"))
+                / (F.col("t4x") + F.col("t4y"))
+            ).alias("margin"),
+        )
+    )
+    best = margins.groupBy("anchor_id").agg(
+        F.max(
+            F.struct(
+                F.col("margin").alias("margin"),
+                (-F.col("cand_id")).alias("negid"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "anchor_id",
+        (-F.col("b.negid")).alias("best_id"),
+        F.col("b.margin").alias("margin"),
+    )

@@ -73,6 +73,10 @@ ALLOWED_NL_JOIN = {
         "2400-row daily table broadcast theta self-join (bounded by "
         "distinct days, not SF) + 1-row median aggregates broadcast"
     ),
+    "bitext_margin_mining": (
+        "anchor set broadcast (vec_id % 53, even label) vs side-B corpus "
+        "— scored scan by design, same shape as knn_bruteforce"
+    ),
 }
 
 
