@@ -7473,3 +7473,180 @@ def bitext_margin_mining(spark, sf_dir):
         (-F.col("b.negid")).alias("best_id"),
         F.col("b.margin").alias("margin"),
     )
+
+
+@query(
+    "association_priority_status",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y,
+             CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT x, y, cxy,
+             CAST(SUM(cxy) OVER (PARTITION BY x) AS BIGINT) AS cx,
+             CAST(SUM(cxy) OVER (PARTITION BY y) AS BIGINT) AS cy,
+             CAST(SUM(cxy) OVER () AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT x) OVER () AS BIGINT) AS nx,
+             CAST(COUNT(DISTINCT y) OVER () AS BIGINT) AS ny
+      FROM j
+    ),
+    terms AS (
+      SELECT n, nx, ny,
+             CAST(floor(
+               (CAST(cxy AS DOUBLE) / n)
+               * LN((CAST(cxy AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy))
+               * 1000000000000000.0) AS BIGINT) AS mi_q,
+             CAST(floor(
+               ((cxy - (CAST(cx AS DOUBLE) * cy) / n)
+                * (cxy - (CAST(cx AS DOUBLE) * cy) / n))
+               / ((CAST(cx AS DOUBLE) * cy) / n)
+               * 1000000000.0) AS BIGINT) AS chi_q
+      FROM m
+    )
+    SELECT ANY_VALUE(n) AS n_orders,
+           CAST(SUM(mi_q) AS DOUBLE) / 1000000000000000.0 AS mi_nats,
+           CAST(SUM(chi_q) AS DOUBLE) / 1000000000.0 AS chi2,
+           sqrt((CAST(SUM(chi_q) AS DOUBLE) / 1000000000.0)
+                / (ANY_VALUE(n)
+                   * LEAST(ANY_VALUE(nx) - 1, ANY_VALUE(ny) - 1)))
+             AS cramers_v
+    FROM terms
+    """,
+    description=(
+        "categorical association suite on the priority x status "
+        "contingency table: mutual information (nats), the chi-square "
+        "independence statistic, and Cramer's V — the signals a feature-"
+        "selection / leakage-audit pass computes between label-ish "
+        "columns.  One partial-agg shuffle builds the 15-cell joint-count "
+        "table; margins, totals, and distinct-level counts all come from "
+        "bounded whole-set windows over those 15 rows (no second fact "
+        "scan).  Per-cell MI and chi-square terms are deterministic "
+        "doubles (exact integer counts, one division chain each), floor-"
+        "quantized to integer units so the cell sums are order-"
+        "independent — bit-identical across engines.  At 100 TB the cell "
+        "table stays |priorities| x |statuses| regardless of row count"
+    ),
+)
+def association_priority_status(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    j = orders.groupBy(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cxy"))
+    w = Window.partitionBy()
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    m = (
+        j.withColumn("cx", F.sum("cxy").over(wx).cast("long"))
+        .withColumn("cy", F.sum("cxy").over(wy).cast("long"))
+        .withColumn("n", F.sum("cxy").over(w).cast("long"))
+        .withColumn(
+            "nx", F.size(F.collect_set("x").over(w)).cast("long")
+        )
+        .withColumn(
+            "ny", F.size(F.collect_set("y").over(w)).cast("long")
+        )
+    )
+    cxy_d = F.col("cxy").cast("double")
+    cx_d = F.col("cx").cast("double")
+    e = (cx_d * F.col("cy")) / F.col("n")
+    mi_q = (
+        F.floor(
+            (cxy_d / F.col("n"))
+            * F.log((cxy_d * F.col("n")) / (cx_d * F.col("cy")))
+            * F.lit(1000000000000000.0)
+        )
+    ).cast("long")
+    chi_q = (
+        F.floor(
+            ((F.col("cxy") - e) * (F.col("cxy") - e)) / e
+            * F.lit(1000000000.0)
+        )
+    ).cast("long")
+    terms = m.select(
+        "n", "nx", "ny", mi_q.alias("mi_q"), chi_q.alias("chi_q")
+    )
+    chi2 = F.sum("chi_q").cast("double") / F.lit(1000000000.0)
+    return terms.agg(
+        F.first("n").alias("n_orders"),
+        (F.sum("mi_q").cast("double") / F.lit(1000000000000000.0)).alias(
+            "mi_nats"
+        ),
+        chi2.alias("chi2"),
+        F.sqrt(
+            chi2
+            / (
+                F.first("n")
+                * F.least(F.first("nx") - 1, F.first("ny") - 1)
+            )
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "trimmed_mean_order_value",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority,
+             percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice) AS lo,
+             percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS hi
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(SUM(CASE WHEN o.o_totalprice >= b.lo
+                          AND o.o_totalprice <= b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN o.o_totalprice >= b.lo
+                          AND o.o_totalprice <= b.hi
+                         THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE)
+             / SUM(CASE WHEN o.o_totalprice >= b.lo
+                         AND o.o_totalprice <= b.hi
+                        THEN 1 ELSE 0 END) AS trimmed_mean,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS raw_mean
+    FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+    GROUP BY 1
+    """,
+    description=(
+        "5-95 percentile-trimmed mean of order value per priority, next "
+        "to the raw mean — the robust-location estimator that pairs with "
+        "the MAD robust-scale entry (one fat-finger order moves the raw "
+        "mean, not the trimmed one).  PERCENTILE_DISC bounds are actual "
+        "data values (engine-identical), kept values are summed as exact "
+        "DECIMAL before one final double division, so no float-order "
+        "tolerance is needed.  Plan: one per-group percentile aggregate "
+        "(bounded groups), the 5-row bounds table broadcast back, one "
+        "conditional partial agg — two fact scans, zero fact shuffles "
+        "beyond the group aggs"
+    ),
+)
+def trimmed_mean_order_value(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    b = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("lo"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("hi"),
+    )
+    kept = (F.col("o_totalprice") >= F.col("lo")) & (
+        F.col("o_totalprice") <= F.col("hi")
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.join(F.broadcast(b), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_all"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            (
+                F.sum(F.when(kept, dec)).cast("double")
+                / F.sum(F.when(kept, 1).otherwise(0))
+            ).alias("trimmed_mean"),
+            (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("raw_mean"),
+        )
+    )
