@@ -7650,3 +7650,103 @@ def trimmed_mean_order_value(spark, sf_dir):
             (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("raw_mean"),
         )
     )
+
+
+@query(
+    "triangle_count_parts",
+    oracle="""
+    WITH e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT x.src AS a, x.dst AS b, y.dst AS c
+      FROM e x JOIN e y ON x.dst = y.src
+      JOIN e z ON z.src = x.src AND z.dst = y.dst
+    ),
+    tcount AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT tcount.node AS part_key, deg.degree, tcount.n_triangles,
+           (CAST(2 AS DOUBLE) * tcount.n_triangles)
+             / (deg.degree * (deg.degree - 1)) AS clustering_coeff
+    FROM tcount JOIN deg ON tcount.node = deg.node
+    """,
+    description=(
+        "exact triangle counting + local clustering coefficient on the "
+        "support-thinned part co-purchase graph (pairs co-ordered at "
+        "least twice): the community-structure signal that PageRank "
+        "(global importance) and connected components (reachability) "
+        "cannot see.  Canonical src<dst orientation makes the wedge join "
+        "enumerate each triangle exactly once (the standard distributed "
+        "node-iterator algorithm); the support>=2 HAVING keeps the edge "
+        "table orders-of-magnitude smaller than the raw co-order pairs "
+        "(1.2M -> 3.9k at sf0.1) so the wedge join is bounded.  "
+        "Coefficient is one double division of exact integers.  Plan: "
+        "the pair agg shuffles on (src,dst) off the co-partitioned "
+        "l_orderkey self-join; the wedge and closure joins shuffle the "
+        "thinned edge table only"
+    ),
+)
+def triangle_count_parts(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    bq = li.alias("b")
+    e = (
+        a.join(
+            bq,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    ex = e.select(F.col("src").alias("xa"), F.col("dst").alias("xb"))
+    ey = e.select(F.col("src").alias("yb"), F.col("dst").alias("yc"))
+    ez = e.select(F.col("src").alias("za"), F.col("dst").alias("zc"))
+    tri = (
+        ex.join(ey, F.col("xb") == F.col("yb"))
+        .join(ez, (F.col("za") == F.col("xa")) & (F.col("zc") == F.col("yc")))
+        .select(
+            F.col("xa").alias("a"), F.col("xb").alias("b"),
+            F.col("yc").alias("c"),
+        )
+    )
+    tcount = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return tcount.join(deg, "node").select(
+        F.col("node").alias("part_key"),
+        "degree",
+        "n_triangles",
+        (
+            (F.lit(2).cast("double") * F.col("n_triangles"))
+            / (F.col("degree") * (F.col("degree") - 1))
+        ).alias("clustering_coeff"),
+    )
