@@ -319,3 +319,53 @@ def test_token_budget_select_no_single_partition_window(spark):
     assert "rangepartitioning" in p.lower() or "ExistingRDD" in p, p
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_pagerank_broadcasts_node_tables(spark):
+    p = plan(spark, "pagerank_two_iterations")
+    # degree and rank tables are node-sized and must broadcast; each
+    # iteration is a broadcast join + one partial-agg shuffle on dst
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
+    # the edge self-join equi-joins on l_orderkey (never a cartesian pair
+    # blowup), and aggregation partial-aggregates map-side
+    assert len(re.findall(r"HashAggregate", p)) >= 4, p
+
+
+def test_contrastive_mining_no_window_sort(spark):
+    p = plan(spark, "contrastive_pair_mining")
+    # the per-anchor argmax is a partial-agg struct max — not a global or
+    # keyed window sort, and not a shuffled join against the anchor set
+    assert "Window" not in p, p
+    assert "Exchange SinglePartition" not in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_dsir_bucket_tables_broadcast(spark):
+    p = plan(spark, "dsir_importance_weights")
+    # the 512-row ratio table rides a broadcast back onto the
+    # (doc_id,bucket) agg — the only fact-sized shuffle in the plan
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_theil_sen_no_single_partition_percentile(spark):
+    p = plan(spark, "daily_revenue_theil_sen")
+    # medians come from the pinned two-phase rank (checkpoint scan), never
+    # a partition-less window or a single-group percentile buffer over the
+    # 3M-row slope table
+    assert "Exchange SinglePartition" not in p, p
+    assert "percentile" not in p.lower(), p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_triangle_edges_equi_join(spark):
+    p = plan(spark, "triangle_count_parts")
+    # wedge/closure joins are equi-joins on the thinned edge table — no
+    # cartesian enumeration, no Python
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p, p
