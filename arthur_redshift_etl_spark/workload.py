@@ -7750,3 +7750,148 @@ def triangle_count_parts(spark, sf_dir):
             / (F.col("degree") * (F.col("degree") - 1))
         ).alias("clustering_coeff"),
     )
+
+
+@query(
+    "daily_revenue_autocorr_lag7",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.y AS y0, b.y AS y7
+      FROM daily a JOIN daily b ON b.x = a.x + 7
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(y0 AS DECIMAL(19,2))) AS DOUBLE) AS s0,
+             CAST(SUM(CAST(y7 AS DECIMAL(19,2))) AS DOUBLE) AS s7,
+             CAST(SUM(CAST(y0 AS DECIMAL(19,2)) * CAST(y0 AS DECIMAL(19,2)))
+                  AS DOUBLE) AS s00,
+             CAST(SUM(CAST(y7 AS DECIMAL(19,2)) * CAST(y7 AS DECIMAL(19,2)))
+                  AS DOUBLE) AS s77,
+             CAST(SUM(CAST(y0 AS DECIMAL(19,2)) * CAST(y7 AS DECIMAL(19,2)))
+                  AS DOUBLE) AS s07
+      FROM pairs
+    )
+    SELECT n AS n_pairs,
+           (n * s07 - s0 * s7)
+             / (sqrt(n * s00 - s0 * s0) * sqrt(n * s77 - s7 * s7))
+             AS autocorr_lag7
+    FROM s
+    """,
+    description=(
+        "lag-7 Pearson autocorrelation of daily revenue — the weekly-"
+        "seasonality detector for any daily-rollup metric (a high lag-7 r "
+        "says the series repeats by weekday; the trend-fit and anomaly "
+        "entries assume you checked).  All five moments are EXACT DECIMAL "
+        "sums over the bounded ~2400-day table (daily revenue has two "
+        "decimals; pair values are widened to DECIMAL(19,2) so products take the int128 path in DuckDB and stay exact at (38,4) in Spark), "
+        "so the correlation is a fixed chain of IEEE ops on identical "
+        "inputs.  Plan: one fact-sized day rollup, then a 2400-row "
+        "broadcast self-equi-join on x+7 and a 1-row moment aggregate"
+    ),
+)
+def daily_revenue_autocorr_lag7(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    a = daily.alias("a")
+    bq = daily.alias("b")
+    d = lambda c: F.col(c).cast("decimal(19,2)")  # noqa: E731
+    pairs = a.join(
+        F.broadcast(bq), F.col("b.x") == F.col("a.x") + 7
+    ).select(F.col("a.y").alias("y0"), F.col("b.y").alias("y7"))
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d("y0")).cast("double").alias("s0"),
+        F.sum(d("y7")).cast("double").alias("s7"),
+        F.sum(d("y0") * d("y0")).cast("double").alias("s00"),
+        F.sum(d("y7") * d("y7")).cast("double").alias("s77"),
+        F.sum(d("y0") * d("y7")).cast("double").alias("s07"),
+    )
+    num = F.col("n") * F.col("s07") - F.col("s0") * F.col("s7")
+    den = F.sqrt(
+        F.col("n") * F.col("s00") - F.col("s0") * F.col("s0")
+    ) * F.sqrt(F.col("n") * F.col("s77") - F.col("s7") * F.col("s7"))
+    return s.select(
+        F.col("n").alias("n_pairs"), (num / den).alias("autocorr_lag7")
+    )
+
+
+@query(
+    "benford_first_digit_orders",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM digits
+      GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs)
+    SELECT obs.digit, obs.observed,
+           CAST(tot.n AS DOUBLE)
+             * LN(1 + CAST(1 AS DOUBLE) / obs.digit) / LN(10) AS expected,
+           (obs.observed
+              - CAST(tot.n AS DOUBLE) * LN(1 + CAST(1 AS DOUBLE) / obs.digit)
+                / LN(10))
+             / sqrt(CAST(tot.n AS DOUBLE)
+                    * LN(1 + CAST(1 AS DOUBLE) / obs.digit) / LN(10))
+             AS z_score
+    FROM obs CROSS JOIN tot
+    """,
+    description=(
+        "Benford first-digit conformance of order values — the classic "
+        "fraud / synthetic-data / unit-mixup detector for any money "
+        "column: naturally-generated amounts follow P(d)=log10(1+1/d), "
+        "fabricated ones rarely do.  Emits observed vs expected counts "
+        "and a per-digit z-score (TPC-H's uniform price generator fails "
+        "Benford loudly, which is itself the correct finding).  Digit "
+        "extraction is exact integer/string work; expected counts are a "
+        "fixed LN chain on exact integers — deterministic without "
+        "quantization since nothing is summed in engine order.  Plan: "
+        "one scan, one 9-row partial agg, the 1-row total broadcast back"
+    ),
+)
+def benford_first_digit_orders(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long")
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    tot = obs.agg(F.sum("observed").cast("long").alias("n"))
+    expected = (
+        F.col("n").cast("double")
+        * F.log(1 + F.lit(1).cast("double") / F.col("digit"))
+        / F.log(F.lit(10.0))
+    )
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "observed",
+        expected.alias("expected"),
+        ((F.col("observed") - expected) / F.sqrt(expected)).alias("z_score"),
+    )

@@ -77,6 +77,10 @@ ALLOWED_NL_JOIN = {
         "anchor set broadcast (vec_id % 53, even label) vs side-B corpus "
         "— scored scan by design, same shape as knn_bruteforce"
     ),
+    "benford_first_digit_orders": (
+        "1-row digit-total aggregate broadcast into the 9-row expectation "
+        "table"
+    ),
 }
 
 
