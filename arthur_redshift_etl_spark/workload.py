@@ -7895,3 +7895,222 @@ def benford_first_digit_orders(spark, sf_dir):
         expected.alias("expected"),
         ((F.col("observed") - expected) / F.sqrt(expected)).alias("z_score"),
     )
+
+
+@query(
+    "ab_test_conversion_ztest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS bucket,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN bucket = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(SUM(CASE WHEN bucket = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_b
+      FROM u
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_a AS DOUBLE) / n_a AS p_a,
+           CAST(conv_b AS DOUBLE) / n_b AS p_b,
+           (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+             AS z_score
+    FROM g
+    """,
+    description=(
+        "two-proportion z-test on per-user purchase conversion between "
+        "the user_id-parity buckets — the A/B experiment readout (pooled "
+        "variance, the standard large-sample test).  Every probability "
+        "is an exact-integer count ratio and the z formula is one fixed "
+        "IEEE chain, so no tolerance is needed.  Plan: one per-user "
+        "partial agg (map-side combine on user_id), then a 1-row "
+        "conditional rollup — no second fact scan, no join"
+    ),
+)
+def ab_test_conversion_ztest(spark, sf_dir):
+    events = t(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("bucket", F.col("user_id") % 2)
+    g = u.agg(
+        F.sum(F.when(F.col("bucket") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("bucket") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("bucket") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("bucket") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pool
+        * (1 - pool)
+        * (
+            F.lit(1).cast("double") / F.col("n_a")
+            + F.lit(1).cast("double") / F.col("n_b")
+        )
+    )
+    return g.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        p_a.alias("p_a"), p_b.alias("p_b"), z.alias("z_score"),
+    )
+
+
+@query(
+    "gini_customer_revenue",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i
+      FROM cust
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS DOUBLE) AS s0,
+             CAST(SUM(i * rev) AS DOUBLE) AS s1
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           (CAST(2 AS DOUBLE) * s1) / (n * s0)
+             - (CAST(n + 1 AS DOUBLE) / n) AS gini
+    FROM s
+    """,
+    description=(
+        "Gini coefficient of customer revenue concentration (the "
+        "inequality measure behind 'top 1% of customers drive X%' "
+        "reporting, and the label-imbalance diagnostic for a training "
+        "corpus when applied to per-source token counts).  Uses the "
+        "rank-sum identity G = 2*sum(i*y_i)/(n*sum(y)) - (n+1)/n over "
+        "revenue-active customers; ranks come from the pinned two-phase "
+        "distributed rank (ties broken on custkey), revenue and the "
+        "rank-weighted sum stay EXACT DECIMAL until two final casts, so "
+        "the one formula chain is engine-identical.  Plan: one per-"
+        "customer partial agg, the checkpointed range-rank, one 1-row "
+        "moment aggregate — no single-task sort at any size"
+    ),
+)
+def gini_customer_revenue(spark, sf_dir):
+    from .operators.identity import global_row_number
+
+    orders = t(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    ranked, n = global_row_number(cust, ["rev", "o_custkey"], "__grn")
+    s = ranked.agg(
+        F.sum("rev").cast("double").alias("s0"),
+        F.sum(F.col("__grn") * F.col("rev")).cast("double").alias("s1"),
+    )
+    return s.select(
+        F.lit(n).cast("long").alias("n_customers"),
+        (
+            (F.lit(2).cast("double") * F.col("s1")) / (F.lit(n) * F.col("s0"))
+            - (F.lit(n + 1).cast("double") / F.lit(n))
+        ).alias("gini"),
+    )
+
+
+@query(
+    "zipf_slope_tokens",
+    oracle="""
+    WITH freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      ) GROUP BY token
+    ),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, token) AS r FROM freq
+    ),
+    terms AS (
+      SELECT CAST(floor(LN(CAST(r AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+               AS x_q,
+             CAST(floor(LN(CAST(f AS DOUBLE)) * 1000000000000.0) AS BIGINT)
+               AS y_q,
+             CAST(floor(LN(CAST(r AS DOUBLE)) * LN(CAST(r AS DOUBLE))
+                        * 1000000000000.0) AS BIGINT) AS xx_q,
+             CAST(floor(LN(CAST(r AS DOUBLE)) * LN(CAST(f AS DOUBLE))
+                        * 1000000000000.0) AS BIGINT) AS xy_q
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x_q) AS DOUBLE) / 1000000000000.0 AS sx,
+             CAST(SUM(y_q) AS DOUBLE) / 1000000000000.0 AS sy,
+             CAST(SUM(xx_q) AS DOUBLE) / 1000000000000.0 AS sxx,
+             CAST(SUM(xy_q) AS DOUBLE) / 1000000000000.0 AS sxy
+      FROM terms
+    )
+    SELECT n AS n_types,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope
+    FROM s
+    """,
+    description=(
+        "Zipf-law slope of the token rank-frequency curve: OLS fit of "
+        "ln(freq) vs ln(rank) over the vocabulary — natural text sits "
+        "near -1, templated/synthetic text drifts off it, making the "
+        "slope a corpus-authenticity signal next to the lexical-richness "
+        "profile.  The vocabulary table is bounded (types grow "
+        "sublinearly in corpus size), ranks tie-break on the token "
+        "string, and every log term is floor-quantized to 1e-12 units so "
+        "the moment sums are exact integers — the final slope is one "
+        "IEEE chain on identical inputs.  Plan: one token-count shuffle, "
+        "a vocab-sized rank window, a 1-row moment aggregate"
+    ),
+)
+def zipf_slope_tokens(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    w = Window.partitionBy().orderBy(F.col("f").desc(), F.col("token"))
+    ranked = freq.withColumn("r", F.row_number().over(w))
+    lnr = F.log(F.col("r").cast("double"))
+    lnf = F.log(F.col("f").cast("double"))
+    q = F.lit(1000000000000.0)
+    terms = ranked.select(
+        F.floor(lnr * q).cast("long").alias("x_q"),
+        F.floor(lnf * q).cast("long").alias("y_q"),
+        F.floor(lnr * lnr * q).cast("long").alias("xx_q"),
+        F.floor(lnr * lnf * q).cast("long").alias("xy_q"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("x_q").cast("double") / q).alias("sx"),
+        (F.sum("y_q").cast("double") / q).alias("sy"),
+        (F.sum("xx_q").cast("double") / q).alias("sxx"),
+        (F.sum("xy_q").cast("double") / q).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_types"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("zipf_slope"),
+    )
