@@ -8114,3 +8114,176 @@ def zipf_slope_tokens(spark, sf_dir):
             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "association_rules_brands",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM ob),
+    bc AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS c FROM ob GROUP BY p_brand
+    ),
+    pc AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    )
+    SELECT pc.brand_a, pc.brand_b, pc.c_ab,
+           CAST(pc.c_ab AS DOUBLE) / tot.n AS support,
+           CAST(pc.c_ab AS DOUBLE) / ca.c AS conf_a_to_b,
+           CAST(pc.c_ab AS DOUBLE) / cb.c AS conf_b_to_a,
+           (CAST(pc.c_ab AS DOUBLE) * tot.n)
+             / (CAST(ca.c AS DOUBLE) * cb.c) AS lift
+    FROM pc
+    JOIN bc ca ON pc.brand_a = ca.p_brand
+    JOIN bc cb ON pc.brand_b = cb.p_brand
+    CROSS JOIN tot
+    """,
+    description=(
+        "market-basket association rules over brand pairs: support, both "
+        "directed confidences, and lift (the canonical Apriori-style "
+        "readout; lift > 1 marks genuinely co-purchased brands, which "
+        "raw co-occurrence counts conflate with popularity).  All four "
+        "metrics are exact-integer count ratios — deterministic without "
+        "tolerance.  Plan: one distinct (order,brand) projection feeds "
+        "the co-partitioned pair self-join and the brand-count partial "
+        "agg; the brand table (bounded: |brands| << |orders|) broadcasts "
+        "back onto the pair counts with the 1-row total"
+    ),
+)
+def association_rules_brands(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = ob.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = ob.alias("a")
+    bq = ob.alias("b")
+    pc = (
+        a.join(
+            bq,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    ca = bc.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("ca"))
+    cb = bc.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("cb"))
+    return (
+        pc.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            (F.col("c_ab").cast("double") / F.col("n")).alias("support"),
+            (F.col("c_ab").cast("double") / F.col("ca")).alias("conf_a_to_b"),
+            (F.col("c_ab").cast("double") / F.col("cb")).alias("conf_b_to_a"),
+            (
+                (F.col("c_ab").cast("double") * F.col("n"))
+                / (F.col("ca").cast("double") * F.col("cb"))
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "ks_test_order_values",
+    oracle="""
+    WITH v AS (
+      SELECT o_totalprice AS val,
+             CAST(SUM(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM orders GROUP BY o_totalprice
+    ),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY val
+                           ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(cb) OVER (ORDER BY val
+                           ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM v
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM v
+    )
+    SELECT tot.n_a, tot.n_b,
+           CAST(MAX(abs(cum_a * tot.n_b - cum_b * tot.n_a)) AS BIGINT)
+             AS d_numerator,
+           CAST(MAX(abs(cum_a * tot.n_b - cum_b * tot.n_a)) AS DOUBLE)
+             / (CAST(tot.n_a AS DOUBLE) * tot.n_b) AS ks_d
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.n_a, tot.n_b
+    """,
+    description=(
+        "two-sample Kolmogorov-Smirnov statistic between the order-value "
+        "distributions of the custkey-parity cohorts — the "
+        "distribution-shift detector (data drift between pipeline runs, "
+        "treatment-vs-control value distributions) that mean-based tests "
+        "miss.  FULLY integer-exact: per distinct value the two cohort "
+        "counts are packed into one int64 (ca*2^32+cb — running sums "
+        "distribute over the packing), ONE pass of the pinned "
+        "distributed running sum produces both CDFs, and D's numerator "
+        "max(|cum_a*n_b - cum_b*n_a|) never leaves integers; the only "
+        "double is the final division.  Ties are handled by grouping on "
+        "the value BEFORE the cumsum, so the CDF is evaluated at value "
+        "boundaries (the well-defined KS convention).  Plan: one "
+        "partial agg on value, the checkpointed range running sum, a "
+        "1-row max — no single-task sort; the 2^32 packing bounds each "
+        "cohort at ~4e9 rows, switch to two passes beyond"
+    ),
+)
+def ks_test_order_values(spark, sf_dir):
+    from .operators.identity import global_running_sum
+
+    orders = t(spark, sf_dir, "orders")
+    v = orders.groupBy(F.col("o_totalprice").alias("val")).agg(
+        F.sum(F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("o_custkey") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    packed = v.withColumn(
+        "packed", F.col("ca") * F.lit(4294967296).cast("long") + F.col("cb")
+    )
+    cum, grand = global_running_sum(packed, ["val"], "packed", "cum_packed")
+    n_a = grand // 4294967296
+    n_b = grand % 4294967296
+    cum = cum.select(
+        F.expr("cum_packed div 4294967296").cast("long").alias("cum_a"),
+        (F.col("cum_packed") % F.lit(4294967296)).cast("long").alias("cum_b"),
+    )
+    d_num = F.max(
+        F.abs(F.col("cum_a") * F.lit(n_b) - F.col("cum_b") * F.lit(n_a))
+    ).cast("long")
+    return cum.agg(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        d_num.alias("d_numerator"),
+        (
+            d_num.cast("double")
+            / (F.lit(n_a).cast("double") * F.lit(n_b))
+        ).alias("ks_d"),
+    )

@@ -81,6 +81,9 @@ ALLOWED_NL_JOIN = {
         "1-row digit-total aggregate broadcast into the 9-row expectation "
         "table"
     ),
+    "association_rules_brands": (
+        "1-row basket-total aggregate broadcast into the rule metrics"
+    ),
 }
 
 
