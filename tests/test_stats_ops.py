@@ -1,0 +1,190 @@
+"""Known-answer invariants for the statistical catalog entries.
+
+Each test builds a tiny parquet table set with a CONSTRUCTED ground truth
+(identical cohorts, perfect linear trend, complete graphs, ...) and checks
+the entry reproduces the closed-form answer — the property layer on top of
+the DuckDB value oracles, in the reference's test style (SURVEY §5).
+"""
+
+import datetime
+
+import pytest
+
+from arthur_redshift_etl_spark.workload import REGISTRY
+
+
+def _write(spark, tmp_path, table, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/{table}.parquet")
+    return str(tmp_path)
+
+
+def test_ks_identical_cohorts_is_zero(spark, tmp_path):
+    # every value appears once per parity -> identical empirical CDFs
+    rows = []
+    k = 0
+    for v in (10.0, 20.0, 30.0, 40.0):
+        for par in (0, 1):
+            rows.append((k, par + 2, "O", v,
+                         datetime.date(2024, 1, 1), "1-URGENT"))
+            k += 1
+    sf = _write(spark, tmp_path, "orders", rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate date, o_orderpriority string")
+    out = REGISTRY["ks_test_order_values"].fn(spark, sf).collect()[0]
+    assert out["d_numerator"] == 0 and out["ks_d"] == 0.0
+    assert out["n_a"] == 4 and out["n_b"] == 4
+
+
+def test_ks_disjoint_cohorts_is_one(spark, tmp_path):
+    rows = [(i, 0, "O", 10.0 + i, datetime.date(2024, 1, 1), "p")
+            for i in range(4)]
+    rows += [(10 + i, 1, "O", 100.0 + i, datetime.date(2024, 1, 1), "p")
+             for i in range(4)]
+    sf = _write(spark, tmp_path, "orders", rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate date, o_orderpriority string")
+    out = REGISTRY["ks_test_order_values"].fn(spark, sf).collect()[0]
+    assert out["ks_d"] == 1.0
+
+
+def test_gini_equal_revenue_is_zero(spark, tmp_path):
+    rows = [(i, i, "O", 100.0, datetime.date(2024, 1, 1), "p")
+            for i in range(10)]
+    sf = _write(spark, tmp_path, "orders", rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate date, o_orderpriority string")
+    out = REGISTRY["gini_customer_revenue"].fn(spark, sf).collect()[0]
+    assert out["gini"] == 0.0 and out["n_customers"] == 10
+
+
+def test_gini_total_concentration(spark, tmp_path):
+    # one customer has (almost) everything: G -> (n-1)/n as epsilon -> 0
+    rows = [(i, i, "O", 0.01, datetime.date(2024, 1, 1), "p")
+            for i in range(9)]
+    rows.append((99, 99, "O", 1_000_000.0, datetime.date(2024, 1, 1), "p"))
+    sf = _write(spark, tmp_path, "orders", rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate date, o_orderpriority string")
+    out = REGISTRY["gini_customer_revenue"].fn(spark, sf).collect()[0]
+    assert out["gini"] == pytest.approx(0.9, abs=1e-6)
+
+
+def test_ab_equal_conversion_z_zero(spark, tmp_path):
+    # same conversion rate in both parities -> z exactly 0
+    ts = datetime.datetime(2024, 1, 1)
+    rows = []
+    for uid in range(8):  # 4 per parity, half convert
+        et = "purchase" if uid < 4 else "view"
+        rows.append((uid, ts, uid, et, 1.0, "{}"))
+    sf = _write(spark, tmp_path, "events", rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+    out = REGISTRY["ab_test_conversion_ztest"].fn(spark, sf).collect()[0]
+    assert out["p_a"] == out["p_b"] == 0.5
+    assert out["z_score"] == 0.0
+
+
+def test_theil_sen_exact_on_linear_data(spark, tmp_path):
+    # one order per day, revenue = 3*x + 5 exactly -> slope 3, intercept 5
+    rows = []
+    base = datetime.date(1970, 1, 1)
+    for x in range(1, 31):
+        rows.append((x, x, "O", 3.0 * x + 5.0,
+                     base + datetime.timedelta(days=x), "p"))
+    sf = _write(spark, tmp_path, "orders", rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate date, o_orderpriority string")
+    out = REGISTRY["daily_revenue_theil_sen"].fn(spark, sf).collect()[0]
+    assert out["ts_slope"] == 3.0
+    assert out["ts_intercept"] == 5.0
+
+
+def test_pagerank_regular_graph_uniform(spark, tmp_path):
+    # all 4 parts in one order: complete graph K4, deg 3 everywhere ->
+    # pr stays exactly 0.15 + 0.85 = 1.0 both iterations
+    rows = [(1, p, 1, 1, 1.0, 2.0, 0.0, 0.0, "N", "O",
+             datetime.date(2024, 1, 1)) for p in (10, 11, 12, 13)]
+    sf = _write(spark, tmp_path, "lineitem", rows,
+                "l_orderkey long, l_partkey long, l_suppkey long, "
+                "l_linenumber int, l_quantity double, l_extendedprice double, "
+                "l_discount double, l_tax double, l_returnflag string, "
+                "l_linestatus string, l_shipdate date")
+    out = {r["part_key"]: r for r in
+           REGISTRY["pagerank_two_iterations"].fn(spark, sf).collect()}
+    assert set(out) == {10, 11, 12, 13}
+    for r in out.values():
+        assert r["degree"] == 3
+        assert r["pagerank2"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_triangles_k4_with_support(spark, tmp_path):
+    # K4 repeated in two orders (support>=2 keeps all 6 edges):
+    # C(4,3)=4 triangles, each node in 3, coefficient 1.0
+    rows = []
+    for ok in (1, 2):
+        for ln, p in enumerate((10, 11, 12, 13)):
+            rows.append((ok, p, 1, ln, 1.0, 2.0, 0.0, 0.0, "N", "O",
+                         datetime.date(2024, 1, 1)))
+    sf = _write(spark, tmp_path, "lineitem", rows,
+                "l_orderkey long, l_partkey long, l_suppkey long, "
+                "l_linenumber int, l_quantity double, l_extendedprice double, "
+                "l_discount double, l_tax double, l_returnflag string, "
+                "l_linestatus string, l_shipdate date")
+    out = {r["part_key"]: r for r in
+           REGISTRY["triangle_count_parts"].fn(spark, sf).collect()}
+    assert set(out) == {10, 11, 12, 13}
+    for r in out.values():
+        assert r["n_triangles"] == 3
+        assert r["clustering_coeff"] == 1.0
+
+
+def test_autocorr_perfect_weekly_period(spark, tmp_path):
+    # daily revenue repeats with period 7 -> lag-7 correlation exactly 1
+    rows = []
+    base = datetime.date(1970, 1, 1)
+    week = [100.0, 220.0, 130.0, 340.0, 150.0, 260.0, 170.0]
+    for x in range(28):
+        rows.append((x, x, "O", week[x % 7],
+                     base + datetime.timedelta(days=x), "p"))
+    sf = _write(spark, tmp_path, "orders", rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate date, o_orderpriority string")
+    out = REGISTRY["daily_revenue_autocorr_lag7"].fn(spark, sf).collect()[0]
+    assert out["n_pairs"] == 21
+    assert out["autocorr_lag7"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_dsir_weights_zero_when_target_is_corpus(spark, tmp_path):
+    # every doc in the target sources -> target model == raw model ->
+    # every llr term is ln(1) = 0 and all weights are exactly 0
+    rows = [(i, "alpha beta gamma delta", "en", "src1", 20) for i in range(3)]
+    rows += [(10 + i, "beta gamma epsilon", "en", "src2", 15) for i in range(3)]
+    sf = _write(spark, tmp_path, "documents", rows,
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long")
+    out = REGISTRY["dsir_importance_weights"].fn(spark, sf).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["dsir_logweight"] == 0.0
+
+
+def test_benford_counts_match_construction(spark, tmp_path):
+    # 30 values starting with 1, 10 with 9
+    rows = [(i, i, "O", 1000.0 + i, datetime.date(2024, 1, 1), "p")
+            for i in range(30)]
+    rows += [(100 + i, i, "O", 9000.0 + i, datetime.date(2024, 1, 1), "p")
+             for i in range(10)]
+    sf = _write(spark, tmp_path, "orders", rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate date, o_orderpriority string")
+    out = {r["digit"]: r for r in
+           REGISTRY["benford_first_digit_orders"].fn(spark, sf).collect()}
+    assert out[1]["observed"] == 30 and out[9]["observed"] == 10
+    # digit-1 overrepresented vs Benford on this mix -> positive z; and the
+    # expected counts follow log10(1+1/d) * 40
+    import math
+    assert out[1]["expected"] == pytest.approx(
+        40 * math.log10(2), rel=1e-12
+    )
