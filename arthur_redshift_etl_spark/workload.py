@@ -8287,3 +8287,127 @@ def ks_test_order_values(spark, sf_dir):
             / (F.lit(n_a).cast("double") * F.lit(n_b))
         ).alias("ks_d"),
     )
+
+
+@query(
+    "kaplan_meier_user_retention",
+    oracle="""
+    WITH life AS (
+      SELECT user_id,
+             datediff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+               AS t,
+             MAX(CAST(ts AS DATE)) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    w AS (SELECT MAX(last_day) AS wend FROM life),
+    marked AS (
+      SELECT t,
+             CASE WHEN datediff('day', last_day, w.wend) < 7
+                  THEN 1 ELSE 0 END AS censored
+      FROM life CROSS JOIN w
+    ),
+    bytime AS (
+      SELECT t,
+             CAST(SUM(1 - censored) AS BIGINT) AS d,
+             CAST(SUM(censored) AS BIGINT) AS c
+      FROM marked GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d, c,
+             CAST(SUM(d + c) OVER (ORDER BY t DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_risk
+      FROM bytime
+    ),
+    terms AS (
+      SELECT t, d, c, n_risk,
+             CASE WHEN d >= n_risk THEN NULL
+                  ELSE CAST(floor(LN(1 - CAST(d AS DOUBLE) / n_risk)
+                                  * 1000000000000.0) AS BIGINT) END AS lq,
+             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead
+      FROM risk
+    )
+    SELECT t, n_risk, d AS d_churned, c AS c_censored,
+           CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+                ELSE exp(CAST(SUM(lq) OVER (ORDER BY t
+                                            ROWS UNBOUNDED PRECEDING)
+                              AS DOUBLE) / 1000000000000.0) END AS survival
+    FROM terms
+    """,
+    description=(
+        "Kaplan-Meier retention curve over user lifetimes (first event to "
+        "last event, right-censored for users still active in the final "
+        "week of the observation window) — the survival-analysis estimator "
+        "behind every churn / retention-cohort readout, correctly "
+        "excluding censored users from the churn numerator while keeping "
+        "them at risk.  The at-risk counts are a suffix sum over the "
+        "bounded distinct-lifetime table (days in the window, not users), "
+        "each hazard term ln(1-d/n) is a deterministic double on exact "
+        "integer ratios floor-quantized to 1e-12 units, and the product "
+        "becomes exp of an exact integer cumsum — engine-identical, with "
+        "an explicit absorbing zero once d=n.  Plan: one per-user partial "
+        "agg (the only fact-sized shuffle), then windows over the "
+        "~30-row lifetime table"
+    ),
+)
+def kaplan_meier_user_retention(spark, sf_dir):
+    events = t(spark, sf_dir, "events")
+    life = events.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+        ).alias("t"),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+    )
+    w = Window.partitionBy()
+    marked = life.withColumn(
+        "censored",
+        F.when(
+            F.datediff(F.max("last_day").over(w), F.col("last_day")) < 7, 1
+        ).otherwise(0),
+    )
+    bytime = marked.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("d"),
+        F.sum("censored").cast("long").alias("c"),
+    )
+    wdesc = (
+        Window.partitionBy()
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wasc = (
+        Window.partitionBy()
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = bytime.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(wdesc).cast("long")
+    )
+    lq = F.when(
+        F.col("d") >= F.col("n_risk"), F.lit(None).cast("long")
+    ).otherwise(
+        F.floor(
+            F.log(1 - F.col("d").cast("double") / F.col("n_risk"))
+            * F.lit(1000000000000.0)
+        ).cast("long")
+    )
+    terms = risk.withColumn("lq", lq).withColumn(
+        "dead",
+        F.max(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)).over(
+            wasc
+        ),
+    )
+    return terms.select(
+        "t",
+        "n_risk",
+        F.col("d").alias("d_churned"),
+        F.col("c").alias("c_censored"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(
+            F.exp(
+                F.sum("lq").over(wasc).cast("double")
+                / F.lit(1000000000000.0)
+            )
+        )
+        .alias("survival"),
+    )

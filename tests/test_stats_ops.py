@@ -188,3 +188,36 @@ def test_benford_counts_match_construction(spark, tmp_path):
     assert out[1]["expected"] == pytest.approx(
         40 * math.log10(2), rel=1e-12
     )
+
+
+def test_kaplan_meier_constructed_curve(spark, tmp_path):
+    # lifetimes: 3 users churn at t=1, one at t=5, two censored at t=19
+    # (active within 7 days of the window end)
+    ts0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, uid, day):
+        return (eid, ts0 + datetime.timedelta(days=day), uid,
+                "view", 1.0, "{}")
+
+    rows = []
+    eid = 0
+    for uid in (1, 2, 3):  # churn at t=1
+        rows += [ev(eid, uid, 0), ev(eid + 1, uid, 1)]
+        eid += 2
+    rows += [ev(eid, 4, 0), ev(eid + 1, 4, 5)]  # churn at t=5
+    eid += 2
+    for uid in (5, 6):  # censored: last event at window end
+        rows += [ev(eid, uid, 0), ev(eid + 1, uid, 19)]
+        eid += 2
+    sf = _write(spark, tmp_path, "events", rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+    out = {r["t"]: r for r in
+           REGISTRY["kaplan_meier_user_retention"].fn(spark, sf).collect()}
+    assert set(out) == {1, 5, 19}
+    assert (out[1]["n_risk"], out[1]["d_churned"]) == (6, 3)
+    assert (out[5]["n_risk"], out[5]["d_churned"]) == (3, 1)
+    assert (out[19]["n_risk"], out[19]["c_censored"]) == (2, 2)
+    assert out[1]["survival"] == pytest.approx(0.5, abs=1e-9)
+    assert out[5]["survival"] == pytest.approx(1 / 3, abs=1e-9)
+    assert out[19]["survival"] == pytest.approx(1 / 3, abs=1e-9)
