@@ -400,3 +400,125 @@ def cms_rollup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def reference_histogram(
+    df: DataFrame, value_col: str = "value", bins: int = 16
+) -> dict:
+    """Bounded equi-width reference histogram for drift monitoring.
+
+    Returns plain-Python metadata (``lo``/``width``/``bins``/``probs``/
+    ``n``) — ``bins`` numbers total, never row data — with Laplace
+    smoothing ``(c+1)/(n+bins)`` so no reference bin has zero mass (an
+    unseen-in-reference value must raise the drift statistic, not divide
+    by zero).  Build it once from a trusted window, then hand it to
+    :func:`drift_monitor_stream`; at 100 TB the reference pass is one
+    partial-agg scan producing ``bins`` rows.
+    """
+    lo, hi, n = df.agg(
+        F.min(value_col), F.max(value_col), F.count(F.lit(1))
+    ).first()
+    if n == 0 or lo is None or hi is None or hi == lo:
+        raise ValueError("reference needs >=2 distinct values")
+    width = (float(hi) - float(lo)) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)),
+        ),
+    ).cast("int")
+    counts = {
+        r["bin"]: r["c"]
+        for r in df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    probs = [(counts.get(i, 0) + 1) / (n + bins) for i in range(bins)]
+    return {
+        "lo": float(lo),
+        "width": width,
+        "bins": bins,
+        "probs": probs,
+        "n": int(n),
+    }
+
+
+def drift_monitor_stream(
+    events: DataFrame,
+    reference: dict,
+    target_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    chi2_threshold: float | None = None,
+) -> "StreamingQuery":
+    """Per-micro-batch distribution-drift reports against a reference.
+
+    The data-quality face of the statistical catalog entries: each batch
+    is binned into the reference's equi-width histogram (edge bins absorb
+    out-of-range values, so a shifted distribution lands loudly in a
+    tail), and one report row is appended with the chi-square
+    goodness-of-fit statistic against the smoothed reference, the total
+    variation distance, and a ``drifted`` verdict.  Batch work is one
+    ``bins``-row aggregate regardless of batch size; the report table
+    grows one row per batch.  Replayed batches are skipped via the same
+    committed-batch-id marker as the other foreachBatch maintainers
+    (append would double-report).  Default threshold 3*(bins-1): ~the
+    p<<0.001 tail of the chi-square(bins-1) null, loose enough that
+    sampling noise on an in-distribution batch stays quiet.
+    """
+    lo, width, bins = reference["lo"], reference["width"], reference["bins"]
+    probs = reference["probs"]
+    threshold = (
+        chi2_threshold if chi2_threshold is not None else 3.0 * (bins - 1)
+    )
+
+    def report_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        committed = _committed_batch_id(target_path)
+        if committed is not None and batch_id <= committed:
+            return
+        b = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+            ),
+        ).cast("int")
+        counts = {
+            r["bin"]: r["c"]
+            for r in batch_df.select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        n = sum(counts.values())
+        if n == 0:
+            return
+        chi2 = 0.0
+        tvd = 0.0
+        for i in range(bins):
+            o = counts.get(i, 0)
+            e = n * probs[i]
+            chi2 += (o - e) * (o - e) / e
+            tvd += abs(o / n - probs[i])
+        tvd *= 0.5
+        report = spark.createDataFrame(
+            [(int(batch_id), int(n), float(chi2), float(tvd),
+              bool(chi2 > threshold))],
+            "batch_id long, n_rows long, chi2 double, tvd double, "
+            "drifted boolean",
+        )
+        import os
+
+        if os.path.exists(target_path):
+            report = spark.read.parquet(target_path).unionByName(report)
+        _swap_with_marker(report, target_path, batch_id)
+
+    return (
+        events.writeStream.foreachBatch(report_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

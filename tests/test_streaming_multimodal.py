@@ -413,3 +413,65 @@ def test_stream_static_broadcast_enrichment(spark, event_dir):
     assert got.count() == batch_n
     # left join + complete dim: no event loses its stage
     assert got.filter(F.col("funnel_stage").isNull()).count() == 0
+
+
+def test_drift_monitor_stream_flags_shift_and_skips_replay(
+    spark, event_dir, tmp_path
+):
+    """In-distribution batches stay quiet, a scale-shifted stream drifts
+    loudly, and a replayed run (same checkpoint) appends nothing."""
+    from arthur_redshift_etl_spark.streaming.events import (
+        drift_monitor_stream,
+        read_event_stream,
+        reference_histogram,
+    )
+
+    batch = load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ref = reference_histogram(batch, "value", bins=16)
+    assert len(ref["probs"]) == 16
+    assert abs(sum(ref["probs"]) - 1.0) < 1e-9
+
+    # same-distribution stream: every batch must be un-drifted
+    target = str(tmp_path / "drift-ok")
+    q = drift_monitor_stream(
+        read_event_stream(spark, event_dir, max_files_per_trigger=2),
+        ref,
+        target,
+        str(tmp_path / "ckpt-ok"),
+    )
+    q.awaitTermination(120)
+    reports = spark.read.parquet(target).collect()
+    assert len(reports) >= 2  # multiple micro-batches reported
+    assert all(not r["drifted"] for r in reports)
+    assert sum(r["n_rows"] for r in reports) == batch.count()
+
+    # replay with the SAME checkpoint: availableNow re-run appends nothing
+    n_before = len(reports)
+    q2 = drift_monitor_stream(
+        read_event_stream(spark, event_dir, max_files_per_trigger=2),
+        ref,
+        target,
+        str(tmp_path / "ckpt-ok"),
+    )
+    q2.awaitTermination(120)
+    assert len(spark.read.parquet(target).collect()) == n_before
+
+    # scale-shifted stream: all mass lands in the top edge bin -> drifted
+    shifted_dir = str(tmp_path / "events-shifted")
+    batch.withColumn("value", F.col("value") * 1000 + 1e9).repartition(
+        2
+    ).write.mode("overwrite").parquet(shifted_dir)
+    target2 = str(tmp_path / "drift-bad")
+    q3 = drift_monitor_stream(
+        read_event_stream(spark, shifted_dir, max_files_per_trigger=2),
+        ref,
+        target2,
+        str(tmp_path / "ckpt-bad"),
+    )
+    q3.awaitTermination(120)
+    bad = spark.read.parquet(target2).collect()
+    assert len(bad) >= 1
+    assert all(r["drifted"] for r in bad)
+    assert all(r["tvd"] > 0.5 for r in bad)
