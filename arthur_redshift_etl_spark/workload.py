@@ -8411,3 +8411,121 @@ def kaplan_meier_user_retention(spark, sf_dir):
         )
         .alias("survival"),
     )
+
+
+def _minhash_recall_oracle(
+    num_hashes: int = 8, rows_per_band: int = 2, threshold: float = 0.5
+) -> str:
+    mh_exprs = ",\n        ".join(
+        f"MIN(({a} * h32 + {b}) % {dd.MERSENNE31}) AS mh{i}"
+        for i, (a, b) in enumerate(dd.minhash_params(num_hashes))
+    )
+    bands = num_hashes // rows_per_band
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b,
+            key="CAST(mh{0} AS VARCHAR) || '_' || CAST(mh{1} AS VARCHAR)".format(
+                b * rows_per_band, b * rows_per_band + 1
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tokens) - 1),
+                      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+                 AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+      )
+    ),
+    base AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT & 4294967295 AS h32
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc_id,
+        {mh_exprs}
+      FROM base GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    shared AS (
+      SELECT ta.doc_id AS id_a, tb.doc_id AS id_b, COUNT(*) AS inter_size
+      FROM toks ta JOIN toks tb
+        ON ta.shingle = tb.shingle AND ta.doc_id < tb.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               CAST(inter_size AS DOUBLE)
+                 / (sa.set_size + sb.set_size - inter_size) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      ) WHERE jaccard >= {threshold}
+    ),
+    hit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM cand JOIN truth USING (id_a, id_b)
+    ),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+    SELECT nc.n_candidates, nt.n_truth, hit.n_hit,
+           CAST(hit.n_hit AS DOUBLE) / nt.n_truth AS recall,
+           CAST(hit.n_hit AS DOUBLE) / nc.n_candidates AS precision
+    FROM nc CROSS JOIN nt CROSS JOIN hit
+    """
+
+
+@query(
+    "minhash_lsh_recall_eval",
+    oracle=_minhash_recall_oracle(),
+    description=(
+        "measured recall/precision of the MinHash-LSH banding scheme "
+        "(8 hashes, 4 bands of 2) against EXACT n-gram-Jaccard ground "
+        "truth at threshold 0.5 — the evaluation harness that turns the "
+        "banding parameters from folklore into a measured operating "
+        "point, mirroring ann_ivf_recall_eval for the dedup family.  "
+        "Candidates come from the shipped lsh_candidate_pairs banding; "
+        "truth from the shipped prefix-filtered exact similarity join; "
+        "all five outputs are exact-integer counts and their ratios.  "
+        "Plan: deliberately runs BOTH pipelines (an eval harness, not a "
+        "production dedup pass) — at 100 TB you run it on a sampled "
+        "slice to pick band parameters, then run only the LSH side"
+    ),
+)
+def minhash_lsh_recall_eval(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    cand = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, rows_per_band=2)
+    truth = dd.ngram_jaccard_join(docs, threshold=0.5).select("id_a", "id_b")
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    hit = (
+        cand.join(truth, ["id_a", "id_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        nc.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(hit))
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
+            (F.col("n_hit").cast("double") / F.col("n_candidates")).alias(
+                "precision"
+            ),
+        )
+    )
