@@ -8356,7 +8356,9 @@ def kaplan_meier_user_retention(spark, sf_dir):
     life = events.groupBy("user_id").agg(
         F.datediff(
             F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
-        ).alias("t"),
+        )
+        .cast("long")
+        .alias("t"),
         F.max(F.col("ts").cast("date")).alias("last_day"),
     )
     w = Window.partitionBy()
@@ -8510,22 +8512,25 @@ def minhash_lsh_recall_eval(spark, sf_dir):
     sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
     cand = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, rows_per_band=2)
     truth = dd.ngram_jaccard_join(docs, threshold=0.5).select("id_a", "id_b")
-    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-    hit = (
-        cand.join(truth, ["id_a", "id_b"])
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    joined = cand.withColumn("in_c", F.lit(1)).join(
+        truth.withColumn("in_t", F.lit(1)), ["id_a", "id_b"], "full_outer"
     )
-    return (
-        nc.crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(hit))
-        .select(
-            "n_candidates",
-            "n_truth",
-            "n_hit",
-            (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
-            (F.col("n_hit").cast("double") / F.col("n_candidates")).alias(
-                "precision"
-            ),
+    counts = joined.agg(
+        F.count("in_c").cast("long").alias("n_candidates"),
+        F.count("in_t").cast("long").alias("n_truth"),
+        F.sum(
+            F.when(F.col("in_c").isNotNull() & F.col("in_t").isNotNull(), 1)
+            .otherwise(0)
         )
+        .cast("long")
+        .alias("n_hit"),
+    )
+    return counts.select(
+        "n_candidates",
+        "n_truth",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
+        (F.col("n_hit").cast("double") / F.col("n_candidates")).alias(
+            "precision"
+        ),
     )
