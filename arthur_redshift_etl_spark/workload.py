@@ -7022,6 +7022,14 @@ def dsir_importance_weights(spark, sf_dir):
     )
 
 
+# ~32 B per (node, double) broadcast row incl. hashmap overhead; 20 MiB
+# keeps pagerank's two per-iteration broadcasts far under executor budgets.
+# Module-level so tests can monkeypatch the threshold to force the
+# shuffle-join path on small data.
+PAGERANK_NODE_BCAST_LIMIT_BYTES = 20 << 20
+_PAGERANK_BYTES_PER_NODE = 32
+
+
 @query(
     "pagerank_two_iterations",
     oracle="""
@@ -7061,9 +7069,17 @@ def dsir_importance_weights(spark, sf_dir):
         "term is positive (no cancellation), so cross-engine sums agree "
         "far inside 10 digits.  Plan: the edge self-join is co-partitioned "
         "on l_orderkey (pair blowup bounded by order size, <=7 lines in "
-        "TPC-H); deg and pr are node-sized (dim-scale) and broadcast, so "
-        "each iteration is one fact-free broadcast join + one partial-agg "
-        "shuffle on dst"
+        "TPC-H); deg and pr are NODE-sized tables — parts scale with SF, "
+        "so broadcast is decided by MEASUREMENT, not assumption: the edge "
+        "table is persisted, one sizing count reads the node count off "
+        "the persisted degree table, and only if the rank/degree rows fit "
+        "the broadcast budget do the per-iteration joins broadcast; above "
+        "it they fall back to shuffle joins co-partitioned on src (the "
+        "same measured auto-broadcast pattern as "
+        "operators/dedup.py jaccard_from_shingles).  At 100 TB the node "
+        "table is billions of rows and the fallback is the only correct "
+        "plan; at dim-scale the broadcast path keeps each iteration "
+        "fact-free"
     ),
 )
 def pagerank_two_iterations(spark, sf_dir):
@@ -7080,12 +7096,27 @@ def pagerank_two_iterations(spark, sf_dir):
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
+        .persist()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .persist()
+    )
+    # sizing aggregate: executes the (persisted) edge self-join once and
+    # measures the node count the broadcast decision actually depends on
+    n_nodes = deg.count()
+    bcast = (
+        n_nodes * _PAGERANK_BYTES_PER_NODE < PAGERANK_NODE_BCAST_LIMIT_BYTES
+    )
+
+    def nodes(df):
+        return F.broadcast(df) if bcast else df
+
     d15 = F.lit(0.15).cast("double")
     d85 = F.lit(0.85).cast("double")
     pr1 = (
-        e.join(F.broadcast(deg), "src")
+        e.join(nodes(deg), "src")
         .groupBy("dst")
         .agg(
             (d15 + d85 * F.sum(F.lit(1).cast("double") / F.col("deg"))).alias(
@@ -7095,14 +7126,14 @@ def pagerank_two_iterations(spark, sf_dir):
         .withColumnRenamed("dst", "node")
     )
     pr2 = (
-        e.join(F.broadcast(pr1.withColumnRenamed("node", "src")), "src")
-        .join(F.broadcast(deg), "src")
+        e.join(nodes(pr1.withColumnRenamed("node", "src")), "src")
+        .join(nodes(deg), "src")
         .groupBy("dst")
         .agg((d15 + d85 * F.sum(F.col("pr") / F.col("deg"))).alias("pr"))
         .withColumnRenamed("dst", "node")
     )
     return pr2.join(
-        F.broadcast(deg.withColumnRenamed("src", "node")), "node"
+        nodes(deg.withColumnRenamed("src", "node")), "node"
     ).select(
         F.col("node").alias("part_key"),
         F.col("deg").alias("degree"),
