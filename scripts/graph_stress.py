@@ -40,7 +40,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OFFSET = 100_000_000
 
 
-def replicate_lineitem(spark, src: str, dst: str, factor: int) -> int:
+def replicate_lineitem(
+    spark, src: str, dst: str, factor: int, hub_frac: float = 0.0,
+    hub_id: int = 10000,
+) -> int:
     base = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
     out = (
         base.withColumn(
@@ -50,8 +53,66 @@ def replicate_lineitem(spark, src: str, dst: str, factor: int) -> int:
         .withColumn("l_partkey", F.col("l_partkey") + F.col("__r") * OFFSET)
         .drop("__r")
     )
+    if hub_frac > 0:
+        # hub-skew axis: inject ONE part into hub_frac of all orders.  The
+        # hub id must sit mid-id-range: the id-canonical wedge join blows
+        # up at a node with large in-degree x out-degree (wedge CENTER),
+        # and a minimal or maximal id has one of the two at zero.  A
+        # mid-range hub gets ~d/2 in x ~d/2 out => O(d^2/4) wedge pairs in
+        # one task group; degree orientation is immune to id placement.
+        mod = max(1, round(1.0 / hub_frac))
+        hub_rows = (
+            out.filter(F.col("l_orderkey") % mod == 0)
+            .dropDuplicates(["l_orderkey"])
+            .withColumn("l_partkey", F.lit(hub_id).cast("long"))
+        )
+        out = out.unionByName(hub_rows)
     out.write.mode("overwrite").parquet(os.path.join(dst, "lineitem.parquet"))
     return out.count()
+
+
+def naive_triangle_count(spark, sf_dir):
+    """The pre-round-5 id-canonical wedge join (src<dst, no degree
+    orientation) — kept here ONLY as the hub-skew comparator for
+    SCALE.md; the shipped entry uses degree orientation."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    bq = li.alias("b")
+    e = (
+        a.join(
+            bq,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    ex = e.select(F.col("src").alias("xa"), F.col("dst").alias("xb"))
+    ey = e.select(F.col("src").alias("yb"), F.col("dst").alias("yc"))
+    ez = e.select(F.col("src").alias("za"), F.col("dst").alias("zc"))
+    tri = (
+        ex.join(ey, F.col("xb") == F.col("yb"))
+        .join(ez, (F.col("za") == F.col("xa")) & (F.col("zc") == F.col("yc")))
+        .select(
+            F.col("xa").alias("a"),
+            F.col("xb").alias("b"),
+            F.col("yc").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
 
 
 def main() -> int:
@@ -59,6 +120,20 @@ def main() -> int:
     ap.add_argument("--tiers", default="1,3,10")
     ap.add_argument(
         "--entries", default="pagerank_two_iterations,triangle_count_parts"
+    )
+    ap.add_argument(
+        "--hub-frac",
+        type=float,
+        default=0.0,
+        help="inject a hub part into this fraction of orders; also runs "
+        "the naive id-canonical comparator (entry=triangle_naive)",
+    )
+    ap.add_argument(
+        "--hub-id",
+        type=int,
+        default=10000,
+        help="hub part id; mid-id-range is the adversarial placement for "
+        "the id-canonical orientation",
     )
     args = ap.parse_args()
 
@@ -70,10 +145,16 @@ def main() -> int:
         for factor in [int(x) for x in args.tiers.split(",") if x]:
             tmp = tempfile.mkdtemp(prefix=f"{entry}_x{factor}_")
             try:
-                rows_in = replicate_lineitem(spark, SF_DIR, tmp, factor)
+                rows_in = replicate_lineitem(
+                    spark, SF_DIR, tmp, factor,
+                    hub_frac=args.hub_frac, hub_id=args.hub_id,
+                )
                 spark._jvm.System.gc()
                 t0 = time.monotonic()
-                n = REGISTRY[entry].fn(spark, tmp).count()
+                if entry == "triangle_naive":
+                    n = naive_triangle_count(spark, tmp).count()
+                else:
+                    n = REGISTRY[entry].fn(spark, tmp).count()
                 wall = time.monotonic() - t0
                 print(
                     json.dumps(
