@@ -8262,6 +8262,12 @@ def association_rules_brands(spark, sf_dir):
     )
 
 
+# KS packed-CDF base: cohort-b running counts live in the low bits, so the
+# packed path needs n_b < KS_PACK_BASE (and n_a under 2^63/KS_PACK_BASE).
+# Module-level so tests can shrink it to force the two-pass fallback.
+KS_PACK_BASE = 1 << 32
+
+
 @query(
     "ks_test_order_values",
     oracle="""
@@ -8306,8 +8312,16 @@ def association_rules_brands(spark, sf_dir):
         "the value BEFORE the cumsum, so the CDF is evaluated at value "
         "boundaries (the well-defined KS convention).  Plan: one "
         "partial agg on value, the checkpointed range running sum, a "
-        "1-row max — no single-task sort; the 2^32 packing bounds each "
-        "cohort at ~4e9 rows, switch to two passes beyond"
+        "1-row max — no single-task sort.  Bounds (measured, not "
+        "folklore): the packed single-pass path needs n_b < 2^32, "
+        "n_a < 2^31 (packed grand total fits int64) AND — the BINDING "
+        "constraint — n_a*n_b < 2^63 so the numerator cross-products "
+        "stay in int64, i.e. ~3.0e9 per cohort when balanced.  A sizing "
+        "aggregate checks all three up front; beyond them the entry "
+        "AUTOMATICALLY switches to the exact two-pass fallback (one "
+        "running sum per cohort, numerator in decimal(38,0) — exact to "
+        "~1e19 rows per cohort; d_numerator is null if it exceeds "
+        "int64, ks_d always exact-then-rounded-once)"
     ),
 )
 def ks_test_order_values(spark, sf_dir):
@@ -8322,26 +8336,57 @@ def ks_test_order_values(spark, sf_dir):
         .cast("long")
         .alias("cb"),
     )
-    packed = v.withColumn(
-        "packed", F.col("ca") * F.lit(4294967296).cast("long") + F.col("cb")
+    # sizing aggregate: the path choice depends on the cohort totals
+    tot = v.agg(
+        F.sum("ca").cast("long").alias("a"), F.sum("cb").cast("long").alias("b")
+    ).first()
+    n_a = int(tot["a"] or 0)
+    n_b = int(tot["b"] or 0)
+    fits_packed = (
+        n_b < KS_PACK_BASE
+        and n_a < (1 << 63) // KS_PACK_BASE
+        and n_a * n_b < (1 << 63)
     )
-    cum, grand = global_running_sum(packed, ["val"], "packed", "cum_packed")
-    n_a = grand // 4294967296
-    n_b = grand % 4294967296
-    cum = cum.select(
-        F.expr("cum_packed div 4294967296").cast("long").alias("cum_a"),
-        (F.col("cum_packed") % F.lit(4294967296)).cast("long").alias("cum_b"),
-    )
-    d_num = F.max(
-        F.abs(F.col("cum_a") * F.lit(n_b) - F.col("cum_b") * F.lit(n_a))
-    ).cast("long")
+    if fits_packed:
+        packed = v.withColumn(
+            "packed",
+            F.col("ca") * F.lit(KS_PACK_BASE).cast("long") + F.col("cb"),
+        )
+        cum, _ = global_running_sum(packed, ["val"], "packed", "cum_packed")
+        cum = cum.select(
+            F.expr(f"cum_packed div {KS_PACK_BASE}").cast("long").alias(
+                "cum_a"
+            ),
+            (F.col("cum_packed") % F.lit(KS_PACK_BASE))
+            .cast("long")
+            .alias("cum_b"),
+        )
+        d_num = F.max(
+            F.abs(F.col("cum_a") * F.lit(n_b) - F.col("cum_b") * F.lit(n_a))
+        ).cast("long")
+        d_num_dbl = d_num.cast("double")
+    else:
+        # two-pass exact fallback: one pinned running sum per cohort
+        # (second pass re-ranges the already-grouped value table — small),
+        # cross-products in decimal(38,0) so nothing overflows below
+        # ~1e19 rows per cohort
+        cum1, _ = global_running_sum(v, ["val"], "ca", "cum_a")
+        cum, _ = global_running_sum(cum1, ["val"], "cb", "cum_b")
+        dec = "decimal(38,0)"
+        d_dec = F.max(
+            F.abs(
+                F.col("cum_a").cast(dec) * F.lit(n_b).cast(dec)
+                - F.col("cum_b").cast(dec) * F.lit(n_a).cast(dec)
+            )
+        )
+        d_num = d_dec.try_cast("long")
+        d_num_dbl = d_dec.cast("double")
     return cum.agg(
         F.lit(n_a).cast("long").alias("n_a"),
         F.lit(n_b).cast("long").alias("n_b"),
         d_num.alias("d_numerator"),
         (
-            d_num.cast("double")
-            / (F.lit(n_a).cast("double") * F.lit(n_b))
+            d_num_dbl / (F.lit(n_a).cast("double") * F.lit(n_b))
         ).alias("ks_d"),
     )
 

@@ -221,3 +221,35 @@ def test_kaplan_meier_constructed_curve(spark, tmp_path):
     assert out[1]["survival"] == pytest.approx(0.5, abs=1e-9)
     assert out[5]["survival"] == pytest.approx(1 / 3, abs=1e-9)
     assert out[19]["survival"] == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_ks_two_pass_fallback_matches_packed(spark, monkeypatch):
+    # shrink the packing base so the sizing check fails on real sf0.001
+    # cohorts (~750 each > 256) and the exact decimal two-pass fallback
+    # runs; both paths are integer-exact, so every field must match the
+    # packed path bit-for-bit (ks_d is the same exact division)
+    from arthur_redshift_etl_spark import workload
+
+    sf = "/root/testdata/sf0.001"
+    packed = REGISTRY["ks_test_order_values"].fn(spark, sf).collect()[0]
+    monkeypatch.setattr(workload, "KS_PACK_BASE", 256)
+    fallback = REGISTRY["ks_test_order_values"].fn(spark, sf).collect()[0]
+    assert tuple(fallback) == tuple(packed)
+    assert fallback["d_numerator"] > 0  # non-degenerate on real data
+
+
+def test_ks_pack_boundary_condition():
+    # the binding constraint is the numerator product, not the 2^32
+    # packing: balanced cohorts cap at ~3.04e9 (sqrt(2^63)), far below
+    # the 2^32 packing limit on n_b
+    import math
+
+    from arthur_redshift_etl_spark import workload
+
+    base = workload.KS_PACK_BASE
+    balanced_cap = math.isqrt((1 << 63) - 1)
+    assert balanced_cap < base  # product binds before packing when balanced
+    assert balanced_cap == 3037000499
+    # skewed shape where packing binds first: tiny n_b, huge n_a
+    n_a, n_b = (1 << 63) // base, 10
+    assert n_a * n_b < (1 << 63)  # product fine, yet packed grand total not
