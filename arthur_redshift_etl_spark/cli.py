@@ -7,11 +7,14 @@ upgrade, update, unload, validate, run_query, check_constraints, diff,
 explain,
 show_ddl, show_downstream_dependents, show_upstream_dependencies,
 create_schemas, promote_schemas, restore_schemas (commands.py:1461-1474),
+create_external_schemas (commands.py:1374-1398),
 create_index, ls, ping, query_events, summarize_events,
 tail_events (--follow = live-monitor analog, monitor.py:433-575), selftest,
-show_value / show_vars / render_template (commands.py:1891-1944).  AWS-ops
-commands (EMR, Data Pipeline, IAM) are out of scope for a Spark engine
-(stubbed with a clear message).
+show_value / show_vars / render_template (commands.py:1891-1944),
+run_sql_template (commands.py:775-820), list_tags (commands.py:1868-1885),
+terminate_builds (TerminateSessionsCommand analog — job-group cancel of a
+running build, jobcontrol.py).  AWS-ops commands (EMR, Data Pipeline, IAM)
+are out of scope for a Spark engine (stubbed with a clear message).
 
 Usage: ``python -m arthur_redshift_etl_spark.cli <command> [args]`` with
 ``--repo <dir>`` pointing at a design repository (see ``repo.py`` layout).
@@ -124,30 +127,51 @@ def cmd_validate(args) -> int:
 
 
 def cmd_load(args) -> int:
+    from .jobcontrol import BuildGroup, is_cancellation
     from .loader import load_warehouse
 
     spark = _spark(args)
     ctx = _ctx(args, spark)
     required = TableSelector(args.required) if args.required else None
-    load_warehouse(
-        ctx, _relations(args), TableSelector(args.patterns), required_selector=required
-    )
+    with BuildGroup(spark, args.repo, group=args.job_group) as bg:
+        try:
+            load_warehouse(
+                ctx,
+                _relations(args),
+                TableSelector(args.patterns),
+                required_selector=required,
+            )
+        except Exception as exc:
+            if bg.cancelled or is_cancellation(exc):
+                print(f"load cancelled (job group {bg.group})", file=sys.stderr)
+                return 130
+            raise
     print(f"load complete (etl_id={ctx.etl_id})")
     return 0
 
 
 def cmd_upgrade(args) -> int:
+    from .jobcontrol import BuildGroup, is_cancellation
     from .loader import upgrade_warehouse
 
     spark = _spark(args)
     ctx = _ctx(args, spark)
-    failed = upgrade_warehouse(
-        ctx,
-        _relations(args),
-        TableSelector(args.patterns),
-        include_dependents=not args.only_selected,
-        continue_from=args.continue_from,
-    )
+    with BuildGroup(spark, args.repo, group=args.job_group) as bg:
+        try:
+            failed = upgrade_warehouse(
+                ctx,
+                _relations(args),
+                TableSelector(args.patterns),
+                include_dependents=not args.only_selected,
+                continue_from=args.continue_from,
+            )
+        except Exception as exc:
+            if bg.cancelled or is_cancellation(exc):
+                print(
+                    f"upgrade cancelled (job group {bg.group})", file=sys.stderr
+                )
+                return 130
+            raise
     print(f"upgrade complete; {len(failed)} failure(s)")
     return 1 if failed else 0
 
@@ -169,7 +193,16 @@ def cmd_update(args) -> int:
             n = merge_update_table(ctx, rel, delta, keys)
             print(f"merged {rel.identifier}: {n} rows")
         return 0
-    update_warehouse(ctx, _relations(args), TableSelector(args.patterns))
+    from .jobcontrol import BuildGroup, is_cancellation
+
+    with BuildGroup(spark, args.repo, group=args.job_group) as bg:
+        try:
+            update_warehouse(ctx, _relations(args), TableSelector(args.patterns))
+        except Exception as exc:
+            if bg.cancelled or is_cancellation(exc):
+                print(f"update cancelled (job group {bg.group})", file=sys.stderr)
+                return 130
+            raise
     print("update complete")
     return 0
 
@@ -724,6 +757,150 @@ def cmd_render_template(args) -> int:
     return 0
 
 
+def cmd_create_external_schemas(args) -> int:
+    """Attach every configured external schema at its catalog location
+    (reference commands.py:1374-1398 CreateExternalSchemasCommand →
+    data_warehouse.create_external_schemas)."""
+    import fnmatch
+
+    cfg = _config(args)
+    externals = cfg.external_schemas
+    if args.patterns:
+        names = {s.name for s in externals}
+        for pat in args.patterns:
+            if not any(fnmatch.fnmatch(n, pat.lower()) for n in names):
+                print(
+                    f"error: selected schema is not external: {pat}",
+                    file=sys.stderr,
+                )
+                return 2
+        externals = [
+            s
+            for s in externals
+            if any(fnmatch.fnmatch(s.name, p.lower()) for p in args.patterns)
+        ]
+    if not externals:
+        print("no external schemas configured", file=sys.stderr)
+        return 1
+    from .errors import ETLRuntimeError
+    from .loader import attach_external_schema
+
+    spark = _spark(args)
+    ctx = _ctx(args, spark)
+    rc = 0
+    for schema in externals:
+        if not schema.s3_path:
+            print(
+                f"error: external schema {schema.name} has no s3_path",
+                file=sys.stderr,
+            )
+            rc = 1
+            continue
+        try:
+            attached = attach_external_schema(ctx, schema.name, schema.s3_path)
+        except ETLRuntimeError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            rc = 1
+            continue
+        for identifier in attached:
+            print(f"attached {identifier}")
+    return rc
+
+
+def cmd_run_sql_template(args) -> int:
+    """Render a SQL template with settings substitution and EXECUTE it via
+    the dialect shim (reference commands.py:775-820 RunSqlCommand —
+    render_sql + run_statement_with_args + print_result)."""
+    from .config import flatten_vars, render_template
+    from .errors import ETLConfigError
+    from .functions.compat import rewrite_redshift_sql
+
+    tdir = os.path.join(args.repo, "templates")
+    if args.list:
+        names = (
+            sorted(
+                f
+                for f in os.listdir(tdir)
+                if f.endswith(".sql") and not f.startswith(".")
+            )
+            if os.path.isdir(tdir)
+            else []
+        )
+        for name in names:
+            print(name)
+        return 0
+    if args.template is None:
+        print("error: template name required (or --list)", file=sys.stderr)
+        return 2
+    name = args.template
+    if not name.endswith(".sql"):
+        name += ".sql"
+    path = (
+        args.template
+        if os.path.sep in args.template and os.path.exists(args.template)
+        else os.path.join(tdir, name)
+    )
+    if not os.path.exists(path):
+        print(f"error: no such SQL template: {args.template}", file=sys.stderr)
+        return 1
+    with open(path) as fh:
+        text = fh.read()
+    try:
+        rendered = render_template(text, flatten_vars(_config(args)))
+    except ETLConfigError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    spark = _spark(args)
+    df = spark.sql(rewrite_redshift_sql(rendered))
+    print(f"Running template: '{args.template}'")
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_list_tags(args) -> int:
+    """All schema tags in the configuration (reference commands.py:1868-1885
+    ListTagsCommand → config.get_tags)."""
+    from .config import get_tags
+
+    tags = get_tags(_config(args))
+    if tags:
+        print("Tags:\n" + ", ".join(f"'{t}'" for t in tags))
+    else:
+        print("No tags found")
+    return 0
+
+
+def cmd_terminate_builds(args) -> int:
+    """List or cancel registered builds (the warehouse-session kill analog,
+    reference TerminateSessionsCommand): every load/upgrade/update runs
+    under a registered Spark job group; dropping its cancel marker makes
+    the building process cancel that group, interrupting in-flight jobs."""
+    from .jobcontrol import list_builds, request_cancel
+
+    builds = list_builds(args.repo)
+    targets = list(args.groups)
+    if args.all:
+        targets = [b["group"] for b in builds if b["alive"]]
+    if not targets:
+        if not builds:
+            print("no registered builds")
+            return 0
+        for b in builds:
+            state = "running" if b["alive"] else "stale"
+            if b["cancel_requested"]:
+                state += ", cancel requested"
+            print(f"{b['group']}  pid={b['pid']}  [{state}]")
+        return 0
+    rc = 0
+    for group in targets:
+        if request_cancel(args.repo, group):
+            print(f"cancel requested: {group}")
+        else:
+            print(f"error: no such build: {group}", file=sys.stderr)
+            rc = 1
+    return rc
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="arthur-spark", description=__doc__)
     p.add_argument("--repo", default=".", help="design repository root")
@@ -749,12 +926,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--upstream-driver", help="JDBC driver class for --upstream-url")
     sp = add("load", cmd_load)
     sp.add_argument("--required", nargs="*", help="required-for-success patterns")
+    sp.add_argument("--job-group", help="cancellable job-group name "
+                                        "(see terminate_builds)")
     sp = add("upgrade", cmd_upgrade)
     sp.add_argument("--only-selected", action="store_true")
     sp.add_argument("--continue-from")
+    sp.add_argument("--job-group", help="cancellable job-group name")
     sp = add("update", cmd_update)
     sp.add_argument("--merge-delta", help="parquet path of a delta to MERGE")
     sp.add_argument("--merge-keys", default="", help="comma-separated merge keys")
+    sp.add_argument("--job-group", help="cancellable job-group name")
     sp = add("scrub", cmd_scrub)
     sp.add_argument("--requests", required=True,
                     help="parquet path holding the request keys")
@@ -833,6 +1014,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("render_template", cmd_render_template, patterns=False)
     sp.add_argument("template", nargs="?", help="name under <repo>/templates or a path")
     sp.add_argument("-l", "--list", action="store_true", help="list available templates")
+    add("create_external_schemas", cmd_create_external_schemas)
+    sp = add("run_sql_template", cmd_run_sql_template, patterns=False)
+    sp.add_argument("template", nargs="?",
+                    help="SQL template under <repo>/templates or a path")
+    sp.add_argument("-l", "--list", action="store_true",
+                    help="list available SQL templates")
+    sp.add_argument("--limit", type=int, default=50,
+                    help="max result rows to print")
+    add("list_tags", cmd_list_tags, patterns=False)
+    sp = add("terminate_builds", cmd_terminate_builds, patterns=False)
+    sp.add_argument("groups", nargs="*", help="job-group names to cancel "
+                                              "(none: list builds)")
+    sp.add_argument("--all", action="store_true",
+                    help="cancel every live registered build")
     return p
 
 

@@ -46,6 +46,7 @@ class WarehouseSchema:
     unload_target: Optional[str] = None
     data_format: S3DataFormat = field(default_factory=S3DataFormat)
     groups: List[str] = field(default_factory=list)  # reader/writer groups
+    tags: List[str] = field(default_factory=list)  # selection tags (dw.py)
 
     @property
     def is_database_source(self) -> bool:
@@ -53,7 +54,13 @@ class WarehouseSchema:
 
     @property
     def is_static_source(self) -> bool:
-        return self.s3_path is not None and self.read_access is None
+        # an external schema also carries an s3_path (its catalog location,
+        # reference dw.py Spectrum schemas) but is attached, not extracted
+        return (
+            self.s3_path is not None
+            and self.read_access is None
+            and not self.is_external
+        )
 
     @property
     def is_upstream_source(self) -> bool:
@@ -85,6 +92,7 @@ class WarehouseSchema:
             unload_target=d.get("unload_target"),
             data_format=S3DataFormat.from_dict(d.get("data_format", {})),
             groups=list(d.get("groups", [])),
+            tags=[str(t) for t in d.get("tags", [])],
         )
 
 
@@ -118,6 +126,10 @@ class WarehouseConfig:
     @property
     def transformation_schemas(self) -> List[WarehouseSchema]:
         return [s for s in self.schemas if s.is_transformation]
+
+    @property
+    def external_schemas(self) -> List[WarehouseSchema]:
+        return [s for s in self.schemas if s.is_external]
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "WarehouseConfig":
@@ -176,7 +188,17 @@ def flatten_vars(config: "WarehouseConfig") -> Dict[str, str]:
         out[f"{p}.unload_target"] = render(s.unload_target)
         out[f"{p}.data_format"] = s.data_format.format
         out[f"{p}.groups"] = render(s.groups)
+        out[f"{p}.tags"] = render(s.tags)
     return out
+
+
+def get_tags(config: "WarehouseConfig") -> List[str]:
+    """All distinct schema tags, sorted (reference config/__init__.py:148
+    ``get_tags`` — the vocabulary usable in tag-based selection)."""
+    tags: set = set()
+    for s in config.schemas:
+        tags.update(s.tags)
+    return sorted(tags)
 
 
 def show_value(

@@ -102,8 +102,11 @@ class EventStore:
         if self.path:
             if not os.path.exists(self.path):
                 return []
-            with open(self.path) as fh:
-                chunk = fh.read(offset)
+            # binary mode: offset() is a BYTE position (os.path.getsize);
+            # text-mode read(n) counts characters, which drifts from the
+            # byte offset on any non-ASCII event payload
+            with open(self.path, "rb") as fh:
+                chunk = fh.read(offset).decode("utf-8", errors="replace")
             rows = [
                 json.loads(line)
                 for line in chunk.splitlines()
@@ -154,16 +157,20 @@ class EventStore:
                 if os.path.exists(self.path):
                     if os.path.getsize(self.path) < pos:
                         pos = 0  # rotated/truncated underneath the follow
-                    with open(self.path) as fh:
+                    # binary mode: pos is a byte offset; text-mode seek to
+                    # an arbitrary offset is undefined and read() would
+                    # count characters, breaking the no-gap/no-duplicate
+                    # handoff from tail_at on non-ASCII payloads
+                    with open(self.path, "rb") as fh:
                         fh.seek(pos)
                         chunk = fh.read()
-                    last_nl = chunk.rfind("\n")
+                    last_nl = chunk.rfind(b"\n")
                     if last_nl >= 0:
-                        for line in chunk[:last_nl].splitlines():
+                        for line in chunk[:last_nl].split(b"\n"):
                             if not line.strip():
                                 continue
                             try:
-                                yield json.loads(line)
+                                yield json.loads(line.decode("utf-8"))
                             except ValueError:
                                 # a same-size rotation can leave the offset
                                 # mid-line; skip the fragment rather than

@@ -1,0 +1,176 @@
+"""Round-5 CLI verbs: terminate_builds (job-group cancel), list_tags,
+create_external_schemas, run_sql_template — reference commands.py parity
+(TerminateSessionsCommand, ListTagsCommand, CreateExternalSchemasCommand,
+RunSqlCommand)."""
+
+import os
+import threading
+import time
+
+from arthur_redshift_etl_spark.cli import main
+from arthur_redshift_etl_spark.config import WarehouseConfig, get_tags
+from arthur_redshift_etl_spark.jobcontrol import (
+    BuildGroup,
+    is_cancellation,
+    list_builds,
+    request_cancel,
+)
+
+
+def test_build_group_cancel_interrupts_inflight_job(spark, tmp_path):
+    repo = str(tmp_path)
+    result = {}
+
+    def slow_build():
+        with BuildGroup(spark, repo, group="g1", poll_seconds=0.05) as bg:
+            try:
+                # ~1e12 rows across 8 fat partitions: minutes of work if
+                # the cancel does not interrupt the running tasks
+                spark.range(0, 1 << 40, 1, 8).selectExpr(
+                    "sum(id * id) AS s"
+                ).collect()
+                result["finished"] = True
+            except Exception as exc:
+                result["exc"] = exc
+                result["bg_cancelled"] = bg.cancelled
+
+    th = threading.Thread(target=slow_build)
+    t0 = time.monotonic()
+    th.start()
+    deadline = t0 + 30
+    while not list_builds(repo) and time.monotonic() < deadline:
+        time.sleep(0.05)
+    builds = list_builds(repo)
+    assert builds and builds[0]["group"] == "g1" and builds[0]["alive"]
+    # wait until the slow job is actually submitted so the cancel exercises
+    # the interrupt-in-flight path, not just the pre-submission race (the
+    # watcher re-cancels each poll, so either way the build must die)
+    tracker = spark.sparkContext.statusTracker()
+    while not tracker.getActiveJobsIds() and time.monotonic() < deadline:
+        time.sleep(0.05)
+
+    assert request_cancel(repo, "g1") is True
+    th.join(timeout=60)
+    assert not th.is_alive(), "cancel did not interrupt the running job"
+    assert "finished" not in result
+    assert result["bg_cancelled"] is True
+    assert is_cancellation(result["exc"])
+    # registration + marker cleaned up on exit
+    assert list_builds(repo) == []
+    # the session stays usable for the next build
+    assert spark.range(3).count() == 3
+
+
+def test_request_cancel_unknown_group(tmp_path):
+    assert request_cancel(str(tmp_path), "nope") is False
+
+
+def test_terminate_builds_cli_listing_and_errors(tmp_path, capsys):
+    repo = str(tmp_path)
+    assert main(["--repo", repo, "terminate_builds"]) == 0
+    assert "no registered builds" in capsys.readouterr().out
+    assert main(["--repo", repo, "terminate_builds", "ghost"]) == 1
+    assert "no such build" in capsys.readouterr().err
+
+
+def _write_config(repo, text):
+    os.makedirs(repo, exist_ok=True)
+    with open(os.path.join(repo, "config.yaml"), "w") as fh:
+        fh.write(text)
+
+
+def test_list_tags_cli(tmp_path, capsys):
+    repo = str(tmp_path)
+    _write_config(
+        repo,
+        """
+schemas:
+  - name: src
+    read_access: SRC_DSN
+    tags: [sources, nightly]
+  - name: dw
+    tags: [nightly, marts]
+  - name: bare
+""",
+    )
+    cfg = WarehouseConfig.load(os.path.join(repo, "config.yaml"))
+    assert get_tags(cfg) == ["marts", "nightly", "sources"]
+    assert main(["--repo", repo, "list_tags"]) == 0
+    out = capsys.readouterr().out
+    assert "'marts', 'nightly', 'sources'" in out
+
+    _write_config(repo, "schemas:\n  - name: only\n")
+    assert main(["--repo", repo, "list_tags"]) == 0
+    assert "No tags found" in capsys.readouterr().out
+
+
+def test_external_schema_classification():
+    cfg = WarehouseConfig.from_dict(
+        {
+            "schemas": [
+                {"name": "lake", "external": True, "s3_path": "/data/lake"},
+                {"name": "static", "s3_path": "/data/static"},
+            ]
+        }
+    )
+    lake, static = cfg.schemas
+    assert lake.kind == "external" and not lake.is_static_source
+    assert static.kind == "static_source"
+    assert [s.name for s in cfg.external_schemas] == ["lake"]
+
+
+def test_create_external_schemas_cli_e2e(spark, tmp_path, capsys):
+    repo = str(tmp_path / "repo")
+    base = str(tmp_path / "lakehouse")
+    for tname, n in (("t1", 4), ("t2", 7)):
+        spark.range(n).write.parquet(os.path.join(base, tname))
+    _write_config(
+        repo,
+        f"""
+schemas:
+  - name: extlake
+    external: true
+    s3_path: {base}
+""",
+    )
+    assert main(["--repo", repo, "create_external_schemas"]) == 0
+    out = capsys.readouterr().out
+    assert "attached extlake.t1" in out and "attached extlake.t2" in out
+    assert spark.table("extlake.t2").count() == 7
+    spark.sql("DROP DATABASE extlake CASCADE")
+
+    # pattern that matches nothing external is a usage error
+    assert main(["--repo", repo, "create_external_schemas", "nope*"]) == 2
+    assert "not external" in capsys.readouterr().err
+
+    # missing location is a config error
+    _write_config(repo, "schemas:\n  - name: noloc\n    external: true\n")
+    assert main(["--repo", repo, "create_external_schemas"]) == 1
+    assert "no s3_path" in capsys.readouterr().err
+
+
+def test_run_sql_template_cli_e2e(spark, tmp_path, capsys):
+    repo = str(tmp_path / "repo")
+    data = str(tmp_path / "data")
+    spark.range(5).selectExpr("id AS k", "id * 10 AS v").write.parquet(
+        os.path.join(data, "facts")
+    )
+    os.makedirs(os.path.join(repo, "templates"), exist_ok=True)
+    # substitution + a Redshift-dialect function the shim must rewrite
+    with open(os.path.join(repo, "templates", "fact_summary.sql"), "w") as fh:
+        fh.write(
+            "SELECT COUNT(*) AS n, NVL(SUM(v), 0) AS total\n"
+            "FROM parquet.`${settings.data_dir}/facts`\n"
+        )
+    _write_config(repo, f"settings:\n  data_dir: {data}\n")
+
+    assert main(["--repo", repo, "run_sql_template", "--list"]) == 0
+    assert "fact_summary.sql" in capsys.readouterr().out
+
+    assert main(["--repo", repo, "run_sql_template", "fact_summary"]) == 0
+    out = capsys.readouterr().out
+    assert "Running template: 'fact_summary'" in out
+    assert "100" in out  # sum(0..4)*10
+
+    assert main(["--repo", repo, "run_sql_template", "missing"]) == 1
+    assert "no such SQL template" in capsys.readouterr().err

@@ -310,3 +310,26 @@ def test_tail_at_snapshot_excludes_later_appends(tmp_path):
         for e in store.follow(poll_interval=0.05, timeout=0.3, from_offset=offset)
     ]
     assert seen == ["three"]
+
+
+def test_tail_follow_byte_offsets_with_non_ascii_payloads(tmp_path):
+    """Offsets are BYTE positions, so multi-byte UTF-8 payloads (e.g. a
+    target named in another script, written by an external producer
+    without ASCII escaping) must not shift the tail/follow handoff."""
+    path = str(tmp_path / "events.jsonl")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write('{"event": "début", "target": "sché.ma"}\n')
+        fh.write('{"event": "中間", "target": "a.t"}\n')
+    store = EventStore(path)
+    offset = store.offset()
+    assert offset == os.path.getsize(path)
+    rows = store.tail_at(offset, 10)
+    assert [r["event"] for r in rows] == ["début", "中間"]
+    # append a third after the snapshot: exactly-once handoff must hold
+    with open(path, "a", encoding="utf-8") as fh:
+        fh.write('{"event": "après"}\n')
+    seen = [
+        e["event"]
+        for e in store.follow(poll_interval=0.05, timeout=0.3, from_offset=offset)
+    ]
+    assert seen == ["après"]
