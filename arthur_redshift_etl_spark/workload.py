@@ -8420,6 +8420,334 @@ def association_rules_brands(spark, sf_dir):
     )
 
 
+@query(
+    "mannwhitney_order_values",
+    oracle="""
+    WITH v AS (
+      SELECT o_totalprice AS val,
+             CAST(SUM(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM orders GROUP BY o_totalprice
+    ),
+    cum AS (
+      SELECT ca, t,
+             CAST(SUM(t) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_t
+      FROM v
+    ),
+    s AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             SUM(CAST(ca AS HUGEINT)
+                 * CAST(2 * (cum_t - t) + t + 1 AS HUGEINT)) AS two_r_a,
+             SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+                 - CAST(t AS HUGEINT)) AS tie_cubes,
+             CAST(SUM(t) AS BIGINT) AS n
+      FROM cum
+    )
+    SELECT n_a,
+           CAST(n - n_a AS BIGINT) AS n_b,
+           CAST(two_r_a - CAST(n_a AS HUGEINT) * CAST(n_a + 1 AS HUGEINT)
+                AS BIGINT) AS two_u_a,
+           (CAST(two_r_a - CAST(n_a AS HUGEINT) * CAST(n_a + 1 AS HUGEINT)
+                 AS DOUBLE)
+            - CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE))
+           / (CAST(2 AS DOUBLE) * sqrt(
+               CAST(n_a AS DOUBLE) * CAST(n - n_a AS DOUBLE)
+               / CAST(12 AS DOUBLE)
+               * (CAST(n + 1 AS DOUBLE)
+                  - CAST(tie_cubes AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))))
+             AS z
+    FROM s
+    """,
+    description=(
+        "two-sample Mann-Whitney U (Wilcoxon rank-sum) z-test between the "
+        "custkey-parity order-value cohorts, with midranks for ties and "
+        "the tie-corrected normal-approximation variance — the "
+        "distribution-free location test (does cohort A tend to larger "
+        "values?) that pairs with the KS shape test.  FULLY integer-exact "
+        "core: grouping on the value gives per-group (cohort-A count, "
+        "total t); ONE pinned running sum over t yields each group's "
+        "preceding-count, so 2*midrank = 2*cum_before + t + 1 stays "
+        "integral; 2R_A, 2U_A and the tie term sum(t^3 - t) accumulate in "
+        "decimal(38,0) (no overflow below ~1e18 rows), and the only "
+        "doubles are the final z-expression's exact-int conversions — "
+        "deterministic cross-engine.  Plan: one partial agg on value, the "
+        "checkpointed range running sum, a 1-row aggregate"
+    ),
+)
+def mannwhitney_order_values(spark, sf_dir):
+    from .operators.identity import global_running_sum
+
+    orders = t(spark, sf_dir, "orders")
+    v = orders.groupBy(F.col("o_totalprice").alias("val")).agg(
+        F.sum(F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    )
+    cum, n = global_running_sum(v, ["val"], "t", "cum_t")
+    dec = "decimal(38,0)"
+    s = cum.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum(
+            F.col("ca").cast(dec)
+            * (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1).cast(dec)
+        ).alias("two_r_a"),
+        F.sum(
+            F.col("t").cast(dec) * F.col("t").cast(dec) * F.col("t").cast(dec)
+            - F.col("t").cast(dec)
+        ).alias("tie_cubes"),
+    )
+    nl = F.lit(n).cast("long")
+    n_b = (nl - F.col("n_a")).cast("long")
+    two_u = F.col("two_r_a") - F.col("n_a").cast(dec) * (
+        F.col("n_a") + 1
+    ).cast(dec)
+    z = (
+        two_u.cast("double")
+        - F.col("n_a").cast("double") * n_b.cast("double")
+    ) / (
+        F.lit(2).cast("double")
+        * F.sqrt(
+            F.col("n_a").cast("double")
+            * n_b.cast("double")
+            / F.lit(12).cast("double")
+            * (
+                (nl + 1).cast("double")
+                - F.col("tie_cubes").cast("double")
+                / (nl.cast("double") * (nl - 1).cast("double"))
+            )
+        )
+    )
+    return s.select(
+        F.col("n_a"),
+        n_b.alias("n_b"),
+        two_u.cast("long").alias("two_u_a"),
+        z.alias("z"),
+    )
+
+
+@query(
+    "chi_square_priority_status",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS pr, o_orderstatus AS st,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT pr, st, n,
+             CAST(SUM(n) OVER (PARTITION BY pr) AS BIGINT) AS r,
+             CAST(SUM(n) OVER (PARTITION BY st) AS BIGINT) AS c,
+             CAST(SUM(n) OVER () AS BIGINT) AS nn
+      FROM cells
+    ),
+    q AS (
+      SELECT nn, pr, st,
+             CAST(floor(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+                        * 1e12) AS BIGINT) AS qq
+      FROM w
+    ),
+    agg AS (
+      SELECT MAX(nn) AS n, CAST(SUM(qq) AS BIGINT) AS sq,
+             CAST(COUNT(DISTINCT pr) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT st) AS BIGINT) AS nc
+      FROM q
+    )
+    SELECT n,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           CAST(sq AS DOUBLE) / 1e12 * CAST(n AS DOUBLE)
+             - CAST(n AS DOUBLE) AS chi2,
+           sqrt(GREATEST(CAST(0 AS DOUBLE),
+                         CAST(sq AS DOUBLE) / 1e12 * CAST(n AS DOUBLE)
+                         - CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE)
+                   * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE))) AS cramers_v
+    FROM agg
+    """,
+    description=(
+        "chi-square test of independence + Cramer's V over the "
+        "(order priority x order status) contingency table — the "
+        "categorical-association test completing the statistical family "
+        "(KS for shape, Mann-Whitney for location, chi-square for "
+        "categorical dependence).  Uses the algebraic identity "
+        "chi2 = N(sum n_ij^2/(r_i c_j) - 1) so no expected-count "
+        "subtraction per cell; each term is a deterministic double on "
+        "exact integers floor-quantized to 1e-12 units and summed as "
+        "integers (the defined statistic — quantization error is "
+        "deterministic and identical cross-engine, the established "
+        "fixed-point pattern).  Plan: ONE partial-agg shuffle on the "
+        "(priority,status) cells; marginals and N are whole-set window "
+        "sums over the <=15-row cell table (bounded by the category "
+        "domains, never by SF) — no 1-row crossjoins, no second scan"
+    ),
+)
+def chi_square_priority_status(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        cells.withColumn(
+            "r", F.sum("n").over(Window.partitionBy("pr")).cast("long")
+        )
+        .withColumn(
+            "c", F.sum("n").over(Window.partitionBy("st")).cast("long")
+        )
+        .withColumn("nn", F.sum("n").over(Window.partitionBy()).cast("long"))
+    )
+    q = w.select(
+        "nn",
+        "pr",
+        "st",
+        F.floor(
+            F.col("n").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("r").cast("double") * F.col("c").cast("double"))
+            * F.lit(1e12)
+        )
+        .cast("long")
+        .alias("qq"),
+    )
+    agg = q.agg(
+        F.max("nn").alias("n"),
+        F.sum("qq").cast("long").alias("sq"),
+        F.count_distinct("pr").cast("long").alias("nr"),
+        F.count_distinct("st").cast("long").alias("nc"),
+    )
+    nd = F.col("n").cast("double")
+    chi2 = F.col("sq").cast("double") / F.lit(1e12) * nd - nd
+    return agg.select(
+        F.col("n"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        chi2.alias("chi2"),
+        # clamp: the 1e-12 floor-quantization can leave chi2 a hair below
+        # zero under perfect independence — sqrt must not go NaN
+        F.sqrt(
+            F.greatest(F.lit(0.0), chi2)
+            / (nd * F.least(F.col("nr") - 1, F.col("nc") - 1).cast("double"))
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "seasonal_decompose_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS day_number,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    ma AS (
+      SELECT day_number, cents,
+             CAST(day_number % 7 AS BIGINT) AS dow,
+             CAST(SUM(cents) OVER (ORDER BY day_number
+                                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS trend_c7,
+             CAST(COUNT(*) OVER (ORDER BY day_number
+                                 RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                  AS BIGINT) AS k7
+      FROM daily
+    ),
+    det AS (
+      SELECT *, CASE WHEN k7 = 7 THEN 7 * cents - trend_c7 END AS detr7
+      FROM ma
+    ),
+    seas AS (
+      SELECT *,
+             CAST(SUM(CASE WHEN k7 = 7 THEN detr7 END)
+                  OVER (PARTITION BY dow) AS BIGINT) AS ssum,
+             CAST(COUNT(CASE WHEN k7 = 7 THEN 1 END)
+                  OVER (PARTITION BY dow) AS BIGINT) AS scount
+      FROM det
+    )
+    SELECT day_number, dow,
+           CAST(cents AS DOUBLE) / 100.0 AS y,
+           CASE WHEN k7 = 7
+                THEN CAST(trend_c7 AS DOUBLE) / 700.0 END AS trend,
+           CAST(ssum AS DOUBLE) / (700.0 * CAST(scount AS DOUBLE))
+             AS seasonal,
+           CASE WHEN k7 = 7
+                THEN CAST(cents AS DOUBLE) / 100.0
+                     - CAST(trend_c7 AS DOUBLE) / 700.0
+                     - CAST(ssum AS DOUBLE)
+                       / (700.0 * CAST(scount AS DOUBLE)) END AS resid
+    FROM seas
+    """,
+    description=(
+        "classical additive seasonal decomposition of daily revenue: "
+        "trend = centered 7-day moving average (RANGE frame on the day "
+        "number, so calendar gaps shrink the frame and are excluded via "
+        "the full-window k7=7 guard instead of silently averaging 6 "
+        "days), seasonal = per-day-of-week mean of the detrended series, "
+        "residual = y - trend - seasonal — the trend/seasonality/anomaly "
+        "split behind every ops dashboard, complementing the "
+        "anomaly-zscore and autocorrelation entries.  Integer-exact "
+        "core: revenue in exact cents, the detrended series kept as "
+        "7*cents - trend_c7 (integral, unit cents/7), seasonal sums "
+        "integral per dow; doubles appear only in the final single "
+        "divisions, so cross-engine parity is exact-then-rounded-once.  "
+        "Plan: one fact-sized partial agg to the ~2400-row day table; "
+        "all windows run on that bounded table (documented bounded "
+        "whole-set windows, never fact-sized)"
+    ),
+)
+def seasonal_decompose_daily_revenue(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_number")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    wma = Window.orderBy("day_number").rangeBetween(-3, 3)
+    ma = daily.select(
+        "day_number",
+        "cents",
+        (F.col("day_number") % 7).cast("long").alias("dow"),
+        F.sum("cents").over(wma).cast("long").alias("trend_c7"),
+        F.count(F.lit(1)).over(wma).cast("long").alias("k7"),
+    )
+    det = ma.withColumn(
+        "detr7",
+        F.when(F.col("k7") == 7, 7 * F.col("cents") - F.col("trend_c7")),
+    )
+    wdow = Window.partitionBy("dow")
+    seas = det.withColumn(
+        "ssum",
+        F.sum(F.when(F.col("k7") == 7, F.col("detr7")))
+        .over(wdow)
+        .cast("long"),
+    ).withColumn(
+        "scount",
+        F.count(F.when(F.col("k7") == 7, F.lit(1))).over(wdow).cast("long"),
+    )
+    y = F.col("cents").cast("double") / F.lit(100.0)
+    trend = F.col("trend_c7").cast("double") / F.lit(700.0)
+    seasonal = F.col("ssum").cast("double") / (
+        F.lit(700.0) * F.col("scount").cast("double")
+    )
+    return seas.select(
+        "day_number",
+        "dow",
+        y.alias("y"),
+        F.when(F.col("k7") == 7, trend).alias("trend"),
+        seasonal.alias("seasonal"),
+        F.when(F.col("k7") == 7, y - trend - seasonal).alias("resid"),
+    )
+
+
 # KS packed-CDF base: cohort-b running counts live in the low bits, so the
 # packed path needs n_b < KS_PACK_BASE (and n_a under 2^63/KS_PACK_BASE).
 # Module-level so tests can shrink it to force the two-pass fallback.

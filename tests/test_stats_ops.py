@@ -253,3 +253,87 @@ def test_ks_pack_boundary_condition():
     # skewed shape where packing binds first: tiny n_b, huge n_a
     n_a, n_b = (1 << 63) // base, 10
     assert n_a * n_b < (1 << 63)  # product fine, yet packed grand total not
+
+
+def test_mannwhitney_disjoint_cohorts(spark, tmp_path):
+    # A = {1,2,3} (even custkeys), B = {4,5,6}: U_A = 0 and the
+    # closed-form z = -9 / (2*sqrt(9/12*7)) = -1.96396...
+    rows = [(i, 2, "O", float(v), datetime.date(2024, 1, 1), "p")
+            for i, v in enumerate((1, 2, 3))]
+    rows += [(10 + i, 3, "O", float(v), datetime.date(2024, 1, 1), "p")
+             for i, v in enumerate((4, 5, 6))]
+    sf = _write(spark, tmp_path, "orders", rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate date, o_orderpriority string")
+    out = REGISTRY["mannwhitney_order_values"].fn(spark, sf).collect()[0]
+    assert out["n_a"] == 3 and out["n_b"] == 3
+    assert out["two_u_a"] == 0
+    import math
+
+    assert abs(out["z"] - (-9 / (2 * math.sqrt(9 / 12 * 7)))) < 1e-12
+
+
+def test_mannwhitney_all_tied_is_degenerate_center(spark, tmp_path):
+    # every value identical: midranks put 2U_A exactly at its mean
+    # n_a*n_b and the tie-corrected variance collapses to zero — SQL
+    # division by zero is NULL in both engines, so z is NULL
+    rows = [(i, i % 2 + 2, "O", 42.0, datetime.date(2024, 1, 1), "p")
+            for i in range(8)]
+    sf = _write(spark, tmp_path, "orders", rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate date, o_orderpriority string")
+    out = REGISTRY["mannwhitney_order_values"].fn(spark, sf).collect()[0]
+    assert out["two_u_a"] == out["n_a"] * out["n_b"]
+    assert out["z"] is None
+
+
+def test_chi_square_perfect_independence(spark, tmp_path):
+    # n_ij = r_i * c_j / N exactly -> chi2 ~ 0 (within quantization), V ~ 0
+    rows = []
+    k = 0
+    for pr, rmult in (("1-URGENT", 1), ("2-HIGH", 2)):
+        for st, cmult in (("O", 1), ("F", 3)):
+            for _ in range(10 * rmult * cmult):
+                rows.append((k, 1, st, 1.0, datetime.date(2024, 1, 1), pr))
+                k += 1
+    sf = _write(spark, tmp_path, "orders", rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate date, o_orderpriority string")
+    out = REGISTRY["chi_square_priority_status"].fn(spark, sf).collect()[0]
+    assert out["n"] == k and out["dof"] == 1
+    assert abs(out["chi2"]) < 1e-6
+    assert out["cramers_v"] < 1e-3
+
+
+def test_chi_square_perfect_association(spark, tmp_path):
+    # priority fully determines status -> V = 1, chi2 = N * min(R-1, C-1)
+    rows = []
+    k = 0
+    for pr, st in (("1-URGENT", "O"), ("2-HIGH", "F")):
+        for _ in range(25):
+            rows.append((k, 1, st, 1.0, datetime.date(2024, 1, 1), pr))
+            k += 1
+    sf = _write(spark, tmp_path, "orders", rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate date, o_orderpriority string")
+    out = REGISTRY["chi_square_priority_status"].fn(spark, sf).collect()[0]
+    assert abs(out["chi2"] - 50.0) < 1e-6
+    assert abs(out["cramers_v"] - 1.0) < 1e-9
+
+
+def test_seasonal_decompose_constant_series(spark, tmp_path):
+    # constant daily revenue: trend = y, seasonal = 0, resid = 0 on every
+    # full-window day; edge days have NULL trend/resid
+    rows = [(d, 1, "O", 100.0, datetime.date(2024, 1, 1)
+             + datetime.timedelta(days=d), "p") for d in range(21)]
+    sf = _write(spark, tmp_path, "orders", rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_totalprice double, o_orderdate date, o_orderpriority string")
+    out = REGISTRY["seasonal_decompose_daily_revenue"].fn(spark, sf).collect()
+    assert len(out) == 21
+    full = [r for r in out if r["trend"] is not None]
+    assert len(full) == 15  # 3 edge days on each side excluded
+    for r in full:
+        assert abs(r["trend"] - 100.0) < 1e-9
+        assert abs(r["seasonal"]) < 1e-9
+        assert abs(r["resid"]) < 1e-9
