@@ -7910,12 +7910,18 @@ def triangle_count_parts(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
         .select("src", "dst")
+        .persist()
     )
+    # e feeds the degree table, the orientation join, and (via deg) three
+    # consumers — persist both so the fact-sized self-join runs once and
+    # the plan scans the materialized thinned tables instead of cloning
+    # the whole upstream subtree per consumer
     deg = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .persist()
     )
     # degree orientation: re-point every edge from its lower-(degree,id)
     # endpoint to the higher one.  Out-degree is then <= sqrt(2m) for
@@ -7932,7 +7938,7 @@ def triangle_count_parts(spark, sf_dir):
         F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
         F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
         F.when(src_first, F.col("ddst")).otherwise(F.col("dsrc")).alias("dhi"),
-    )
+    ).persist()  # three consumers: both wedge sides + the closure probe
     o1 = o.select(
         F.col("lo"), F.col("hi").alias("h1"), F.col("dhi").alias("dh1")
     )
