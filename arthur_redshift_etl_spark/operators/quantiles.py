@@ -164,3 +164,46 @@ def kll_quantiles(
                 break
         out.append(ans)
     return out
+
+
+def kll_merge_rows(
+    rows: "Sequence[tuple[float, int]]", capacity: int = 256
+) -> "list[tuple[float, int]]":
+    """Merge (value, weight) sketch rows into ONE compacted KLL sketch.
+
+    The mergeability half of the KLL contract made explicit: items of
+    weight 2^i re-enter the level structure at level i and compaction
+    proceeds exactly as in :func:`kll_partition_sketches`, so a sketch
+    table that grew by UNION (across partitions, batches, or days)
+    collapses back to <= capacity * levels rows while each compaction of
+    a weight-w buffer still perturbs any rank by <= w.  Deterministic:
+    ingestion order is sorted (level, value), keeps are even-index.
+
+    Weights must be powers of two — the only weights this sketch family
+    ever emits; anything else means the rows are not ours.
+    """
+    if capacity < 2 or capacity % 2:
+        raise ValueError(f"capacity must be an even integer >= 2, got {capacity}")
+    items = []
+    for v, w in rows:
+        w = int(w)
+        if w <= 0 or (w & (w - 1)) != 0:
+            raise ValueError(f"sketch weight {w} is not a power of two")
+        items.append((w.bit_length() - 1, float(v)))
+    items.sort()
+    levels: "list[list[float]]" = [[]]
+    for lvl, v in items:
+        while len(levels) <= lvl:
+            levels.append([])
+        levels[lvl].append(v)
+        i = lvl
+        while i < len(levels) and len(levels[i]) >= capacity:
+            buf = sorted(levels[i])
+            if i + 1 == len(levels):
+                levels.append([])
+            levels[i + 1].extend(buf[1::2])  # deterministic: keep odd idx
+            levels[i] = []
+            i += 1
+    return [
+        (v, 1 << i) for i, buf in enumerate(levels) for v in buf
+    ]

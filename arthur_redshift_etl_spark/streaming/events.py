@@ -402,6 +402,61 @@ def cms_rollup_stream(
     )
 
 
+def kll_rollup_stream(
+    events: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    capacity: int = 256,
+) -> "StreamingQuery":
+    """Continuously maintain a bounded QUANTILE-sketch table from a stream.
+
+    The percentile face of the sketch maintainers (HLL = distinct, CMS =
+    frequency, this = p50/p99): each micro-batch runs the map-only
+    per-partition KLL pass over its own rows, and the batch's sketch rows
+    merge into the persisted table via ``quantiles.kll_merge_rows`` — the
+    level-respecting KLL merge, so the stored state stays
+    <= capacity * log2(n/capacity) rows over ANY stream length while
+    rank error stays O(n log(n/capacity) / capacity).  Both sides of the
+    merge are metadata-scale (that is the point of a sketch), so the
+    driver-side merge is bounded like ``kll_quantiles``'s own walk.
+    Estimates at query time: ``kll_quantiles(spark.read.parquet(target))``.
+    Exactly-once via the committed-batch-id marker: re-adding a replayed
+    batch would double its rank mass (additive, like CMS, unlike HLL's
+    idempotent MAX).
+    """
+    from ..operators import quantiles as qt
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        committed = _committed_batch_id(target_path)
+        if committed is not None and batch_id <= committed:
+            return  # additive mass — a replayed batch must not re-enter
+        partial = qt.kll_partition_sketches(
+            batch_df.select(F.col(value_col).cast("double").alias("v")),
+            "v",
+            capacity,
+        )
+        rows = [(r["value"], r["weight"]) for r in partial.collect()]
+        import os
+
+        if os.path.exists(target_path):
+            rows += [
+                (r["value"], r["weight"])
+                for r in spark.read.parquet(target_path).collect()
+            ]
+        merged = qt.kll_merge_rows(rows, capacity)
+        result = spark.createDataFrame(merged, "value double, weight long")
+        _swap_with_marker(result, target_path, batch_id)
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def reference_histogram(
     df: DataFrame, value_col: str = "value", bins: int = 16
 ) -> dict:

@@ -2565,6 +2565,108 @@ def dedup_connected_components(spark, sf_dir):
     return connected_components(nodes, edges)
 
 
+_DEDUP_CC_CTES = """
+    WITH RECURSIVE toks AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tokens) - 1),
+                      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+                 AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT ta.doc_id AS id_a, tb.doc_id AS id_b
+      FROM toks ta JOIN toks tb
+        ON ta.shingle = tb.shingle AND ta.doc_id < tb.doc_id
+    ),
+    inter AS (
+      SELECT id_a, id_b, COUNT(*) AS inter_size
+      FROM cand
+      JOIN toks ta ON ta.doc_id = id_a
+      JOIN toks tb ON tb.doc_id = id_b AND tb.shingle = ta.shingle
+      GROUP BY id_a, id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               CAST(inter_size AS DOUBLE)
+                 / CAST(sa.set_size + sb.set_size - inter_size AS DOUBLE)
+                 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      ) WHERE jaccard >= 0.5
+    ),
+    bidir AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, reach.r FROM bidir e JOIN reach ON e.b = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+"""
+
+
+@query(
+    "dedup_keep_best_in_cluster",
+    oracle=_DEDUP_CC_CTES
+    + """
+    , nt AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT comp.node AS doc_id, comp.component, nt.n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY comp.component
+                              ORDER BY nt.n_tokens DESC, comp.node ASC) = 1
+             AS keep
+    FROM comp JOIN nt ON nt.doc_id = comp.node
+    """,
+    description=(
+        "duplicate-cluster representative selection — the decision step "
+        "that turns dedup clustering into an actual corpus edit: within "
+        "each near-duplicate connected component keep the single best "
+        "document (most tokens, ties to the lowest doc_id — a "
+        "deterministic integer criterion) and mark the rest for drop.  "
+        "This is the 'keep best, not keep first' policy real training "
+        "pipelines want: keep-first discards the longer/cleaner copy "
+        "whenever it has the higher id.  Plan: the banded candidate join "
+        "and hash-min components are the shipped operators; the selection "
+        "adds one n_tokens map and one window argmax keyed by component "
+        "(duplicate clusters are small by construction, so the per-key "
+        "window is bounded — no skew hazard)"
+    ),
+)
+def dedup_keep_best_in_cluster(spark, sf_dir):
+    from .operators.clustering import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_join(docs, "doc_id", "text", threshold=0.5)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(nodes, edges)
+    nt = docs.select(
+        F.col("doc_id"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    joined = comp.join(nt, comp["node"] == nt["doc_id"]).select(
+        nt["doc_id"], comp["component"], nt["n_tokens"]
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return joined.select(
+        "doc_id",
+        "component",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 # ===========================================================================
 # Analytics widening: pivot, ntile bucketing, funnel, SCD2 intervals,
 # first-touch attribution, histogram, grouping sets, per-group top-n,

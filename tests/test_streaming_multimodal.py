@@ -475,3 +475,49 @@ def test_drift_monitor_stream_flags_shift_and_skips_replay(
     assert len(bad) >= 1
     assert all(r["drifted"] for r in bad)
     assert all(r["tvd"] > 0.5 for r in bad)
+
+
+def test_kll_rollup_stream_bounded_state_and_rank_error(spark, event_dir, tmp_path):
+    """Streamed KLL quantile table: micro-batch sketches merged via the
+    level-respecting KLL merge — total rank mass equals the row count
+    exactly, state stays bounded, and estimates stay within the rank
+    error bound against exact ranks over the full history."""
+    import math
+
+    from arthur_redshift_etl_spark.operators import quantiles as qt
+    from arthur_redshift_etl_spark.streaming.events import (
+        kll_rollup_stream,
+        read_event_stream,
+    )
+
+    target = str(tmp_path / "kll-table")
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    q = kll_rollup_stream(stream, target, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    state = spark.read.parquet(target)
+    batch = load_table(spark, SF, "events").select(
+        F.col("value").cast("double").alias("v")
+    ).filter(F.col("v").isNotNull())
+    n = batch.count()
+    # mass conservation: the merge never loses or duplicates an item
+    assert state.agg(F.sum("weight")).collect()[0][0] == n
+    # bounded state regardless of how many batches streamed in
+    levels = max(1, int(math.log2(max(2, n // 256))) + 2)
+    assert state.count() <= 256 * levels
+    # rank error of the streamed estimates vs exact ranks (merge adds
+    # compactions over the single-pass bound; 3% is the tested envelope)
+    for p, est in zip([0.5, 0.99], qt.kll_quantiles(state, [0.5, 0.99])):
+        rank = batch.filter(F.col("v") <= est).count()
+        assert abs(rank - p * n) <= 0.03 * n, (p, est, rank, n)
+
+
+def test_kll_merge_rows_rejects_foreign_weights():
+    import pytest as _pytest
+
+    from arthur_redshift_etl_spark.operators.quantiles import kll_merge_rows
+
+    with _pytest.raises(ValueError):
+        kll_merge_rows([(1.0, 3)], 4)
+    with _pytest.raises(ValueError):
+        kll_merge_rows([(1.0, 1)], 5)
