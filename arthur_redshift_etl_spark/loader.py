@@ -301,26 +301,32 @@ def attach_external_schema(
     # validate BEFORE creating the schema: failing after create_schema would
     # leave behind exactly the silently-empty schema the error exists to
     # prevent
-    readable: List[str] = []
+    readable: List[tuple] = []  # (table_name, path)
     for entry in sorted(_os.listdir(location)):
-        table_dir = _os.path.join(location, entry)
-        if not _os.path.isdir(table_dir):
+        path = _os.path.join(location, entry)
+        if _os.path.isdir(path):
+            name = entry
+        elif entry.endswith(".parquet"):
+            # single-file parquet tables (a perfectly good lake layout for
+            # small dims / test fixtures): table name = file stem
+            name = entry[: -len(".parquet")]
+        else:
             continue
         try:
-            ctx.spark.read.parquet(table_dir).schema
+            ctx.spark.read.parquet(path).schema
         except Exception:
-            logger.warning("skipping %s: not readable as parquet", table_dir)
+            logger.warning("skipping %s: not readable as parquet", path)
             continue
-        readable.append(entry)
+        readable.append((name, path))
     if not readable:
         raise ETLRuntimeError(
             f"external schema location {location!r} contains no parquet tables"
         )
     create_schema(ctx.spark, schema)
     attached: List[str] = []
-    for entry in readable:
-        _register_external_table(ctx, schema, entry, _os.path.join(location, entry))
-        attached.append(f"{schema}.{entry}")
+    for name, path in readable:
+        _register_external_table(ctx, schema, name, path)
+        attached.append(f"{schema}.{name}")
     return attached
 
 

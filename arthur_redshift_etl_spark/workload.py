@@ -2565,7 +2565,9 @@ def dedup_connected_components(spark, sf_dir):
     return connected_components(nodes, edges)
 
 
-_DEDUP_CC_CTES = """
+# shared candidate-pair pipeline (3-gram shingles -> exact Jaccard >= 0.5)
+# used by the CC oracle, the keep-best oracle, and the label-spread oracle
+_DEDUP_PAIRS_CTES = """
     WITH RECURSIVE toks AS (
       SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id,
@@ -2602,14 +2604,20 @@ _DEDUP_CC_CTES = """
     bidir AS (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach(node, r) AS (
+    )
+"""
+
+_DEDUP_CC_CTES = (
+    _DEDUP_PAIRS_CTES
+    + """
+    , reach(node, r) AS (
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT e.a, reach.r FROM bidir e JOIN reach ON e.b = reach.node
     ),
     comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
 """
+)
 
 
 @query(
@@ -2664,6 +2672,80 @@ def dedup_keep_best_in_cluster(spark, sf_dir):
         "component",
         "n_tokens",
         (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+@query(
+    "label_spread_similarity_graph",
+    oracle=_DEDUP_PAIRS_CTES
+    + """
+    , unlab AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0),
+    seeds AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 != 0),
+    votes AS (
+      SELECT u.doc_id, s.lang AS nb_lang, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM unlab u
+      JOIN bidir e ON e.a = u.doc_id
+      JOIN seeds s ON s.doc_id = e.b
+      GROUP BY u.doc_id, s.lang
+    ),
+    best AS (
+      SELECT doc_id, nb_lang, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY n_votes DESC, nb_lang) AS rk
+      FROM votes
+    )
+    SELECT u.doc_id, u.lang AS true_lang, b.nb_lang AS pred_lang,
+           COALESCE(b.n_votes, CAST(0 AS BIGINT)) AS n_votes
+    FROM unlab u LEFT JOIN best b ON b.doc_id = u.doc_id AND b.rk = 1
+    """,
+    description=(
+        "semi-supervised label propagation over the near-duplicate "
+        "similarity graph: every fifth document's language label is "
+        "hidden, and one propagation round predicts it as the majority "
+        "label among its LABELED Jaccard>=0.5 neighbors (ties to the "
+        "lexicographically smallest label; no labeled neighbor -> NULL "
+        "prediction, 0 votes) — the classic graph-based semi-supervised "
+        "classifier (Zhu & Ghahramani label propagation, one round) and "
+        "the third use of the shared candidate-pair pipeline after CC "
+        "and keep-best.  The true label rides along so the output IS the "
+        "evaluation table.  Plan: the banded candidate join, one edge "
+        "join against the seed labels, a (doc,label) partial agg, and a "
+        "per-doc window argmax — vote groups are bounded by neighbor "
+        "counts, which the Jaccard threshold keeps small"
+    ),
+)
+def label_spread_similarity_graph(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_join(docs, "doc_id", "text", threshold=0.5)
+    bidir = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionAll(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+    unlab = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "lang")
+    seeds = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("seed_id"), F.col("lang").alias("nb_lang")
+    )
+    votes = (
+        unlab.join(bidir, unlab["doc_id"] == bidir["a"])
+        .join(seeds, bidir["b"] == seeds["seed_id"])
+        .groupBy("doc_id", "nb_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_votes").desc(), F.col("nb_lang").asc()
+    )
+    best = votes.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return (
+        unlab.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.col("nb_lang").alias("pred_lang"),
+            F.coalesce(F.col("n_votes"), F.lit(0).cast("long")).alias(
+                "n_votes"
+            ),
+        )
     )
 
 
@@ -3155,6 +3237,43 @@ def multimodal_payload_stats(spark, sf_dir):
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return payload_stats(docs)
+
+
+@query(
+    "multimodal_frame_sample_plan",
+    oracle="""
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0, dur, 1000)) AS frame_ts_ms
+    FROM (
+      SELECT doc_id,
+             CAST(length(text) * 7 % 30000 AS BIGINT) AS dur
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    """,
+    description=(
+        "video frame-sampling PLAN: one (media_id, frame_ts_ms) row per "
+        "frame to decode, every 1000 ms across each video's duration — "
+        "the metadata-only fan-out stage that precedes any actual frame "
+        "decode at 100 TB (you schedule the decode work from duration "
+        "metadata, never by opening containers).  Durations synthesized "
+        "deterministically from document attributes (every third doc is "
+        "a 'video' of length*7 mod 30000 ms); the explode is a JVM-side "
+        "sequence(), no Python.  operators/multimodal.py "
+        "frame_sample_plan"
+    ),
+)
+def multimodal_frame_sample_plan(spark, sf_dir):
+    from .operators.multimodal import frame_sample_plan
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit("video").alias("modality"),
+            (F.length("text") * 7 % 30000).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
 
 
 @query(

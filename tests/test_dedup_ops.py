@@ -675,3 +675,31 @@ def test_heavy_hitters_per_group_composite_prunes_spread_keys(spark):
     glob_surv = df.filter(glob_est >= threshold).count()
     assert comp_surv == 0
     assert glob_surv == n
+
+
+def test_label_spread_constructed_neighborhood(spark, tmp_path):
+    """Hand-built corpus: doc 0 (label hidden, doc_id%5==0) is a near-dup
+    of two 'en' seeds and one 'de' seed -> majority vote predicts 'en'
+    with 2 votes; an isolated hidden doc gets NULL/0."""
+    from arthur_redshift_etl_spark.workload import REGISTRY
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, base + " iota", "??"),          # hidden (0 % 5 == 0)
+        (1, base + " kappa", "en"),         # near-dup seed
+        (2, base + " lmbda", "en"),         # near-dup seed
+        (3, base + " mu", "de"),            # near-dup seed
+        (5, "totally different words here nothing shared at all", "??"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["label_spread_similarity_graph"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {0, 5}
+    assert out[0]["pred_lang"] == "en" and out[0]["n_votes"] == 2
+    assert out[5]["pred_lang"] is None and out[5]["n_votes"] == 0

@@ -174,3 +174,32 @@ def test_run_sql_template_cli_e2e(spark, tmp_path, capsys):
 
     assert main(["--repo", repo, "run_sql_template", "missing"]) == 1
     assert "no such SQL template" in capsys.readouterr().err
+
+
+def test_create_external_schemas_single_file_tables(spark, tmp_path, capsys):
+    # a lake laid out as single parquet FILES (name.parquet) attaches with
+    # the file stem as the table name — found by driving the CLI against
+    # the real testdata directory layout
+    repo = str(tmp_path / "repo")
+    base = str(tmp_path / "filelake")
+    os.makedirs(base, exist_ok=True)
+    spark.range(6).coalesce(1).write.parquet(os.path.join(base, "_tmpdir"))
+    import glob
+    import shutil
+
+    part = glob.glob(os.path.join(base, "_tmpdir", "*.parquet"))[0]
+    shutil.move(part, os.path.join(base, "dim6.parquet"))
+    shutil.rmtree(os.path.join(base, "_tmpdir"))
+    _write_config(
+        repo,
+        f"""
+schemas:
+  - name: filelake
+    external: true
+    s3_path: {base}
+""",
+    )
+    assert main(["--repo", repo, "create_external_schemas"]) == 0
+    assert "attached filelake.dim6" in capsys.readouterr().out
+    assert spark.table("filelake.dim6").count() == 6
+    spark.sql("DROP DATABASE filelake CASCADE")
