@@ -6043,6 +6043,66 @@ def bpe_token_counts(spark, sf_dir):
     return bpe.encode_tokens(docs, merges)
 
 
+def _bpe_fertility_oracle(n_merges: int = 8) -> str:
+    return f"""WITH {_bpe_learn_ctes(n_merges)},
+dw AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[ \\t\\r\\n\\x0B\\f]+')) AS w
+    FROM documents
+  ) WHERE w != '' GROUP BY doc_id, w
+)
+SELECT d.lang,
+       CAST(SUM(dw.k) AS BIGINT) AS n_words,
+       CAST(SUM(dw.k * len(v{n_merges}.syms)) AS BIGINT) AS n_tokens,
+       CAST(SUM(dw.k * len(v{n_merges}.syms)) AS DOUBLE)
+         / CAST(SUM(dw.k) AS DOUBLE) AS fertility
+FROM dw
+JOIN v{n_merges} ON dw.w = v{n_merges}.w
+JOIN documents d ON d.doc_id = dw.doc_id
+GROUP BY d.lang"""
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=_bpe_fertility_oracle(),
+    description=(
+        "tokenizer fertility (BPE tokens per whitespace word) per "
+        "language — THE tokenizer-equity metric for multilingual "
+        "corpora: a vocabulary learned mostly from one language "
+        "fragments the others into more tokens per word, inflating "
+        "their training cost and shrinking their effective context.  "
+        "Reuses the 8-merge learner + Arrow-batched encode; per-doc "
+        "counts aggregate by the documents' lang column, fertility is "
+        "one exact-int division.  Oracle: the unrolled BPE CTE chain "
+        "joined back to the language labels"
+    ),
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    from .operators import bpe
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe_merges(docs, n_merges=8)
+    counts = bpe.encode_tokens(docs, merges)
+    return (
+        counts.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("fertility"),
+        )
+    )
+
+
 @query(
     "decontaminate_semantic_eval",
     oracle="""
@@ -8753,6 +8813,122 @@ def mannwhitney_order_values(spark, sf_dir):
         n_b.alias("n_b"),
         two_u.cast("long").alias("two_u_a"),
         z.alias("z"),
+    )
+
+
+def _zorder_oracle(bits: int = 16) -> str:
+    cap = (1 << bits) - 1
+    interleave = " + ".join(
+        f"(((a >> {i}) & 1) << {2 * i}) + (((b >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+    WITH s AS (
+      SELECT MIN(o_custkey) AS mina, MAX(o_custkey) AS maxa,
+             MIN(o_totalprice) AS minb, MAX(o_totalprice) AS maxb
+      FROM orders
+    ),
+    n AS (
+      SELECT o_orderkey,
+             LEAST(CAST(floor(
+               (CAST(o_custkey AS DOUBLE) - CAST(mina AS DOUBLE))
+               / (CASE WHEN CAST(maxa - mina AS DOUBLE) = 0 THEN 1.0
+                       ELSE CAST(maxa - mina AS DOUBLE) END)
+               * {cap}) AS BIGINT), {cap}) AS a,
+             LEAST(CAST(floor(
+               (CAST(o_totalprice AS DOUBLE) - CAST(minb AS DOUBLE))
+               / (CASE WHEN CAST(maxb - minb AS DOUBLE) = 0 THEN 1.0
+                       ELSE CAST(maxb - minb AS DOUBLE) END)
+               * {cap}) AS BIGINT), {cap}) AS b
+      FROM orders CROSS JOIN s
+    )
+    SELECT o_orderkey, CAST({interleave} AS BIGINT) AS zkey FROM n
+    """
+
+
+@query(
+    "zorder_key_orders",
+    oracle=_zorder_oracle(),
+    description=(
+        "Morton (Z-order) clustering key over (custkey, totalprice), "
+        "16 bits per dimension: normalize each column to [0, 2^16) by "
+        "its actual min/max (one 1-row aggregate broadcast back), then "
+        "interleave the bits JVM-side — the multi-dimensional layout key "
+        "behind data-skipping file layouts (sort by zkey before writing "
+        "and BOTH columns' min/max file statistics become selective; "
+        "operators/zorder.py write_zordered does the write).  The oracle "
+        "replays the identical normalize-and-interleave arithmetic as an "
+        "unrolled 32-term bit expression — exact, since every step is "
+        "integer or deterministic IEEE double.  Plan: one tiny stats "
+        "aggregate + a map-only projection, no shuffle at all (the sort "
+        "belongs to the writer, not the key)"
+    ),
+)
+def zorder_key_orders(spark, sf_dir):
+    from .operators.zorder import with_zorder_key
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return with_zorder_key(
+        orders, ["o_custkey", "o_totalprice"], bits=16, key_col="zkey"
+    ).select("o_orderkey", "zkey")
+
+
+@query(
+    "skew_profile_orders_custkey",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_custkey
+    ),
+    buckets AS (
+      SELECT CAST(length(bin(cnt)) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_count
+      FROM per_key GROUP BY 1
+    )
+    SELECT bucket, n_keys, n_rows, max_count,
+           CAST(n_rows AS DOUBLE)
+             / CAST(SUM(n_rows) OVER () AS DOUBLE) AS rows_share
+    FROM buckets
+    """,
+    description=(
+        "join-key skew profile: per-key cardinality histogram of orders "
+        "by custkey in power-of-two buckets (bucket = bit length of the "
+        "key's row count — integer-exact, no floor(log2(double)) "
+        "boundary bugs at exact powers of two), with each bucket's key "
+        "count, row mass, max key, and share of total rows — the "
+        "diagnostic you run BEFORE choosing a join strategy at 100 TB: "
+        "a heavy top bucket says salt or skew-join this key, a flat "
+        "profile says the plain hash shuffle is fine (pairs with the "
+        "salted_join and AQE-skew entries that implement the remedies). "
+        "Plan: one partial-agg shuffle on the key; the bucket table is "
+        "<= 64 rows, its total a whole-set window on bounded data"
+    ),
+)
+def skew_profile_orders_custkey(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    per_key = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    buckets = per_key.groupBy(
+        F.length(F.bin(F.col("cnt"))).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_count"),
+    )
+    return buckets.select(
+        "bucket",
+        "n_keys",
+        "n_rows",
+        "max_count",
+        (
+            F.col("n_rows").cast("double")
+            / F.sum("n_rows").over(Window.partitionBy()).cast("double")
+        ).alias("rows_share"),
     )
 
 

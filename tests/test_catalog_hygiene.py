@@ -84,6 +84,10 @@ ALLOWED_NL_JOIN = {
     "association_rules_brands": (
         "1-row basket-total aggregate broadcast into the rule metrics"
     ),
+    "zorder_key_orders": (
+        "1-row min/max normalization stats broadcast cross join (same "
+        "shape as runtime_range_prefilter_join)"
+    ),
 }
 
 
