@@ -244,6 +244,14 @@ _SIMPLE_REWRITES = [
     (re.compile(r"\b(?:dw\.)?f_sha256\s*\(\s*([^()]+?)\s*\)", re.I), r"sha2(\1, 256)"),
     # Redshift LEN → length
     (re.compile(r"\bLEN\s*\(", re.I), "length("),
+    # CHARINDEX(substring, string) → instr(string, substring): Spark has no
+    # charindex and instr takes the haystack FIRST — the args must swap
+    (
+        re.compile(r"\bCHARINDEX\s*\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)", re.I),
+        r"instr(\2, \1)",
+    ),
+    # STRPOS(string, substring) → instr (same argument order)
+    (re.compile(r"\bSTRPOS\s*\(", re.I), "instr("),
     # bare VARCHAR casts (Redshift defaults the length; Spark requires one)
     (re.compile(r"\bAS\s+VARCHAR\s*(?![\s]*\()", re.I), "AS STRING"),
     (re.compile(r"::\s*VARCHAR\b(?![\s]*\()", re.I), "::string"),

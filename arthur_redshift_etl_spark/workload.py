@@ -4491,6 +4491,42 @@ def nation_revenue_share(spark, sf_dir):
 
 
 @query(
+    "dialect_string_functions",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(strpos(o_orderpriority, '-') AS INTEGER) AS dash_pos,
+           CAST(strpos(o_orderpriority, 'U') AS INTEGER) AS u_pos,
+           CAST(length(o_orderpriority) AS INTEGER) AS n_chars,
+           split_part(o_orderpriority, '-', 2) AS priority_word,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    description=(
+        "Redshift string-function surface through the dialect shim: "
+        "CHARINDEX (argument order SWAPS into Spark's instr — the shim "
+        "rewrite this entry exists to pin), STRPOS, LEN, SPLIT_PART — "
+        "each executed via rewrite_redshift_sql and value-matched "
+        "against DuckDB's native equivalents"
+    ),
+)
+def dialect_string_functions(spark, sf_dir):
+    return _run_dialect(
+        spark,
+        sf_dir,
+        ["orders"],
+        """
+        SELECT o_orderpriority,
+               CAST(CHARINDEX('-', o_orderpriority) AS INT) AS dash_pos,
+               CAST(STRPOS(o_orderpriority, 'U') AS INT) AS u_pos,
+               CAST(LEN(o_orderpriority) AS INT) AS n_chars,
+               SPLIT_PART(o_orderpriority, '-', 2) AS priority_word,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority
+        """,
+    )
+
+
+@query(
     "dialect_kitchen_sink",
     oracle="""
     SELECT order_month,

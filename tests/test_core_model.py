@@ -130,6 +130,13 @@ def test_compat_dateadd_untouched_listagg_rewritten():
     assert rewrite_redshift_sql("SELECT dateadd(day, 1, d) FROM t") == (
         "SELECT dateadd(day, 1, d) FROM t"
     )
+    # CHARINDEX swaps its arguments into instr; STRPOS keeps order
+    assert rewrite_redshift_sql("SELECT CHARINDEX('@', email) FROM t") == (
+        "SELECT instr(email, '@') FROM t"
+    )
+    assert rewrite_redshift_sql("SELECT STRPOS(email, '@') FROM t") == (
+        "SELECT instr(email, '@') FROM t"
+    )
 
 
 def test_warehouse_config_model(tmp_path):
@@ -178,6 +185,7 @@ def test_compat_rewrite_is_idempotent_over_dialect_corpus():
         "SELECT * FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) = 1",
         "SELECT TO_CHAR(ts, 'YYYY-MM') FROM t",
         "SELECT JSON_EXTRACT_PATH_TEXT(j, 'a', 'b') FROM t",
+        "SELECT CHARINDEX('x', name), STRPOS(name, 'y'), LEN(name) FROM t",
         ("SELECT DECODE(a, 1, NVL(b, c), MEDIAN(d)) FROM t "
          "QUALIFY RANK() OVER (ORDER BY e) <= 2"),
     ]
