@@ -181,6 +181,19 @@ def cmd_update(args) -> int:
 
     spark = _spark(args)
     ctx = _ctx(args, spark)
+    if getattr(args, "refresh_partitions", None):
+        # partition-scoped incremental refresh: re-run each selected
+        # transformation restricted by the predicate, dynamically
+        # overwriting only the partitions the slice lands in
+        from .loader import refresh_partitions
+
+        selector = TableSelector(args.patterns)
+        for rel in _relations(args):
+            if not selector.match(rel.table_name) or not rel.is_transformation:
+                continue
+            audit = refresh_partitions(ctx, rel, args.refresh_partitions)
+            print(json.dumps(audit))
+        return 0
     if getattr(args, "merge_delta", None):
         # delta MERGE path: upsert a parquet delta into each selected table
         # instead of rebuilding it from sources
@@ -935,6 +948,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("update", cmd_update)
     sp.add_argument("--merge-delta", help="parquet path of a delta to MERGE")
     sp.add_argument("--merge-keys", default="", help="comma-separated merge keys")
+    sp.add_argument("--refresh-partitions", metavar="PREDICATE",
+                    help="SQL filter over the partition columns: re-run the "
+                         "transformation for that slice and dynamically "
+                         "overwrite only the touched partitions")
     sp.add_argument("--job-group", help="cancellable job-group name")
     sp = add("scrub", cmd_scrub)
     sp.add_argument("--requests", required=True,

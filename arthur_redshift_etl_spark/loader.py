@@ -628,6 +628,68 @@ def merge_update_table(
     return materialize_dataframe(ctx, rel, merged, db)
 
 
+def refresh_partitions(
+    ctx: LoadContext,
+    rel: Relation,
+    predicate: str,
+    db: str | None = None,
+) -> dict:
+    """Partition-scoped incremental refresh — the Spark-native answer to
+    "one late day arrived, don't rebuild the table".
+
+    Re-runs the relation's transformation restricted by ``predicate`` (a
+    SQL filter, normally over the partition columns) and dynamically
+    overwrites ONLY the partitions the recomputed slice lands in
+    (``spark.sql.sources.partitionOverwriteMode=dynamic``).  At 100 TB
+    this is THE incremental pattern: a single partition directory is
+    re-materialized while every other file is untouched; the reference's
+    ``update`` (load.py:1308-1367) delete-then-reloads the whole table.
+
+    Requires ``partition_by`` in the design (a slice of an unpartitioned
+    layout cannot be swapped in isolation — that path is
+    :func:`merge_update_table`).  Constraints are checked on the
+    recomputed slice BEFORE the write.  Returns an audit dict with the
+    refreshed partition values and row count.
+    """
+    part_cols = list(rel.design.attributes.get("partition_by") or [])
+    if not part_cols:
+        raise ETLRuntimeError(
+            f"{rel.identifier} is not partitioned (partition_by) — "
+            "use merge_update_table / update for unpartitioned tables"
+        )
+    if not rel.is_transformation:
+        raise ETLRuntimeError(
+            f"{rel.identifier} is a source relation — partition refresh "
+            "re-runs the transformation query; re-extract the slice and "
+            "run update for sources"
+        )
+    db = db or rel.table_name.schema
+    fq = f"{_quote(db)}.{_quote(rel.table_name.table)}"
+    slice_df = ctx.spark.sql(rewrite_redshift_sql(rel.sql())).filter(predicate)
+    check_all_constraints(slice_df, rel.design)
+    # partition columns must come LAST for insertInto's positional contract
+    data_cols = [c for c in slice_df.columns if c not in part_cols]
+    ordered = slice_df.select(*data_cols, *part_cols)
+    touched = [
+        tuple(str(r[c]) for c in part_cols)
+        for r in slice_df.select(*part_cols).distinct().collect()
+    ]  # bounded: one row per refreshed partition
+    spark = ctx.spark
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        ordered.write.mode("overwrite").insertInto(fq)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    n_rows = spark.table(fq).filter(predicate).count()
+    return {
+        "relation": rel.identifier,
+        "partitions": sorted(touched),
+        "n_partitions": len(touched),
+        "n_rows": int(n_rows),
+    }
+
+
 def scrub_table(
     ctx: LoadContext,
     rel: Relation,

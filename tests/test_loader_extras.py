@@ -418,3 +418,114 @@ def test_cli_scrub_e2e(spark, tmp_path, clean_dbs, capsys):
     got = spark.table("scrb.nation")
     assert got.count() == n0 - 2
     assert got.filter("n_nationkey IN (1, 2)").count() == 0
+
+
+def test_refresh_partitions_dynamic_overwrite(spark, tmp_path, clean_dbs):
+    """Partition-scoped incremental refresh: one month's slice is
+    recomputed and dynamically overwritten; every other partition's files
+    are byte-untouched (mtime-pinned)."""
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.errors import ETLRuntimeError
+    from arthur_redshift_etl_spark.loader import refresh_partitions
+
+    lake = str(tmp_path / "lake")
+    src = source_rel(spark, tmp_path, "prsrc.nation", "nation")
+    d = str(tmp_path / "data" / "prsrc.orders")
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").write.mode(
+        "overwrite"
+    ).parquet(d)
+    from arthur_redshift_etl_spark.bootstrap import bootstrap_source_design
+
+    odesign = bootstrap_source_design(
+        spark.read.parquet(d), "prsrc.orders", "up.public.orders"
+    )
+    orders_rel = Relation(design=odesign, data_location=d)
+    tdesign = TableDesign(
+        name="ptr.monthly",
+        source_name="CTAS",
+        columns=[
+            ColumnDefinition("o_orderkey", "long", not_null=True),
+            ColumnDefinition("o_totalprice", "double"),
+            ColumnDefinition("order_month", "string"),
+        ],
+        depends_on=["prsrc.orders"],
+    )
+    tdesign.attributes["partition_by"] = ["order_month"]
+    trans = Relation(
+        design=tdesign,
+        query=(
+            "SELECT o_orderkey, o_totalprice, "
+            "date_format(o_orderdate, 'yyyy-MM') AS order_month "
+            "FROM prsrc.orders"
+        ),
+    )
+    ctx = LoadContext(spark=spark, data_root=lake, store=EventStore())
+    load_warehouse(ctx, [src, orders_rel, trans])
+    table = spark.table("ptr.monthly")
+    n_total = table.count()
+    target_month = (
+        table.groupBy("order_month").count().orderBy("order_month").first()
+    )["order_month"]
+    n_month = table.filter(F.col("order_month") == target_month).count()
+
+    # record every parquet file's mtime outside the refreshed partition
+    location = os.path.dirname(os.path.dirname(table.inputFiles()[0]))
+
+    def mtimes():
+        out = {}
+        for root, _, files in os.walk(location.replace("file:", "")):
+            for f in files:
+                if f.endswith(".parquet") and target_month not in root:
+                    p = os.path.join(root, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = mtimes()
+    assert before, "expected untouched partitions to exist"
+
+    # upstream change: that month's totals double (re-register source table)
+    doubled = spark.table("prsrc.orders").withColumn(
+        "o_totalprice",
+        F.when(
+            F.date_format("o_orderdate", "yyyy-MM") == target_month,
+            F.col("o_totalprice") * 2,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    doubled.createOrReplaceTempView("prsrc_orders_doubled")
+    trans2 = Relation(
+        design=tdesign,
+        query=(
+            "SELECT o_orderkey, o_totalprice, "
+            "date_format(o_orderdate, 'yyyy-MM') AS order_month "
+            "FROM prsrc_orders_doubled"
+        ),
+    )
+    audit = refresh_partitions(
+        ctx, trans2, f"order_month = '{target_month}'"
+    )
+    assert audit["n_partitions"] == 1
+    assert audit["partitions"] == [(target_month,)]
+    assert audit["n_rows"] == n_month
+
+    after = spark.table("ptr.monthly")
+    assert after.count() == n_total  # no rows lost elsewhere
+    # the refreshed month reflects the doubled totals
+    orig_sum = (
+        spark.read.parquet(d)
+        .filter(F.date_format("o_orderdate", "yyyy-MM") == target_month)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .collect()[0][0]
+    )
+    new_sum = (
+        after.filter(F.col("order_month") == target_month)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+        .collect()[0][0]
+    )
+    assert new_sum == orig_sum * 2
+    # every other partition's files byte-untouched
+    assert mtimes() == before
+
+    # guardrails: unpartitioned and source relations are rejected
+    with pytest.raises(ETLRuntimeError):
+        refresh_partitions(ctx, src, "1=1")
