@@ -337,3 +337,115 @@ def test_seasonal_decompose_constant_series(spark, tmp_path):
         assert abs(r["trend"] - 100.0) < 1e-9
         assert abs(r["seasonal"]) < 1e-9
         assert abs(r["resid"]) < 1e-9
+
+
+# ---- hypothesis: the shared oracle formulas vs independent brute force ----
+# The oracle harness pins Spark == DuckDB; these pin DuckDB == a from-first-
+# principles Python implementation on random inputs, closing the loop (a
+# formula bug shared by both engine expressions would survive the harness).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _mw_bruteforce(pairs):
+    # pairs: list of (value, cohort) with cohort in {0,1}; midrank U + z
+    import math
+
+    vals = sorted(v for v, _ in pairs)
+    rank_of = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        mid = (i + 1 + j) / 2  # average of positions i+1..j
+        rank_of[vals[i]] = mid
+        i = j
+    a = [v for v, c in pairs if c == 0]
+    b = [v for v, c in pairs if c == 1]
+    n_a, n_b, n = len(a), len(b), len(pairs)
+    r_a = sum(rank_of[v] for v in a)
+    two_u = int(round(2 * r_a)) - n_a * (n_a + 1)
+    ties = {}
+    for v, _ in pairs:
+        ties[v] = ties.get(v, 0) + 1
+    tie_term = sum(t**3 - t for t in ties.values())
+    var = n_a * n_b / 12 * ((n + 1) - tie_term / (n * (n - 1)))
+    z = None
+    if var > 0:
+        z = (two_u - n_a * n_b) / (2 * math.sqrt(var))
+    return n_a, n_b, two_u, z
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 1)),
+        min_size=2,
+        max_size=60,
+    ).filter(lambda ps: len({c for _, c in ps}) == 2)
+)
+def test_mannwhitney_oracle_matches_bruteforce(pairs):
+    import duckdb
+
+    from arthur_redshift_etl_spark.workload import REGISTRY
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders (o_totalprice DOUBLE, o_custkey BIGINT)")
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?)",
+        [(float(v), 2 + c) for v, c in pairs],  # custkey parity = cohort
+    )
+    row = con.sql(REGISTRY["mannwhitney_order_values"].oracle).fetchall()[0]
+    n_a, n_b, two_u, z = _mw_bruteforce(
+        [(float(v), c) for v, c in pairs]
+    )
+    assert (row[0], row[1], row[2]) == (n_a, n_b, two_u)
+    if z is None:
+        assert row[3] is None
+    else:
+        assert abs(row[3] - z) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("pqr"), st.sampled_from("xy")),
+        min_size=4,
+        max_size=80,
+    ).filter(
+        lambda cs: len({p for p, _ in cs}) >= 2 and len({s for _, s in cs}) >= 2
+    )
+)
+def test_chi_square_oracle_matches_bruteforce(cells):
+    import duckdb
+
+    from arthur_redshift_etl_spark.workload import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders (o_orderpriority VARCHAR, o_orderstatus VARCHAR)"
+    )
+    con.executemany("INSERT INTO orders VALUES (?, ?)", cells)
+    row = con.sql(REGISTRY["chi_square_priority_status"].oracle).fetchall()[0]
+    # independent direct computation
+    from collections import Counter
+
+    n = len(cells)
+    cnt = Counter(cells)
+    r = Counter(p for p, _ in cells)
+    c = Counter(s for _, s in cells)
+    chi2 = sum(
+        (k - r[p] * c[s] / n) ** 2 / (r[p] * c[s] / n)
+        for (p, s), k in cnt.items()
+    )
+    # zero cells contribute their expected count to chi2 as well
+    for p in r:
+        for s in c:
+            if (p, s) not in cnt:
+                chi2 += r[p] * c[s] / n
+    dof = (len(r) - 1) * (len(c) - 1)
+    assert row[0] == n and row[1] == dof
+    # quantization bound: one 1e-12 floor per occupied cell, scaled by N
+    assert abs(row[2] - chi2) <= len(r) * len(c) * 1e-12 * n + 1e-9 * chi2 + 1e-9
