@@ -8744,6 +8744,80 @@ def association_rules_brands(spark, sf_dir):
 
 
 @query(
+    "approx_percentile_bound_check",
+    oracle="""
+    WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    probs0(p0) AS (VALUES (0.25), (0.5), (0.9), (0.99)),
+    probs AS (SELECT CAST(p0 AS DOUBLE) AS p FROM probs0),
+    ks AS (
+      SELECT p,
+             GREATEST(1, CAST(floor((p - CAST(0.012 AS DOUBLE)) * n.n)
+                              AS BIGINT)) AS k_lo,
+             LEAST(n.n, CAST(ceil((p + CAST(0.012 AS DOUBLE)) * n.n)
+                             AS BIGINT)) AS k_hi
+      FROM probs, n
+    ),
+    ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v)
+    SELECT ks.p, lo.v AS lo, hi.v AS hi, TRUE AS within
+    FROM ks
+    JOIN ranked lo ON lo.rn = ks.k_lo
+    JOIN ranked hi ON hi.rn = ks.k_hi
+    """,
+    description=(
+        "Spark's NATIVE approx_percentile (Greenwald-Khanna summary, "
+        "accuracy=100 => deterministic rank error <= n/100) verified the "
+        "same way as the custom KLL entry: exact order statistics at "
+        "(p±0.012)·n bracket every estimate, and the oracle asserts "
+        "within=TRUE on the strength of the DETERMINISTIC GK bound "
+        "(+0.002 margin).  Worth having both: the built-in is the "
+        "single-expression JVM path for ad-hoc percentiles; the KLL "
+        "operator is the mergeable-state path for streams and "
+        "incremental maintenance — this entry pins that the built-in's "
+        "contract actually holds on this data so either can be chosen "
+        "with eyes open"
+    ),
+)
+def approx_percentile_bound_check(spark, sf_dir):
+    import math
+
+    from .operators.identity import global_row_number
+
+    probs = [0.25, 0.5, 0.9, 0.99]
+    eps = 0.012
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    est_row = orders.agg(
+        F.percentile_approx("v", probs, 100).alias("est")
+    ).first()
+    est = list(est_row["est"])
+    ranked, n = global_row_number(orders, ["v"], "rn")
+    brackets = []
+    for p in probs:
+        k_lo = max(1, math.floor((p - eps) * n))
+        k_hi = min(n, math.ceil((p + eps) * n))
+        brackets.append((p, k_lo, k_hi))
+    wanted = sorted({k for _, lo, hi in brackets for k in (lo, hi)})
+    vals = {
+        r["rn"]: r["v"]
+        for r in ranked.filter(F.col("rn").isin(wanted)).collect()
+    }
+    rows = [
+        (
+            float(p),
+            float(vals[k_lo]),
+            float(vals[k_hi]),
+            bool(vals[k_lo] <= e <= vals[k_hi]),
+        )
+        for (p, k_lo, k_hi), e in zip(brackets, est)
+    ]
+    return spark.createDataFrame(
+        rows, "p double, lo double, hi double, within boolean"
+    )
+
+
+@query(
     "mannwhitney_order_values",
     oracle="""
     WITH v AS (
