@@ -2829,6 +2829,86 @@ def ntile_chars_quartiles(spark, sf_dir):
 
 
 @query(
+    "funnel_bounded_gaps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS tc FROM events e
+      JOIN v ON e.user_id = v.user_id
+            AND e.ts > v.tv AND e.ts <= v.tv + INTERVAL 30 MINUTE
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS tp FROM events e
+      JOIN c ON e.user_id = c.user_id
+            AND e.ts > c.tc AND e.ts <= c.tc + INTERVAL 30 MINUTE
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS clicked_30m,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS purchased_30m,
+           CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v) AS click_rate,
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM c) AS purchase_rate
+    """,
+    description=(
+        "time-bounded ordered funnel: click within 30 minutes of the "
+        "first view, purchase within 30 minutes of that click — the "
+        "attribution-window variant of the plain ordered funnel (a "
+        "click three days later is not conversion), exact interval "
+        "arithmetic on timestamps (microsecond-integral in both "
+        "engines).  Same plan shape as funnel_view_click_purchase: "
+        "three stage aggregations co-partitioned on user_id, 1-row "
+        "stage counts crossed into the report row"
+    ),
+)
+def funnel_bounded_gaps(spark, sf_dir):
+    gap = F.expr("INTERVAL 30 MINUTES")
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("tv")) & (F.col("ts") <= F.col("tv") + gap))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("tc")) & (F.col("ts") <= F.col("tc") + gap))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("long").alias("viewed"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("clicked_30m"))
+    np_ = p.agg(F.count(F.lit(1)).cast("long").alias("purchased_30m"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "viewed",
+            "clicked_30m",
+            "purchased_30m",
+            (
+                F.col("clicked_30m").cast("double") / F.col("viewed")
+            ).alias("click_rate"),
+            (
+                F.col("purchased_30m").cast("double") / F.col("clicked_30m")
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+@query(
     "funnel_view_click_purchase",
     oracle="""
     WITH v AS (

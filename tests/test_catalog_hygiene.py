@@ -45,6 +45,7 @@ ALLOWED_NL_JOIN = {
     "range_join_error_context": "interval bucket spine (bounded rows)",
     "daily_event_anomaly_zscore": "1-row global-moments aggregate broadcast",
     "funnel_view_click_purchase": "1-row per-stage total aggregates broadcast",
+    "funnel_bounded_gaps": "1-row per-stage total aggregates broadcast",
     "gapfilled_hourly_by_type": "hour spine × type list (bounded) cross join",
     "q11_important_stock": "1-row threshold aggregate broadcast (was a driver collect)",
     "q22_global_sales_opportunity": "1-row AVG aggregate broadcast (was a driver collect)",
