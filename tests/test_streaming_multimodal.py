@@ -521,3 +521,40 @@ def test_kll_merge_rows_rejects_foreign_weights():
         kll_merge_rows([(1.0, 3)], 4)
     with _pytest.raises(ValueError):
         kll_merge_rows([(1.0, 1)], 5)
+
+
+def test_kll_rollup_replay_with_lost_checkpoint_adds_nothing(spark, event_dir, tmp_path):
+    """The KLL table's rank mass is ADDITIVE, so exactly-once must come
+    from the committed-batch-id marker, not the streaming checkpoint: a
+    full replay with a FRESH checkpoint (simulating checkpoint loss)
+    re-delivers every batch, and the marker must reject all of them —
+    total mass stays n, not 2n."""
+    from arthur_redshift_etl_spark.streaming.events import (
+        kll_rollup_stream,
+        read_event_stream,
+    )
+
+    target = str(tmp_path / "kll-table")
+    q = kll_rollup_stream(
+        read_event_stream(spark, event_dir, max_files_per_trigger=1),
+        target,
+        str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+    state1 = sorted(
+        map(tuple, spark.read.parquet(target).collect())
+    )
+    n = sum(w for _, w in state1)
+
+    # checkpoint lost: replay the whole stream against the same target
+    q2 = kll_rollup_stream(
+        read_event_stream(spark, event_dir, max_files_per_trigger=1),
+        target,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    state2 = sorted(
+        map(tuple, spark.read.parquet(target).collect())
+    )
+    assert state2 == state1  # byte-identical, nothing re-added
+    assert sum(w for _, w in state2) == n
