@@ -203,3 +203,74 @@ schemas:
     assert "attached filelake.dim6" in capsys.readouterr().out
     assert spark.table("filelake.dim6").count() == 6
     spark.sql("DROP DATABASE filelake CASCADE")
+
+
+def test_update_refresh_partitions_cli_e2e(spark, tmp_path, capsys):
+    """CLI wiring for the partition-scoped refresh: load a partitioned
+    CTAS through the CLI, then update --refresh-partitions re-runs one
+    month's slice and reports the audit."""
+    import json as _json
+
+    from arthur_redshift_etl_spark.repo import write_design
+
+    repo = str(tmp_path / "repo")
+    os.makedirs(os.path.join(repo, "data", "psrc", "orders"), exist_ok=True)
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).write.mode("overwrite").parquet(
+        os.path.join(repo, "data", "psrc", "orders")
+    )
+    write_design(
+        repo,
+        {
+            "name": "psrc.orders",
+            "source_name": "up.public.orders",
+            "columns": [
+                {"name": "o_orderkey", "type": "long", "not_null": True},
+                {"name": "o_totalprice", "type": "double"},
+                {"name": "o_orderdate", "type": "date"},
+            ],
+        },
+    )
+    write_design(
+        repo,
+        {
+            "name": "pdw.monthly",
+            "source_name": "CTAS",
+            "columns": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_totalprice", "type": "double"},
+                {"name": "order_month", "type": "string"},
+            ],
+            "depends_on": ["psrc.orders"],
+            "attributes": {"partition_by": ["order_month"]},
+        },
+        query=(
+            "SELECT o_orderkey, o_totalprice, "
+            "date_format(o_orderdate, 'yyyy-MM') AS order_month "
+            "FROM psrc.orders"
+        ),
+    )
+    assert main(["--repo", repo, "load"]) == 0
+    capsys.readouterr()
+    month = spark.table("pdw.monthly").first()["order_month"]
+    assert (
+        main(
+            [
+                "--repo",
+                repo,
+                "update",
+                "pdw.monthly",
+                "--refresh-partitions",
+                f"order_month = '{month}'",
+            ]
+        )
+        == 0
+    )
+    audit = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["relation"] == "pdw.monthly"
+    assert audit["n_partitions"] == 1 and audit["partitions"] == [[month]]
+    assert audit["n_rows"] > 0
+    for db in ("psrc", "pdw"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}__backup CASCADE")
