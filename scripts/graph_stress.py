@@ -153,6 +153,20 @@ def main() -> int:
                 t0 = time.monotonic()
                 if entry == "triangle_naive":
                     n = naive_triangle_count(spark, tmp).count()
+                elif entry == "pagerank_shuffle":
+                    # force the measured auto-broadcast fallback: node
+                    # tables join shuffle-side co-partitioned on src —
+                    # the plan a 100-TB node table would get
+                    from arthur_redshift_etl_spark import workload as wl
+
+                    saved = wl.PAGERANK_NODE_BCAST_LIMIT_BYTES
+                    wl.PAGERANK_NODE_BCAST_LIMIT_BYTES = 0
+                    try:
+                        n = REGISTRY["pagerank_two_iterations"].fn(
+                            spark, tmp
+                        ).count()
+                    finally:
+                        wl.PAGERANK_NODE_BCAST_LIMIT_BYTES = saved
                 else:
                     n = REGISTRY[entry].fn(spark, tmp).count()
                 wall = time.monotonic() - t0
