@@ -9066,6 +9066,73 @@ def zorder_key_orders(spark, sf_dir):
 
 
 @query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS k,
+             CAST(MAX(datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE))) AS BIGINT)
+               AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(NTILE(5) OVER (ORDER BY last_day, k) AS INTEGER)
+               AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY freq, k) AS INTEGER) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY cents, k) AS INTEGER) AS m_score
+      FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM s GROUP BY 1, 2, 3
+    """,
+    description=(
+        "RFM segmentation — the classic customer-value grid: per "
+        "customer recency (epoch day of last order), frequency (order "
+        "count), monetary (exact cents), each quintiled 1..5 "
+        "(score 5 = most recent / most frequent / highest spend), "
+        "reported as segment cell counts.  All three quintiles run "
+        "through the pinned EXACT distributed NTILE "
+        "(operators/quantiles.ntile_exact — range repartition + "
+        "per-partition rank + metadata prefix sum; integer div at "
+        "bucket boundaries), with the customer id as the "
+        "deterministic tiebreaker — never a single-task global sort.  "
+        "Plan: one fact partial agg to the customer table, then three "
+        "range-shuffle rank passes over it (the price of exact "
+        "quantile boundaries at any scale), one final cell agg"
+    ),
+)
+def rfm_customer_segments(spark, sf_dir):
+    from .operators.quantiles import ntile_exact
+
+    orders = t(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            )
+        )
+        .cast("long")
+        .alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    t1 = ntile_exact(cust, 5, ["last_day", "k"], "r_score")
+    t2 = ntile_exact(t1, 5, ["freq", "k"], "f_score")
+    t3 = ntile_exact(t2, 5, ["cents", "k"], "m_score")
+    return t3.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+@query(
     "skew_profile_orders_custkey",
     oracle="""
     WITH per_key AS (
