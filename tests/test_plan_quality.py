@@ -402,3 +402,35 @@ def test_triangle_edges_equi_join(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_mannwhitney_two_phase_rank_no_single_partition(spark):
+    p = plan(spark, "mannwhitney_order_values")
+    # midranks ride the pinned running sum: range layout (checkpoint scan)
+    # + per-partition windows, never a partition-less SUM OVER
+    assert "Exchange SinglePartition" not in p or "HashAggregate" in p, p
+    assert "rangepartitioning" in p.lower() or "ExistingRDD" in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_rfm_exact_ntile_no_global_sort(spark):
+    p = plan(spark, "rfm_customer_segments")
+    # three ntile_exact passes: checkpointed range layouts, windows only
+    # per partition — a global Window sort would show Sort+SinglePartition
+    assert "Exchange SinglePartition" not in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    # the fact scan partial-aggregates to the customer table map-side
+    assert "HashAggregate" in p, p
+
+
+def test_chi_square_single_fact_shuffle(spark):
+    p = plan(spark, "chi_square_priority_status")
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    # exactly one fact-sized exchange (the cell partial agg); the window
+    # marginals run on the bounded cell table
+    import re as _re
+
+    assert len(_re.findall(r"\) Exchange", p)) <= 4, p
