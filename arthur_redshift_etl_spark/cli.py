@@ -12,6 +12,7 @@ create_index, ls, ping, query_events, summarize_events,
 tail_events (--follow = live-monitor analog, monitor.py:433-575), selftest,
 show_value / show_vars / render_template (commands.py:1891-1944),
 run_sql_template (commands.py:775-820), list_tags (commands.py:1868-1885),
+disk_usage (templates/sql/disk_usage.sql analog over the lake + catalog),
 terminate_builds (TerminateSessionsCommand analog — job-group cancel of a
 running build, jobcontrol.py).  AWS-ops commands (EMR, Data Pipeline, IAM)
 are out of scope for a Spark engine (stubbed with a clear message).
@@ -883,6 +884,81 @@ def cmd_list_tags(args) -> int:
     return 0
 
 
+def cmd_disk_usage(args) -> int:
+    """Per-table lake storage report (reference
+    templates/sql/disk_usage.sql over svv_table_info, recomputed from the
+    lake + catalog instead of warehouse system tables): production tables
+    with file count, storage MB, and whether a backup/staging copy holds
+    additional versions."""
+    import fnmatch
+
+    from .names import BACKUP_PREFIX, is_staging
+
+    spark = _spark(args)
+    dbs = [r["namespace"] for r in spark.sql("SHOW DATABASES").collect()]
+    prod = [
+        d
+        for d in dbs
+        if not d.startswith(BACKUP_PREFIX) and not is_staging(d) and d != "default"
+    ]
+
+    def table_bytes(identifier):
+        try:
+            detail = spark.sql(f"DESCRIBE TABLE EXTENDED {identifier}").collect()
+        except Exception:
+            return None, 0, 0
+        loc = next(
+            (r["data_type"] for r in detail if r["col_name"] == "Location"), None
+        )
+        if not loc:
+            return None, 0, 0
+        path = loc.replace("file:", "")
+        n_files = total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                n_files += 1
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return loc, n_files, total
+
+    rows = []
+    for db in sorted(prod):
+        for trow in spark.sql(f"SHOW TABLES IN {db}").collect():
+            name = trow["tableName"]
+            ident = f"`{db}`.`{name}`"
+            if args.patterns and not any(
+                fnmatch.fnmatch(f"{db}.{name}", p.lower()) for p in args.patterns
+            ):
+                continue
+            loc, n_files, total = table_bytes(ident)
+            if loc is None:
+                continue
+            from .names import as_backup, as_staging
+
+            rows.append(
+                {
+                    "schema": db,
+                    "table": name,
+                    "n_files": n_files,
+                    "storage_mb": round(total / (1 << 20), 3),
+                    "has_backup": f"etl_backup__{db}" in dbs
+                    and spark.catalog.tableExists(f"{as_backup(db)}.{name}"),
+                    "has_staging": f"etl_staging__{db}" in dbs
+                    and spark.catalog.tableExists(f"{as_staging(db)}.{name}"),
+                }
+            )
+    for r in rows:
+        print(json.dumps(r, sort_keys=True))
+    if not rows:
+        print("no tables found", file=sys.stderr)
+        return 1
+    return 0
+
+
 def cmd_terminate_builds(args) -> int:
     """List or cancel registered builds (the warehouse-session kill analog,
     reference TerminateSessionsCommand): every load/upgrade/update runs
@@ -1040,6 +1116,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--limit", type=int, default=50,
                     help="max result rows to print")
     add("list_tags", cmd_list_tags, patterns=False)
+    add("disk_usage", cmd_disk_usage)
     sp = add("terminate_builds", cmd_terminate_builds, patterns=False)
     sp.add_argument("groups", nargs="*", help="job-group names to cancel "
                                               "(none: list builds)")

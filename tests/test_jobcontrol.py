@@ -274,3 +274,44 @@ def test_update_refresh_partitions_cli_e2e(spark, tmp_path, capsys):
     for db in ("psrc", "pdw"):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         spark.sql(f"DROP DATABASE IF EXISTS {db}__backup CASCADE")
+
+
+def test_disk_usage_cli_reports_tables_and_backup_flags(spark, tmp_path, capsys):
+    """disk_usage (reference templates/sql/disk_usage.sql analog): lake
+    storage per production table with backup/staging presence flags."""
+    import json as _json
+
+    from arthur_redshift_etl_spark.loader import LoadContext, load_warehouse
+    from arthur_redshift_etl_spark.monitor import EventStore
+    from arthur_redshift_etl_spark.bootstrap import bootstrap_source_design
+    from arthur_redshift_etl_spark.relations import Relation
+
+    d = str(tmp_path / "data" / "dusrc.nation")
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet").write.mode(
+        "overwrite"
+    ).parquet(d)
+    design = bootstrap_source_design(
+        spark.read.parquet(d), "dusrc.nation", "up.public.nation"
+    )
+    rel = Relation(design=design, data_location=d)
+    lake = str(tmp_path / "lake")
+    # two loads -> second publish leaves a backup database behind
+    load_warehouse(
+        LoadContext(spark=spark, data_root=lake, store=EventStore()), [rel]
+    )
+    load_warehouse(
+        LoadContext(spark=spark, data_root=lake, store=EventStore()),
+        [Relation(design=design, data_location=d)],
+    )
+    assert main(["--repo", str(tmp_path), "disk_usage", "dusrc.*"]) == 0
+    lines = [
+        _json.loads(x)
+        for x in capsys.readouterr().out.strip().splitlines()
+        if x.startswith("{")
+    ]
+    row = next(r for r in lines if r["schema"] == "dusrc" and r["table"] == "nation")
+    assert row["n_files"] > 0 and row["storage_mb"] > 0
+    assert row["has_backup"] is True
+    assert row["has_staging"] is False
+    for db in ("dusrc", "etl_backup__dusrc", "etl_staging__dusrc"):
+        spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
