@@ -9066,6 +9066,97 @@ def zorder_key_orders(spark, sf_dir):
 
 
 @query(
+    "order_interarrival_stats",
+    oracle="""
+    WITH days AS (
+      SELECT o_custkey AS k,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             o_orderkey AS ok
+      FROM orders
+    ),
+    gaps AS (
+      SELECT CAST(d - LAG(d) OVER (PARTITION BY k ORDER BY d, ok)
+                  AS BIGINT) AS gap_days
+      FROM days
+    ),
+    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(gap_days) AS BIGINT) AS s FROM g),
+    ranked AS (
+      SELECT gap_days, ROW_NUMBER() OVER (ORDER BY gap_days) AS rn FROM g
+    )
+    SELECT n.n AS n_gaps,
+           CAST(n.s AS DOUBLE) / CAST(n.n AS DOUBLE) AS mean_gap_days,
+           med.gap_days AS median_gap_days,
+           p90.gap_days AS p90_gap_days
+    FROM n
+    JOIN ranked med ON med.rn = (n.n + 1) // 2
+    JOIN ranked p90 ON p90.rn = GREATEST(1,
+                                         CAST(ceil(0.9 * n.n) AS BIGINT))
+    """,
+    description=(
+        "customer order inter-arrival distribution: per-customer gaps "
+        "between consecutive orders (LAG over (custkey) ordered by day "
+        "with the order key as deterministic tiebreaker), then the "
+        "gap distribution's count, exact mean, exact lower-median and "
+        "exact p90 — the repeat-purchase cadence metric behind "
+        "replenishment/churn models, complementing retention (did they "
+        "come back) with WHEN they come back.  Gaps are integral days; "
+        "the only double is the mean's single division; median/p90 are "
+        "exact order statistics from the pinned two-phase rank, looked "
+        "up as two bounded rows.  Plan: one shuffle on custkey for the "
+        "LAG, the checkpointed range rank over the gap table, a 1-row "
+        "aggregate"
+    ),
+)
+def order_interarrival_stats(spark, sf_dir):
+    import math
+
+    from .operators.identity import global_row_number
+
+    orders = t(spark, sf_dir, "orders")
+    days = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    w = Window.partitionBy("k").orderBy("d", "ok")
+    gaps = (
+        days.withColumn("gap_days", (F.col("d") - F.lag("d").over(w)).cast("long"))
+        .filter(F.col("gap_days").isNotNull())
+        .select("gap_days")
+    )
+    stats = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap_days").cast("long").alias("s"),
+    ).first()
+    n, s = int(stats["n"]), int(stats["s"] or 0)
+    ranked, total = global_row_number(gaps, ["gap_days"], "rn")
+    assert total == n
+    k_med = (n + 1) // 2
+    k_p90 = max(1, math.ceil(0.9 * n))
+    vals = {
+        r["rn"]: r["gap_days"]
+        for r in ranked.filter(F.col("rn").isin([k_med, k_p90])).collect()
+    }
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                float(s) / float(n) if n else None,
+                vals.get(k_med),
+                vals.get(k_p90),
+            )
+        ],
+        "n_gaps long, mean_gap_days double, median_gap_days long, "
+        "p90_gap_days long",
+    )
+
+
+@query(
     "rfm_customer_segments",
     oracle="""
     WITH cust AS (
