@@ -143,7 +143,7 @@ def cmd_load(args) -> int:
                 required_selector=required,
             )
         except Exception as exc:
-            if bg.cancelled or is_cancellation(exc):
+            if bg.cancelled or is_cancellation(exc, bg.group):
                 print(f"load cancelled (job group {bg.group})", file=sys.stderr)
                 return 130
             raise
@@ -167,7 +167,7 @@ def cmd_upgrade(args) -> int:
                 continue_from=args.continue_from,
             )
         except Exception as exc:
-            if bg.cancelled or is_cancellation(exc):
+            if bg.cancelled or is_cancellation(exc, bg.group):
                 print(
                     f"upgrade cancelled (job group {bg.group})", file=sys.stderr
                 )
@@ -213,7 +213,7 @@ def cmd_update(args) -> int:
         try:
             update_warehouse(ctx, _relations(args), TableSelector(args.patterns))
         except Exception as exc:
-            if bg.cancelled or is_cancellation(exc):
+            if bg.cancelled or is_cancellation(exc, bg.group):
                 print(f"update cancelled (job group {bg.group})", file=sys.stderr)
                 return 130
             raise
@@ -912,6 +912,25 @@ def cmd_disk_usage(args) -> int:
         )
         if not loc:
             return None, 0, 0
+        scheme = loc.split("://", 1)[0] if "://" in loc else "file"
+        if scheme not in ("file", ""):
+            # Non-local location (s3a://, hdfs://...): measure through the
+            # Hadoop FileSystem API — os.walk would silently report 0 and
+            # an empty table is indistinguishable from an unmeasured one.
+            try:
+                jvm = spark._jvm
+                jsc = spark.sparkContext._jsc
+                p = jvm.org.apache.hadoop.fs.Path(loc)
+                fs = p.getFileSystem(jsc.hadoopConfiguration())
+                summary = fs.getContentSummary(p)
+                return loc, int(summary.getFileCount()), int(summary.getLength())
+            except Exception:
+                print(
+                    f"warning: cannot measure {loc} ({scheme}://) — "
+                    "reporting storage_mb=null",
+                    file=sys.stderr,
+                )
+                return loc, None, None
         path = loc.replace("file:", "")
         n_files = total = 0
         for root, _, files in os.walk(path):
@@ -944,7 +963,9 @@ def cmd_disk_usage(args) -> int:
                     "schema": db,
                     "table": name,
                     "n_files": n_files,
-                    "storage_mb": round(total / (1 << 20), 3),
+                    "storage_mb": None
+                    if total is None
+                    else round(total / (1 << 20), 3),
                     "has_backup": f"etl_backup__{db}" in dbs
                     and spark.catalog.tableExists(f"{as_backup(db)}.{name}"),
                     "has_staging": f"etl_staging__{db}" in dbs

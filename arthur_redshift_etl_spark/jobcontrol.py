@@ -66,6 +66,14 @@ class BuildGroup:
         # just queued stages dropped — a long scan stops mid-partition
         sc.setJobGroup(self.group, f"arthur build {self.group}", True)
         os.makedirs(_builds_dir(self.repo), exist_ok=True)
+        # A stale cancel marker can outlive a build that was SIGKILLed after
+        # a cancel request (or when request_cancel races exit cleanup).  A
+        # fresh registration must start from a clean cancel state or the
+        # watcher instantly cancels the new build within one poll.
+        try:
+            os.remove(_cancel_path(self.repo, self.group))
+        except OSError:
+            pass
         with open(_reg_path(self.repo, self.group), "w") as fh:
             json.dump(
                 {"group": self.group, "pid": os.getpid(), "started": time.time()},
@@ -147,8 +155,23 @@ def request_cancel(repo: str, group: str) -> bool:
     return True
 
 
-def is_cancellation(exc: BaseException) -> bool:
+def is_cancellation(exc: BaseException, group: Optional[str] = None) -> bool:
     """Whether a Spark failure is a job-group cancellation (so callers can
-    report 'cancelled by operator' instead of a generic failure)."""
+    report 'cancelled by operator' instead of a generic failure).
+
+    Matches only Spark's actual cancellation signatures — ``cancelled part
+    of cancelled job group <group>`` (scheduler) and the
+    ``SparkJobCancelled`` / ``SPARK_JOB_CANCELLED`` error classes — not the
+    bare substring 'cancelled', which shows up in unrelated stage/broadcast
+    messages and in error text that echoes data.  Callers that know their
+    job group should pass it so a *different* group's cancellation text
+    (e.g. quoted inside an analysis error) doesn't match; the primary
+    signal remains ``BuildGroup.cancelled``.
+    """
     text = str(exc)
-    return "cancelled" in text.lower() or "SparkJobCancelled" in text
+    if "SparkJobCancelled" in text or "SPARK_JOB_CANCELLED" in text:
+        return True
+    needle = "part of cancelled job group"
+    if group is not None:
+        needle = f"part of cancelled job group {group}"
+    return needle in text

@@ -628,6 +628,27 @@ def merge_update_table(
     return materialize_dataframe(ctx, rel, merged, db)
 
 
+def _predicate_columns(filtered_df: DataFrame, predicate: str) -> set:
+    """Column names a filter predicate references, from the ANALYZED plan.
+
+    ``filtered_df`` must be ``base.filter(predicate)``: its analyzed plan's
+    top node is the Filter whose resolved condition carries exact attribute
+    references — no string parsing, so a column name inside a string
+    literal does not count.  Falls back to a conservative token scan of the
+    predicate text against the frame's columns if the JVM plan walk fails
+    (over-matching there can only reject, never silently allow).
+    """
+    try:
+        cond = filtered_df._jdf.queryExecution().analyzed().condition()
+        refs = cond.references().toSeq()
+        return {refs.apply(i).name() for i in range(refs.size())}
+    except Exception:  # plan-shape drift across Spark versions
+        import re
+
+        tokens = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", predicate))
+        return {c for c in filtered_df.columns if c in tokens}
+
+
 def refresh_partitions(
     ctx: LoadContext,
     rel: Relation,
@@ -665,7 +686,23 @@ def refresh_partitions(
         )
     db = db or rel.table_name.schema
     fq = f"{_quote(db)}.{_quote(rel.table_name.table)}"
-    slice_df = ctx.spark.sql(rewrite_redshift_sql(rel.sql())).filter(predicate)
+    base_df = ctx.spark.sql(rewrite_redshift_sql(rel.sql()))
+    # GATE: the predicate may reference ONLY partition columns.  With
+    # dynamic partitionOverwriteMode, a predicate on a data column (e.g.
+    # o_totalprice > 100) computes a partial slice and then replaces every
+    # touched partition wholesale with only the matching rows — silently
+    # deleting all non-matching rows in those partitions.
+    slice_df = base_df.filter(predicate)
+    pred_cols = _predicate_columns(slice_df, predicate)
+    extra = sorted(c for c in pred_cols if c not in part_cols)
+    if extra:
+        raise ETLRuntimeError(
+            f"refresh_partitions predicate for {rel.identifier} references "
+            f"non-partition column(s) {extra}; only partition columns "
+            f"{part_cols} are allowed — a data-column predicate under "
+            "dynamic partition overwrite would drop the non-matching rows "
+            "of every touched partition"
+        )
     check_all_constraints(slice_df, rel.design)
     # partition columns must come LAST for insertInto's positional contract
     data_cols = [c for c in slice_df.columns if c not in part_cols]

@@ -183,6 +183,11 @@ def main() -> int:
                     flush=True,
                 )
             finally:
+                # drop the entries' persisted frames (edges/degree/oriented)
+                # between runs — in an entries x tiers sweep the cached
+                # blocks otherwise accumulate across runs, pressuring
+                # storage memory and skewing later-tier timings
+                spark.catalog.clearCache()
                 shutil.rmtree(tmp, ignore_errors=True)
     return 0
 

@@ -271,9 +271,83 @@ def test_update_refresh_partitions_cli_e2e(spark, tmp_path, capsys):
     assert audit["relation"] == "pdw.monthly"
     assert audit["n_partitions"] == 1 and audit["partitions"] == [[month]]
     assert audit["n_rows"] > 0
+
+    # GATE: a predicate over a DATA column must be rejected outright —
+    # under dynamic partition overwrite it would replace every touched
+    # partition with only the matching rows, silently deleting the rest.
+    import pytest
+
+    from arthur_redshift_etl_spark.errors import ETLRuntimeError
+
+    before = spark.table("pdw.monthly").count()
+    with pytest.raises(ETLRuntimeError, match="non-partition column"):
+        main(
+            [
+                "--repo",
+                repo,
+                "update",
+                "pdw.monthly",
+                "--refresh-partitions",
+                "o_totalprice > 100",
+            ]
+        )
+    # mixed predicate (partition AND data column) is rejected too
+    with pytest.raises(ETLRuntimeError, match="o_totalprice"):
+        main(
+            [
+                "--repo",
+                repo,
+                "update",
+                "pdw.monthly",
+                "--refresh-partitions",
+                f"order_month = '{month}' AND o_totalprice > 100",
+            ]
+        )
+    assert spark.table("pdw.monthly").count() == before, (
+        "rejected refresh must leave the table untouched"
+    )
     for db in ("psrc", "pdw"):
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         spark.sql(f"DROP DATABASE IF EXISTS {db}__backup CASCADE")
+
+
+def test_build_group_clears_stale_cancel_marker(spark, tmp_path):
+    """A cancel marker left behind by a SIGKILLed build (or a
+    request_cancel racing exit cleanup) must not instantly cancel the next
+    build that reuses the job-group name."""
+    from arthur_redshift_etl_spark.jobcontrol import _cancel_path
+
+    repo = str(tmp_path)
+    os.makedirs(os.path.join(repo, "builds"), exist_ok=True)
+    with open(_cancel_path(repo, "gstale"), "w") as fh:
+        fh.write("{}")
+    with BuildGroup(spark, repo, group="gstale", poll_seconds=0.02) as bg:
+        # give the watcher several polls to (wrongly) pick up a marker
+        time.sleep(0.2)
+        total = spark.range(100).selectExpr("sum(id) AS s").collect()[0]["s"]
+    assert total == 4950
+    assert bg.cancelled is False
+    assert not os.path.exists(_cancel_path(repo, "gstale"))
+
+
+def test_is_cancellation_signature_matching():
+    """Only Spark's real job-group-cancellation signatures match — a
+    failure whose text merely contains 'cancelled' (stage chatter, error
+    text echoing data) must not be reported as an operator cancel."""
+    assert not is_cancellation(Exception("column 'status' = 'cancelled'"))
+    assert not is_cancellation(
+        Exception("Broadcast exchange cancelled due to OOM")
+    )
+    real = Exception(
+        "Job 7 cancelled part of cancelled job group build-42-123"
+    )
+    assert is_cancellation(real)
+    assert is_cancellation(real, "build-42-123")
+    # a different group's cancellation text (e.g. quoted inside an
+    # analysis error) is not THIS build's cancel
+    assert not is_cancellation(real, "build-99-456")
+    assert is_cancellation(Exception("SparkJobCancelled: job 3"))
+    assert is_cancellation(Exception("[SPARK_JOB_CANCELLED] job 3"))
 
 
 def test_disk_usage_cli_reports_tables_and_backup_flags(spark, tmp_path, capsys):
