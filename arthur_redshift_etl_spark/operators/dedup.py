@@ -372,10 +372,20 @@ def minhash_dedup_pairs(
         sh = spark.read.parquet(materialize_dir)
         n_shingle_rows = sh.count()  # parquet-footer metadata read, cheap
     else:
-        sh = doc_shingle_hashes(df, id_col, text_col, shingle_size).persist()
-        n_shingle_rows = sh.count()  # materialize before fan-out (docstring)
+        # localCheckpoint, not persist: the shingle subtree is referenced
+        # ~6x downstream and a persist leaves the full logical lineage
+        # under every consumer — Catalyst re-analyzed it per reference
+        # (measured: 4.6 s of driver-side planning per run at sf0.1, 62%+
+        # of warm wall).  Checkpointing truncates the plan to a leaf; the
+        # materialization cost is the same one pass the eager persist+count
+        # already paid.  Same pattern as the iterative BPE loop
+        # (247 s → 15 s) — here applied to fan-out, not iteration.
+        sh = doc_shingle_hashes(df, id_col, text_col, shingle_size).localCheckpoint()
+        n_shingle_rows = sh.count()  # cheap: counts the checkpointed blocks
     sigs = minhash_signatures_from_hashes(sh, id_col, num_hashes).persist()
-    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, rows_per_band)
+    # candidate pairs feed one side of the verify join; checkpointing them
+    # drops the band-explode self-join lineage from the final plan
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, rows_per_band).localCheckpoint()
     jac = jaccard_from_shingles(
         sh,
         pairs,

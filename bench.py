@@ -183,12 +183,17 @@ def main() -> None:
         # Force analysis + optimization + physical planning WITHOUT
         # executing: the split separates Catalyst/driver-side plan work
         # (pure CPU, contention-sensitive, zero plan-quality signal) from
-        # execution so cold-artifact drift can be attributed.  Whole-stage
+        # execution so cold-artifact drift can be attributed.  Timed from
+        # AFTER fn() returns so an operator that eagerly materializes an
+        # intermediate (localCheckpoint — e.g. the minhash shingle set)
+        # doesn't have that execution misread as Catalyst overhead; the
+        # eager part still lands in the query's total.  Whole-stage
         # codegen + JIT still land in the exec half — the fresh-JVM recheck
         # below bounds that part.
+        plan_start = time.perf_counter()
         if df.isStreaming is False:
             df._jdf.queryExecution().executedPlan()
-        planned = time.perf_counter() - start
+        planned = time.perf_counter() - plan_start
         n = df.count() if df.isStreaming is False else -1
         elapsed = time.perf_counter() - start
         # free per-query persisted intermediates (e.g. the dedup shingle
