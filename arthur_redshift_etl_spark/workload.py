@@ -2335,29 +2335,38 @@ def q20(spark, sf_dir):
     """,
     description=(
         "TPC-H Q21-style: suppliers who shipped last in multi-supplier "
-        "orders, late vs order date. EXISTS/NOT EXISTS hand-decorrelated: "
-        "per-(order,supplier) max-ship + per-order top-2 distinct supplier "
-        "maxima, so the plan is two aggregations co-partitioned on "
-        "l_orderkey instead of three correlated lineitem scans"
+        "orders, late vs order date. EXISTS/NOT EXISTS hand-decorrelated "
+        "into ONE pass: per-(order,supplier) aggregate carries max-ship "
+        "plus the bounded list of late shipdates (TPC-H orders have <=7 "
+        "lineitems), per-order top-2 distinct supplier maxima come from a "
+        "window over the same hash(l_orderkey) clustering, and the "
+        "qualifying-row count is a row-local array filter — no join back "
+        "against lineitem, so lineitem is scanned and shuffled exactly once"
     ),
 )
 def q21(spark, sf_dir):
-    # One explicit repartition on l_orderkey feeds BOTH derivations below:
-    # hash(l_orderkey) satisfies the clustering needed by the
-    # groupBy(l_orderkey, l_suppkey) aggregation, the window, and the final
-    # (l_orderkey, l_suppkey) join — lineitem is scanned and shuffled once.
-    li = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey", "l_shipdate")
-        .repartition("l_orderkey")
+    # Join orders FIRST (status-F restriction only narrows which orders'
+    # lineitems participate — the EXISTS/NOT EXISTS subqueries range over
+    # the same order's lineitems, all of which survive the join), then do
+    # ALL per-order work on the join output: hash(l_orderkey) from the
+    # sort-merge join satisfies the groupBy(l_orderkey, l_suppkey)
+    # clustering (subset rule) and the window, so nothing re-shuffles.
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
     )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
     w = Window.partitionBy("l_orderkey")
-    # per-(order, supplier) latest shipment, then per-order stats via windows
-    # over the same partitioning (no extra shuffle): number of suppliers,
-    # top supplier-max v1, achiever count cnt1, second distinct value v2
-    stats = (
-        li.groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max("l_shipdate").alias("my_max"))
+    # per-(order, supplier): latest shipment + the (bounded, <=7) late
+    # shipdates; per-order stats via windows over the same partitioning:
+    # supplier count, top supplier-max v1, achiever count cnt1, runner-up v2
+    g = (
+        lo.groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max("l_shipdate").alias("my_max"),
+            F.collect_list(F.when(late, F.col("l_shipdate"))).alias("late_ships"),
+        )
         .withColumn("nsupp", F.count(F.lit(1)).over(w))
         .withColumn("v1", F.max("my_max").over(w))
         .withColumn(
@@ -2374,22 +2383,20 @@ def q21(spark, sf_dir):
                 (F.col("my_max") < F.col("v1")) | (F.col("cnt1") > 1), F.col("v1")
             ).otherwise(F.col("v2")),
         )
-        .select("l_orderkey", "l_suppkey", "other_max")
-    )
-    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
-        "o_orderkey", "o_orderdate"
-    )
-    l1 = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
-        .join(stats, ["l_orderkey", "l_suppkey"])
-        .filter(F.col("l_shipdate") >= F.col("other_max"))
+        # a row qualifies iff it is late AND no other supplier shipped
+        # after it — a row-local filter over the collected late shipdates
+        .withColumn(
+            "numwait_part",
+            F.size(F.filter(F.col("late_ships"), lambda x: x >= F.col("other_max"))),
+        )
+        .filter(F.col("numwait_part") > 0)
+        .select("l_suppkey", "numwait_part")
     )
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        l1.join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        g.join(F.broadcast(supp), g.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .agg(F.sum("numwait_part").cast("long").alias("numwait"))
     )
 
 # ===========================================================================
@@ -6370,35 +6377,12 @@ def hll_daily_users(spark, sf_dir):
     return sk.hll_estimate_grouped(regs, ["day"])
 
 
-@query(
-    "quantile_sketch_prices",
-    oracle=None,  # sketch estimates depend on the (deterministic) input
-    # split layout, not expressible as one-shot SQL; the rank-error bound
-    # and merge/determinism properties are pinned in
-    # tests/test_quantile_sketch.py against exact ranks
-    description=(
-        "single-pass mergeable quantile sketch (KLL-style, deterministic "
-        "even-index compaction): map-only bounded state per partition, "
-        "UNION merge, driver-side weighted rank walk over sketch rows "
-        "(metadata-scale) — the one-pass complement to the exact "
-        "range-shuffle quantiles; rank error ~0.5% at capacity 256"
-    ),
-)
-def quantile_sketch_prices(spark, sf_dir):
-    from .operators import quantiles as qt
-
-    li = t(spark, sf_dir, "lineitem").select(
-        F.col("l_extendedprice").cast("double").alias("v")
-    )
-    sk = qt.kll_partition_sketches(li, "v", capacity=256)
-    probs = [0.01, 0.25, 0.5, 0.75, 0.99]
-    est = qt.kll_quantiles(sk, probs)
-    return spark.createDataFrame(
-        [(float(p), float(e) if e is not None else None)
-         for p, e in zip(probs, est)],
-        "p double, estimate double",
-    )
-
+# (quantile_sketch_prices — the raw-estimate entry declared no-oracle in
+# r3 — retired in r6: quantile_sketch_bound_check below runs the identical
+# sketch (same column, capacity, probes) and wraps every estimate in the
+# deterministic exact-rank bracket, so it fully oracles the family; the
+# raw-estimate rank-error/merge/determinism properties remain pinned in
+# tests/test_quantile_sketch.py)
 
 _KLL_PROBS = [0.01, 0.25, 0.5, 0.75, 0.99]
 _KLL_BRACKET_EPS = 0.025  # pinned sketch rank error is 0.02; 0.005 margin

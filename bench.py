@@ -31,11 +31,20 @@ from arthur_redshift_etl_spark.session import build_session  # noqa: E402
 # process tree (the smoking gun for a competing workload).
 
 
-def _stat_busy_ticks() -> int:
+def _stat_ticks() -> tuple[int, int]:
+    """(busy_ticks, steal_ticks) for the whole box.
+
+    steal (field 8) is CPU the hypervisor gave to OTHER VMs while this one
+    had runnable work — invisible in this VM's process table, so without
+    splitting it out the meter attributed it to a phantom in-VM competitor
+    (measured: 32 in-VM burners get ~28.6 effective cores with ~2.4
+    stolen, and ambient steal spikes with neighbor-VM bursts — the
+    uniform per-query inflation fingerprint of BENCH_r05).
+    """
     with open("/proc/stat") as fh:
         fields = fh.readline().split()[1:]
     vals = [int(x) for x in fields]
-    return sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+    return sum(vals) - vals[3] - vals[4], vals[7]  # busy = all - idle - iowait
 
 
 def _pid_snapshot() -> dict:
@@ -70,7 +79,7 @@ def _own_tree(procs: dict) -> set:
 class _HostMeter:
     def __init__(self) -> None:
         self.load_pre = os.getloadavg()
-        self.busy0 = _stat_busy_ticks()
+        self.busy0, self.steal0 = _stat_ticks()
         self.procs0 = _pid_snapshot()
         self.times0 = os.times()
         self.t0 = time.monotonic()
@@ -78,7 +87,9 @@ class _HostMeter:
     def finish(self) -> dict:
         elapsed = max(time.monotonic() - self.t0, 1e-9)
         clk = os.sysconf("SC_CLK_TCK")
-        busy_cores = (_stat_busy_ticks() - self.busy0) / clk / elapsed
+        busy1, steal1 = _stat_ticks()
+        busy_cores = (busy1 - self.busy0) / clk / elapsed
+        steal_cores = (steal1 - self.steal0) / clk / elapsed
         procs1 = _pid_snapshot()
         own = _own_tree(procs1)
         # a pid born mid-run contributes all its ticks (default 0 baseline)
@@ -100,7 +111,10 @@ class _HostMeter:
             "load5_post": round(load_post[1], 2),
             "busy_cores": round(busy_cores, 2),
             "own_cores": round(own_cores, 2),
-            "other_cores": round(max(0.0, busy_cores - own_cores), 2),
+            # hypervisor steal is the shared-HOST contention evidence;
+            # other_cores (busy minus steal minus us) is in-VM competitors
+            "steal_cores": round(steal_cores, 2),
+            "other_cores": round(max(0.0, busy_cores - steal_cores - own_cores), 2),
             "ncpu": os.cpu_count(),
         }
 
@@ -245,7 +259,26 @@ def main() -> None:
     }
     if do_warm:
         result["value_warm"] = round(warm_total, 4)
+    # Stop AND REAP the JVM: py4j's java child is otherwise reaped lazily
+    # (Popen destructor at interpreter exit), so at meter.finish() its
+    # ticks are gone from the live /proc table but not yet credited to
+    # children_user — the meter then counted our own JVM as "other_cores"
+    # (observed: other_cores 1.9-4.2 on an idle box).  Reaping here makes
+    # the attribution deterministic, and transitively fixes the fresh-JVM
+    # recheck children: each child reaps its java before exiting, so the
+    # grandchild's CPU propagates into this process's children_user.
+    gateway = spark.sparkContext._gateway
     spark.stop()
+    try:
+        gateway.shutdown()
+    except Exception:  # noqa: BLE001 - already shut down is fine
+        pass
+    jvm_proc = getattr(gateway, "proc", None)
+    if jvm_proc is not None:
+        try:
+            jvm_proc.wait(timeout=30)
+        except Exception:  # noqa: BLE001 - reap is best-effort
+            pass
 
     # Fresh-JVM recheck: three rounds of cold-artifact drift (24.9 -> 34.2
     # -> 38.2 s on FLAT warm totals, VERDICT r2/r3) tracked to JIT/code-

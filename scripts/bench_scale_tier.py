@@ -27,8 +27,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = os.environ.get("SPARK_GRAFT_SCALE_TIER_DIR", "/tmp/spark_graft_sf0.3")
-COPIES = 3
+# r6 adds the 10x tier (sf1.0-equivalent, ~6M-row lineitem): same
+# generator, SPARK_GRAFT_SCALE_COPIES=10 — a third scaling point so a
+# superlinear query shows a GROWING factor across 3x -> 10x, not a
+# single ambiguous ratio.
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "3"))
+DST = os.environ.get(
+    "SPARK_GRAFT_SCALE_TIER_DIR", f"/tmp/spark_graft_sf{COPIES / 10:g}"
+)
 SCALED = ("orders", "lineitem")
 TABLES = (
     "region nation customer supplier part orders lineitem "
