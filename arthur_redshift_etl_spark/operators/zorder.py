@@ -67,17 +67,25 @@ def with_zorder_key(
 
 
 def write_zordered(
-    df: DataFrame, path: str, cols: Sequence[str], num_files: int = 32
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int = 32,
+    options: dict | None = None,
 ) -> None:
     """Cluster rows by Morton key and write: range partition on the key
     (files own contiguous z-ranges) + sort within partitions (tight
     rowgroup stats).  Readers filtering on EITHER column skip files via
-    parquet min-max."""
+    parquet min-max.  ``options`` passes writer options through (e.g.
+    ``parquet.block.size`` to shrink row groups so min-max pruning has
+    finer granularity — the skipping unit is the row group)."""
     keyed = with_zorder_key(df, cols)
-    (
+    writer = (
         keyed.repartitionByRange(num_files, F.col("__zorder"))
         .sortWithinPartitions("__zorder")
         .drop("__zorder")
         .write.mode("overwrite")
-        .parquet(path)
     )
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.parquet(path)

@@ -35,10 +35,115 @@ def plan_text(df: DataFrame, mode: str = "formatted") -> str:
     return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 
 
-def lint_plan(df: DataFrame, broadcast_row_hint: int = 10_000_000) -> List[LintWarning]:
+# Tables whose row count scales with the fact data volume: broadcasting a
+# raw (un-aggregated, un-limited) subtree over one of these works at test SF
+# and OOMs the driver/executors at 100 TB.  Dimension tables (region,
+# nation) and aggregate/limit-reduced subtrees are bounded by construction.
+FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+# optimized-logical nodes that bound the rows flowing out of their subtree
+_REDUCING_NODES = (
+    "Aggregate",
+    "GlobalLimit",
+    "LocalLimit",
+    "Deduplicate",
+)
+
+
+def _jchildren(jnode):
+    ch = jnode.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def broadcast_audit(df: DataFrame) -> List[dict]:
+    """One record per HINT-FORCED broadcast side in the optimized plan.
+
+    Planner-chosen broadcasts are size-based and self-correct as the data
+    grows (AQE re-decides from runtime stats), so only explicit
+    ``F.broadcast(...)`` hints — which force the broadcast at ANY size —
+    are audited.  ``scans``: fact tables scanned RAW inside the hinted
+    subtree, i.e. with no aggregate/limit between hint and scan, so the
+    broadcast is proportional to the table (filters scale too).
+    ``size_bytes``: Catalyst's size estimate for the hinted subtree.
+    """
+    records: List[dict] = []
+
+    def scan_subtree(node) -> tuple:
+        """(raw fact scans, subtree contains a reducing node)."""
+        name = node.nodeName()
+        if any(name.startswith(r) for r in _REDUCING_NODES):
+            return [], True  # row-bounded below this point
+        if not _jchildren(node):  # logical leaf: relation / local table
+            try:  # file-based: identify the table by its root path
+                ident = node.relation().location().rootPaths().apply(0).toString()
+            except Exception:  # noqa: BLE001 - LocalRelation / non-file leaf
+                ident = node.toString().splitlines()[0]
+            return [t for t in FACT_TABLES if t in ident], False
+        found: List[str] = []
+        reduced = False
+        for c in _jchildren(node):
+            f, r = scan_subtree(c)
+            found.extend(f)
+            reduced = reduced or r
+        return found, reduced
+
+    def walk(node):
+        if node.nodeName() == "Join":
+            children = _jchildren(node)
+            hint = node.hint()
+            for side, idx in ((hint.leftHint(), 0), (hint.rightHint(), 1)):
+                if not (side.isDefined() and side.get().strategy().isDefined()):
+                    continue
+                if "broadcast" not in side.get().strategy().get().toString().lower():
+                    continue
+                subtree = children[idx]
+                raw = subtree.stats().sizeInBytes()  # scala BigInt; py4j may
+                size = raw if isinstance(raw, int) else int(raw.toString())
+                scans, reduced = scan_subtree(subtree)
+                records.append(
+                    {
+                        "scans": sorted(set(scans)),
+                        "size_bytes": size,
+                        # a reducing node makes the subtree row-bounded AND
+                        # its Catalyst byte estimate meaningless (default
+                        # multiplicative propagation through joins printed
+                        # 850 GB for k-bounded subtrees) — size-gate only
+                        # reduction-free lineage, where stats track scans
+                        "size_meaningful": not reduced,
+                    }
+                )
+        for c in _jchildren(node):
+            walk(c)
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return records
+
+
+def lint_plan(df: DataFrame, broadcast_bytes_hint: int = 256 << 20) -> List[LintWarning]:
     """Inspect the physical plan for scale hazards."""
     text = plan_text(df)
     warnings: List[LintWarning] = []
+
+    for rec in broadcast_audit(df):
+        if rec["scans"]:
+            warnings.append(
+                LintWarning(
+                    "BCAST_RAW_FACT",
+                    "broadcast subtree scans fact table(s) "
+                    f"{','.join(rec['scans'])} with no aggregate/limit in "
+                    "between — the broadcast grows with the data; bound it "
+                    "(aggregate, limit, or a measured-size gate) or shuffle",
+                )
+            )
+        if rec["size_meaningful"] and rec["size_bytes"] > broadcast_bytes_hint:
+            warnings.append(
+                LintWarning(
+                    "BIG_BROADCAST",
+                    f"broadcast subtree estimated at {rec['size_bytes']} "
+                    f"bytes (> {broadcast_bytes_hint}) — driver materializes "
+                    "every broadcast; prefer a shuffle join at this size",
+                )
+            )
 
     if "CartesianProduct" in text:
         warnings.append(

@@ -2102,9 +2102,13 @@ def q02(spark, sf_dir):
         .select("p_partkey", "p_brand")
     )
     # the correlated MIN is per-part over EUROPE offers only; restricting to
-    # filtered parts first keeps the window input small (semi-filter pushdown)
-    eu_offers = offers.join(F.broadcast(eu), F.col("suppkey") == F.col("s_suppkey")).join(
-        F.broadcast(part), F.col("partkey") == F.col("p_partkey")
+    # filtered parts first keeps the window input small (semi-filter pushdown).
+    # No broadcast hints on eu/part: BOTH scale with SF (supplier 10k-per-SF,
+    # part 200k-per-SF), so forcing the broadcast is a 100 TB driver-OOM
+    # hazard (caught by the r6 BIG_BROADCAST lint); the planner/AQE
+    # auto-broadcasts them below the size threshold and shuffles above it
+    eu_offers = offers.join(eu, F.col("suppkey") == F.col("s_suppkey")).join(
+        part, F.col("partkey") == F.col("p_partkey")
     )
     w = Window.partitionBy("partkey")
     return (

@@ -94,9 +94,24 @@ ALLOWED_NL_JOIN = {
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_cartesian_no_python_udf(spark, name):
+    from tests.test_lint_gate import ALLOWED_BIG_BROADCAST, ALLOWED_RAW_FACT_BCAST
+
     df = REGISTRY[name].fn(spark, SF)
     codes = {w.code for w in lint_plan(df)}
     assert "PY_UDF" not in codes, f"{name}: Python UDF in a catalog hot path"
+    # broadcast-hint audit (r6): a hinted broadcast over an un-aggregated
+    # fact scan grows with the data; allowlisted entries bound it by a
+    # selective key predicate instead (see test_lint_gate.py)
+    if name not in ALLOWED_RAW_FACT_BCAST:
+        assert "BCAST_RAW_FACT" not in codes, (
+            f"{name}: F.broadcast over a raw fact-table subtree — bound it "
+            "or add an ALLOWED_RAW_FACT_BCAST entry with the reason"
+        )
+    if name not in ALLOWED_BIG_BROADCAST:
+        assert "BIG_BROADCAST" not in codes, (
+            f"{name}: hinted broadcast subtree estimated over the driver "
+            "budget — shuffle instead or justify the stat overestimate"
+        )
     if name not in ALLOWED_NL_JOIN:
         assert "CARTESIAN" not in codes and "NL_JOIN" not in codes, (
             f"{name}: unexpected cartesian/nested-loop join — if this shape "

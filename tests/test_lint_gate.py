@@ -1,0 +1,124 @@
+"""Broadcast-hint lint gate (VERDICT r5 next-round #7).
+
+``plans/lint.py`` now audits every EXPLICIT ``F.broadcast(...)`` hint in the
+optimized plan: a hint whose subtree scans a fact table with no
+aggregate/limit in between forces a broadcast that grows with the data
+(``BCAST_RAW_FACT``), and a hinted subtree whose Catalyst size estimate
+exceeds the driver-materialization budget warns ``BIG_BROADCAST``.
+Planner-chosen broadcasts are exempt by design — they are size-based and
+AQE re-decides them from runtime stats, so they self-correct at scale.
+
+The per-entry sweep lives in test_catalog_hygiene.py (same plan build,
+one pass); this file owns the allowlist and proves the lint is ARMED —
+a gate that never fires on a known hazard is not a gate.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arthur_redshift_etl_spark.plans.lint import broadcast_audit, lint_plan
+from arthur_redshift_etl_spark.workload import t
+
+SF = "/root/testdata/sf0.001"
+
+# Entries allowed to carry a hinted broadcast over a fact-table subtree.
+# Every one bounds the broadcast by a SELECTIVE KEY PREDICATE — a fixed
+# number of rows at ANY scale factor — which the structural lint cannot
+# see (a filter is not a reduction in general: most filters scale
+# proportionally with the table).
+ALLOWED_RAW_FACT_BCAST = {
+    "knn_bruteforce": "query set = embeddings vec_id < 10 (10 rows at any SF)",
+    "knn_gemm_topk": "query set = embeddings vec_id < 10 (10 rows at any SF)",
+    "knn_incremental_merge": "query set = embeddings vec_id < 10, both batches",
+    "ann_int8_search": "query set vec_id < 10 + 1-row scale aggregate",
+    "ann_lsh_search": "query set vec_id < 10 against hyperplane buckets",
+    "ann_ivf_buckets": "centroid seeds = embeddings vec_id % stride (k rows)",
+    "ann_ivf_search": "centroid seeds (k rows) + query set vec_id < 10",
+    "ann_ivf_multiprobe": "centroid seeds (k rows) + query set vec_id < 10",
+    "ann_ivf_recall_eval": "centroid seeds + query set, recall harness",
+    "ann_ivf_incremental_assign": "centroid seeds (k rows), old+new batches",
+    "kmeans_embedding_clusters": "centroid seeds = vec_id-strided k rows",
+    "kmeans_single_iteration": "centroid seeds = vec_id-strided k rows",
+    "semantic_dedup_clustered": "centroid seeds (k rows) for cluster assignment",
+    "decontaminate_semantic_eval": "eval set = benchmark-sized fixed slice",
+    "contrastive_pair_mining": "anchor set = vec_id % 97 (corpus/97 rows; "
+    "documented scored-scan design, same shape as knn_bruteforce)",
+    "bitext_margin_mining": "anchor set = vec_id % 53 even-label slice",
+}
+
+# The size check already skips subtrees containing a reducing node (their
+# Catalyst byte estimate is the multiplicative worst case — 850 GB prints
+# for k-bounded subtrees), so this list only carries reduction-free hinted
+# subtrees whose estimate is inflated by join-stat propagation but whose
+# true size is bounded by the entry's selective key predicate.
+ALLOWED_BIG_BROADCAST = {
+    "ann_ivf_multiprobe": "probe expansion of the vec_id<10 query set "
+    "joined to k centroids — rows = |queries| x nprobe, stat is the "
+    "join-product worst case",
+}
+
+
+def test_lint_fires_on_raw_fact_broadcast(spark):
+    """A hinted broadcast of an un-aggregated fact scan must warn — this is
+    the constructed hazard that proves the gate is armed."""
+    li = t(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = t(spark, SF, "orders")
+    bad = o.join(F.broadcast(li), F.col("o_orderkey") == F.col("l_orderkey"))
+    codes = {w.code for w in lint_plan(bad)}
+    assert "BCAST_RAW_FACT" in codes
+    recs = [r for r in broadcast_audit(bad) if r["scans"]]
+    assert recs and recs[0]["scans"] == ["lineitem"]
+
+
+def test_lint_silent_on_aggregate_bounded_broadcast(spark):
+    """An aggregate between the hint and the fact scan bounds the broadcast
+    (group count, not row count) — no warning."""
+    li = t(spark, SF, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    o = t(spark, SF, "orders")
+    ok = o.join(F.broadcast(agg), F.col("o_orderkey") == F.col("l_orderkey"))
+    assert "BCAST_RAW_FACT" not in {w.code for w in lint_plan(ok)}
+
+
+def test_lint_silent_on_dimension_broadcast(spark):
+    """Hinted dimension broadcasts (the bread-and-butter pattern) pass."""
+    li = t(spark, SF, "lineitem")
+    s = t(spark, SF, "supplier")
+    dim = li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    assert "BCAST_RAW_FACT" not in {w.code for w in lint_plan(dim)}
+
+
+def test_lint_silent_on_planner_chosen_broadcast(spark):
+    """A join with NO hint that the planner broadcasts by size is exempt —
+    AQE re-decides it from runtime stats at scale."""
+    li = t(spark, SF, "lineitem")
+    o = t(spark, SF, "orders")
+    unhinted = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    assert broadcast_audit(unhinted) == []
+
+
+def test_big_broadcast_threshold_fires(spark):
+    """The size check is live: any hinted subtree trips it when the budget
+    is set below its Catalyst estimate."""
+    li = t(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = t(spark, SF, "orders")
+    bad = o.join(F.broadcast(li), F.col("o_orderkey") == F.col("l_orderkey"))
+    codes = {w.code for w in lint_plan(bad, broadcast_bytes_hint=16)}
+    assert "BIG_BROADCAST" in codes
+
+
+def test_allowlists_reference_live_entries():
+    from arthur_redshift_etl_spark.workload import REGISTRY
+
+    stale = [
+        n
+        for n in (*ALLOWED_RAW_FACT_BCAST, *ALLOWED_BIG_BROADCAST)
+        if n not in REGISTRY
+    ]
+    assert not stale, f"allowlist names not in REGISTRY: {stale}"
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))
