@@ -1047,31 +1047,60 @@ def load_sources_as_extracted(
     """
     import time as _time
 
-    from .monitor import STEP_EXTRACT
+    from .monitor import EVENT_FAIL, STEP_EXTRACT
 
-    pending = {r.identifier: r for r in relations if r.is_source_relation}
-    staging_ids = [r.identifier for r in relations]
+    all_relations = list(relations)
+    pending = {r.identifier: r for r in all_relations if r.is_source_relation}
+    staging_ids = [r.identifier for r in all_relations]
     loaded: List[str] = []
+    failed: List[Relation] = []
     last_progress = _time.time()
     with ThreadPoolExecutor(max_workers=ctx.max_concurrency) as pool:
         futures = {}
         while pending or futures:
+            progressed = False
             for ident in list(pending):
-                if ctx.store.latest_finish(ident, STEP_EXTRACT) is not None:
-                    rel = pending.pop(ident)
-                    futures[ident] = pool.submit(
-                        build_one_relation, ctx, rel, True, staging_ids
+                outcome = ctx.store.latest_outcome(ident, STEP_EXTRACT)
+                if outcome is None:
+                    continue
+                rel = pending.pop(ident)
+                progressed = True
+                if outcome.get("event") == EVENT_FAIL:
+                    # reference load.py:894-903: a failed extract still
+                    # CREATES the relation (empty, skip_copy) and poisons
+                    # every dependent — the load proceeds structurally so
+                    # downstream DDL exists, but no bad data flows
+                    rel.skip_copy = True
+                    skipped = mark_failure(all_relations, rel)
+                    failed.append(rel)
+                    logger.error(
+                        "extract failed for %s; creating empty and skipping "
+                        "%d dependent(s): %s",
+                        ident,
+                        len(skipped),
+                        skipped,
                     )
+                futures[ident] = pool.submit(
+                    build_one_relation, ctx, rel, True, staging_ids
+                )
             for ident, fut in list(futures.items()):
                 if fut.done():
                     del futures[ident]
                     fut.result()  # propagate errors
                     loaded.append(ident)
                     last_progress = _time.time()
-            if pending and not futures:
-                if _time.time() - last_progress > idle_timeout:
-                    raise ETLRuntimeError(
-                        f"idle timeout: no extract events for {sorted(pending)}"
-                    )
+                    progressed = True
+            # timeout counts from the last PROGRESS (a completed load or a
+            # consumed event), never while work is in flight — an injected
+            # slow source defers it, matching the reference's
+            # checkpoint-on-no-progress poller (load.py:855-866)
+            if pending and not futures and _time.time() - last_progress > idle_timeout:
+                raise ETLRuntimeError(
+                    f"idle timeout: no extract events for {sorted(pending)}"
+                )
+            if not progressed:
                 _time.sleep(poll_interval)
+    required_failed = sorted(r.identifier for r in failed if r.is_required)
+    if required_failed:
+        raise RequiredRelationLoadError(required_failed)
     return loaded

@@ -194,6 +194,18 @@ class EventStore:
                     found = e
         return found
 
+    def latest_outcome(self, target: str, step: str) -> Optional[Dict[str, Any]]:
+        """Latest finish-OR-fail event.  The percolator cares about both:
+        the reference's poller queries for ``:fail_event, :finish_event``
+        together (load.py:874-886) so a failed extract unblocks the load
+        (empty, skip_copy) instead of hanging to the idle timeout."""
+        found = None
+        for e in self.query(target=target, step=step):
+            if e.get("event") in (EVENT_FINISH, EVENT_FAIL):
+                if found is None or e["timestamp"] > found["timestamp"]:
+                    found = e
+        return found
+
 
 @dataclass
 class Monitor:

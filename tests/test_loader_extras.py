@@ -529,3 +529,154 @@ def test_refresh_partitions_dynamic_overwrite(spark, tmp_path, clean_dbs):
     # guardrails: unpartitioned and source relations are rejected
     with pytest.raises(ETLRuntimeError):
         refresh_partitions(ctx, src, "1=1")
+
+
+# ---------------------------------------------------------------------------
+# Percolator e2e under concurrent extract events (VERDICT r5 next-round #8):
+# injected slow source, mid-run event writers, failure propagation, and
+# idle-timeout-vs-in-flight semantics, mirroring reference load.py:790-988.
+# ---------------------------------------------------------------------------
+
+
+def _transform_rel(name, deps):
+    return Relation(
+        design=TableDesign(
+            name=name,
+            source_name="CTAS",
+            columns=[ColumnDefinition("c")],
+            depends_on=list(deps),
+        ),
+        query="SELECT 1 AS c",
+    )
+
+
+def test_percolator_slow_source_does_not_block_fast(
+    spark, tmp_path, clean_dbs, monkeypatch
+):
+    """nation's extract event lands FIRST but its (injected-slow) load must
+    not serialize region behind it: the pool dispatches concurrently
+    (reference load.py:906-943 runs max_concurrency load workers), so the
+    completion order inverts the event order."""
+    import arthur_redshift_etl_spark.loader as loader_mod
+
+    store = EventStore()
+    ctx = LoadContext(
+        spark=spark, data_root=str(tmp_path / "lake"), store=store, max_concurrency=2
+    )
+    rels = [
+        source_rel(spark, tmp_path, "ssrc.nation", "nation"),
+        source_rel(spark, tmp_path, "ssrc.region", "region"),
+    ]
+
+    real_build = loader_mod.build_one_relation
+
+    def slow_nation(ctx_, rel, use_staging=True, staging_identifiers=()):
+        if rel.identifier.endswith("nation"):
+            time.sleep(1.0)
+        return real_build(ctx_, rel, use_staging, staging_identifiers)
+
+    monkeypatch.setattr(loader_mod, "build_one_relation", slow_nation)
+
+    def emit_events():
+        with Monitor(store, "ssrc.nation", STEP_EXTRACT):
+            pass
+        time.sleep(0.25)  # region's extract finishes mid-run
+        with Monitor(store, "ssrc.region", STEP_EXTRACT):
+            pass
+
+    t = threading.Thread(target=emit_events)
+    t.start()
+    loaded = load_sources_as_extracted(ctx, rels, poll_interval=0.05)
+    t.join()
+    assert loaded == ["ssrc.region", "ssrc.nation"]
+
+
+def test_percolator_failed_extract_creates_empty_and_skips_dependents(
+    spark, tmp_path, clean_dbs
+):
+    """Reference load.py:894-903: a FAILED extract still creates the
+    relation (empty, skip_copy) and poisons every dependent — the run
+    completes instead of hanging to the idle timeout."""
+    from arthur_redshift_etl_spark.loader import as_staging
+
+    store = EventStore()
+    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=store)
+    nation = source_rel(spark, tmp_path, "fsrc.nation", "nation")
+    region = source_rel(spark, tmp_path, "fsrc.region", "region")
+    downstream = _transform_rel("fdw.summary", ["fsrc.nation"])
+    unrelated = _transform_rel("fdw.other", ["fsrc.region"])
+
+    def emit_events():
+        time.sleep(0.2)
+        try:
+            with Monitor(store, "fsrc.nation", STEP_EXTRACT):
+                raise ValueError("extract blew up upstream")
+        except ValueError:
+            pass  # Monitor emitted the fail event
+        with Monitor(store, "fsrc.region", STEP_EXTRACT):
+            pass
+
+    t = threading.Thread(target=emit_events)
+    t.start()
+    loaded = load_sources_as_extracted(
+        ctx, [nation, region, downstream, unrelated], poll_interval=0.05
+    )
+    t.join()
+    assert sorted(loaded) == ["fsrc.nation", "fsrc.region"]
+    assert nation.failed and nation.skip_copy
+    assert downstream.skip_copy, "dependent of the failed source must skip"
+    assert not unrelated.skip_copy, "unrelated transform untouched"
+    # the failed source exists but is EMPTY; the healthy one has data
+    assert spark.table(f"{as_staging('fsrc')}.nation").count() == 0
+    assert spark.table(f"{as_staging('fsrc')}.region").count() > 0
+
+
+def test_percolator_required_extract_failure_raises(spark, tmp_path, clean_dbs):
+    from arthur_redshift_etl_spark.errors import RequiredRelationLoadError
+
+    store = EventStore()
+    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=store)
+    nation = source_rel(spark, tmp_path, "rsrc.nation", "nation")
+    nation.is_required = True
+    try:
+        with Monitor(store, "rsrc.nation", STEP_EXTRACT):
+            raise ValueError("extract blew up upstream")
+    except ValueError:
+        pass
+    with pytest.raises(RequiredRelationLoadError):
+        load_sources_as_extracted(ctx, [nation], poll_interval=0.05)
+
+
+def test_percolator_idle_timeout_deferred_by_inflight_load(
+    spark, tmp_path, clean_dbs, monkeypatch
+):
+    """The idle timeout counts from the last PROGRESS, never while a load
+    is in flight: with nation building slowly (longer than the timeout)
+    and region's event never arriving, the error fires only AFTER the slow
+    build completes + idle_timeout elapses — and names only region."""
+    import arthur_redshift_etl_spark.loader as loader_mod
+    from arthur_redshift_etl_spark.errors import ETLRuntimeError
+
+    store = EventStore()
+    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=store)
+    rels = [
+        source_rel(spark, tmp_path, "tsrc.nation", "nation"),
+        source_rel(spark, tmp_path, "tsrc.region", "region"),
+    ]
+    real_build = loader_mod.build_one_relation
+
+    def slow_nation(ctx_, rel, use_staging=True, staging_identifiers=()):
+        time.sleep(0.9)
+        return real_build(ctx_, rel, use_staging, staging_identifiers)
+
+    monkeypatch.setattr(loader_mod, "build_one_relation", slow_nation)
+    with Monitor(store, "tsrc.nation", STEP_EXTRACT):
+        pass
+    start = time.monotonic()
+    with pytest.raises(ETLRuntimeError, match=r"tsrc\.region") as exc:
+        load_sources_as_extracted(ctx, rels, poll_interval=0.05, idle_timeout=0.4)
+    elapsed = time.monotonic() - start
+    assert "nation" not in str(exc.value), "in-flight relation must not be blamed"
+    # 0.9s in-flight + 0.4s idle: firing before ~1.3s would mean the
+    # timeout ran while work was still progressing
+    assert elapsed > 1.1, f"timeout fired during the in-flight load: {elapsed:.2f}s"
