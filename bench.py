@@ -211,8 +211,9 @@ def main() -> None:
     # after a driver GC notices the weak refs.
     gc_every_query = os.environ.get("SPARK_GRAFT_BENCH_GC", "0") == "1"
 
-    def run_once(name: str, force_gc: bool) -> tuple[float, float, int]:
+    def run_once(name: str, force_gc: bool) -> tuple[float, float, int, float]:
         fn = workload.REGISTRY[name].fn
+        steal0 = _stat_ticks()[1]
         start = time.perf_counter()
         df = fn(spark, sf_dir)
         # Force analysis + optimization + physical planning WITHOUT
@@ -236,17 +237,25 @@ def main() -> None:
         spark.catalog.clearCache()
         if force_gc:
             spark.sparkContext._jvm.System.gc()
-        return elapsed, planned, n
+        # per-query steal (cores averaged over the query's wall): the
+        # forensic counterpart of host.steal_cores — a single inflated
+        # query with high steal is neighbor noise, not a plan problem
+        steal = (_stat_ticks()[1] - steal0) / os.sysconf("SC_CLK_TCK") / max(
+            elapsed, 1e-9
+        )
+        return elapsed, planned, n, steal
 
     timings = {}
     plan_timings = {}
+    steal_timings = {}
     warm_timings = {}
     total = 0.0
     warm_total = 0.0
     for name in names:
-        elapsed, planned, n = run_once(name, force_gc=gc_every_query)
+        elapsed, planned, n, steal = run_once(name, force_gc=gc_every_query)
         timings[name] = round(elapsed, 4)
         plan_timings[name] = round(planned, 4)
+        steal_timings[name] = round(steal, 2)
         total += elapsed
         print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -254,7 +263,7 @@ def main() -> None:
         # one GC between suites, not between measurements
         spark.sparkContext._jvm.System.gc()
         for name in names:
-            warm, _, _ = run_once(name, force_gc=gc_every_query)
+            warm, _, _, _ = run_once(name, force_gc=gc_every_query)
             warm_timings[name] = round(warm, 4)
             warm_total += warm
             print(f"# {name}: warm {warm:.3f}s", file=sys.stderr)
@@ -385,6 +394,7 @@ def main() -> None:
 
     full = dict(result)
     full["queries_planning"] = plan_timings
+    full["queries_steal_cores"] = steal_timings
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
