@@ -91,14 +91,49 @@ def _spin_probe_ms(n: int = 10_000_000) -> float:
     return round((time.perf_counter() - t0) * 1000.0, 1)
 
 
+def _memstream_probe_ms(mb: int = 256, passes: int = 4) -> float:
+    """Wall time of a FIXED memory-bandwidth-bound workload.
+
+    The pure-register spin probe has a blind spot: a neighbor saturating
+    the host's memory bus slows Spark (shuffle/scan/hash are all
+    bandwidth-bound) while the spin stays flat — observed: warm suite
+    19.8 s vs 29.4 s on identical code with flat spin and ~0 steal.
+    Summing a fixed array is the bandwidth counterpart: mem up with cpu
+    flat fingerprints bus contention; both up fingerprints steal or
+    frequency."""
+    import numpy as np
+
+    buf = getattr(_memstream_probe_ms, "_buf", None)
+    if buf is None or buf.nbytes != mb << 20:
+        buf = np.ones((mb << 20) // 8, dtype=np.float64)
+        buf.sum()  # untimed first touch: page faults stay out of the probe
+        _memstream_probe_ms._buf = buf
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(passes):
+        acc += float(buf.sum())
+    assert acc
+    return round((time.perf_counter() - t0) * 1000.0, 1)
+
+
 class _HostMeter:
     def __init__(self) -> None:
         self.load_pre = os.getloadavg()
         self.spin_pre = _spin_probe_ms()
+        self.mem_pre = _memstream_probe_ms()
         self.busy0, self.steal0 = _stat_ticks()
         self.procs0 = _pid_snapshot()
         self.times0 = os.times()
         self.t0 = time.monotonic()
+
+    def mark_probes(self) -> None:
+        """Capture the post-suite spin/mem probes BEFORE spark.stop(): the
+        JVM's multi-GB exit triggers a kernel page-freeing storm that
+        inflates the bandwidth probe ~17x (measured 187 -> 3241 ms) and
+        would misread as ambient contention.  Call right after the last
+        measured query."""
+        self.spin_post = _spin_probe_ms()
+        self.mem_post = _memstream_probe_ms()
 
     def finish(self) -> dict:
         elapsed = max(time.monotonic() - self.t0, 1e-9)
@@ -135,7 +170,11 @@ class _HostMeter:
             # bigger number — the cross-round comparable "how fast was the
             # box that day" constant (r6 reference: ~300-500 ms solo)
             "spin_ms_pre": self.spin_pre,
-            "spin_ms_post": _spin_probe_ms(),
+            "spin_ms_post": getattr(self, "spin_post", None) or _spin_probe_ms(),
+            # bandwidth probe (1 GiB streamed): Spark is bandwidth-bound,
+            # the spin is not — divergence attributes "slow with no steal"
+            "mem_ms_pre": self.mem_pre,
+            "mem_ms_post": getattr(self, "mem_post", None) or _memstream_probe_ms(),
             "ncpu": os.cpu_count(),
         }
 
@@ -289,6 +328,7 @@ def main() -> None:
     }
     if do_warm:
         result["value_warm"] = round(warm_total, 4)
+    meter.mark_probes()
     # Stop AND REAP the JVM: py4j's java child is otherwise reaped lazily
     # (Popen destructor at interpreter exit), so at meter.finish() its
     # ticks are gone from the live /proc table but not yet credited to
