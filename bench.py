@@ -133,7 +133,10 @@ class _HostMeter:
         would misread as ambient contention.  Call right after the last
         measured query."""
         self.spin_post = _spin_probe_ms()
-        self.mem_post = _memstream_probe_ms()
+        # min-of-2 skims sub-second spikes (e.g. a JVM GC burst right after
+        # the warm suite); a resident IDLE JVM costs ~5 ms on the probe
+        # (measured 123 -> 129 ms), so sustained elevation is the host
+        self.mem_post = min(_memstream_probe_ms(), _memstream_probe_ms())
 
     def finish(self) -> dict:
         elapsed = max(time.monotonic() - self.t0, 1e-9)
