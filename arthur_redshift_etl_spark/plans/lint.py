@@ -50,6 +50,18 @@ _REDUCING_NODES = (
 )
 
 
+def _fact_scans_from_path(ident: str) -> List[str]:
+    """Fact tables identified by the PATH BASENAME of a file-source leaf.
+
+    Anchored to the last path segment (with or without a ``.parquet``
+    suffix) so ``/data/reorders/`` or a column list containing ``events``
+    cannot false-positive a substring match.
+    """
+    base = ident.rstrip("/").rsplit("/", 1)[-1]
+    stem = base[: -len(".parquet")] if base.endswith(".parquet") else base
+    return [t for t in FACT_TABLES if stem == t]
+
+
 def _jchildren(jnode):
     ch = jnode.children()
     return [ch.apply(i) for i in range(ch.size())]
@@ -76,9 +88,11 @@ def broadcast_audit(df: DataFrame) -> List[dict]:
         if not _jchildren(node):  # logical leaf: relation / local table
             try:  # file-based: identify the table by its root path
                 ident = node.relation().location().rootPaths().apply(0).toString()
-            except Exception:  # noqa: BLE001 - LocalRelation / non-file leaf
-                ident = node.toString().splitlines()[0]
-            return [t for t in FACT_TABLES if t in ident], False
+            except Exception:  # noqa: BLE001 - LocalRelation / non-file leaf:
+                # no path identity; matching the node's toString() would hit
+                # column names ('events') or data echoed in literals — skip
+                return [], False
+            return _fact_scans_from_path(ident), False
         found: List[str] = []
         reduced = False
         for c in _jchildren(node):

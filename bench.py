@@ -100,8 +100,14 @@ def _memstream_probe_ms(mb: int = 256, passes: int = 4) -> float:
     19.8 s vs 29.4 s on identical code with flat spin and ~0 steal.
     Summing a fixed array is the bandwidth counterpart: mem up with cpu
     flat fingerprints bus contention; both up fingerprints steal or
-    frequency."""
-    import numpy as np
+    frequency.
+
+    Returns None when numpy is unavailable (the probe is evidence, not a
+    dependency — the bench must still run and report mem_ms as null)."""
+    try:
+        import numpy as np
+    except Exception:  # noqa: BLE001 - optional probe dependency
+        return None
 
     buf = getattr(_memstream_probe_ms, "_buf", None)
     if buf is None or buf.nbytes != mb << 20:
@@ -136,7 +142,8 @@ class _HostMeter:
         # min-of-2 skims sub-second spikes (e.g. a JVM GC burst right after
         # the warm suite); a resident IDLE JVM costs ~5 ms on the probe
         # (measured 123 -> 129 ms), so sustained elevation is the host
-        self.mem_post = min(_memstream_probe_ms(), _memstream_probe_ms())
+        a, b = _memstream_probe_ms(), _memstream_probe_ms()
+        self.mem_post = min(a, b) if a is not None and b is not None else None
 
     def finish(self) -> dict:
         elapsed = max(time.monotonic() - self.t0, 1e-9)
@@ -407,6 +414,7 @@ def main() -> None:
                 SPARK_GRAFT_BENCH_QUERIES=name,
                 SPARK_GRAFT_BENCH_WARM="0",
                 SPARK_GRAFT_BENCH_RECHECK="0",
+                SPARK_GRAFT_BENCH_CHILD="1",
             )
             try:
                 out = subprocess.run(
@@ -438,14 +446,20 @@ def main() -> None:
     full = dict(result)
     full["queries_planning"] = plan_timings
     full["queries_steal_cores"] = steal_timings
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
-            "w",
-        ) as fh:
-            json.dump(full, fh, indent=1)
-    except OSError:
-        pass
+    # fresh-JVM recheck CHILDREN must not clobber the parent's full
+    # artifact: a parent crash after the recheck loop would otherwise leave
+    # a misleading one-query bench_full.json in place (ADVICE r6)
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") != "1":
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+                ),
+                "w",
+            ) as fh:
+                json.dump(full, fh, indent=1)
+        except OSError:
+            pass
     print(json.dumps(result))
 
 

@@ -55,6 +55,13 @@ def test_build_group_cancel_interrupts_inflight_job(spark, tmp_path):
     assert "finished" not in result
     assert result["bg_cancelled"] is True
     assert is_cancellation(result["exc"])
+    # ADVICE r6: pin Spark's actual scheduler phrasing on the pinned
+    # version — an ACTUALLY-cancelled job's exception must match the
+    # group-qualified needle too (a Spark message-format change across
+    # upgrades would silently downgrade operator cancels to generic
+    # failures; this assertion is the tripwire)
+    assert is_cancellation(result["exc"], group="g1")
+    assert "part of cancelled job group g1" in str(result["exc"])
     # registration + marker cleaned up on exit
     assert list_builds(repo) == []
     # the session stays usable for the next build

@@ -97,6 +97,43 @@ def test_lint_silent_on_planner_chosen_broadcast(spark):
     assert broadcast_audit(unhinted) == []
 
 
+def test_lint_silent_on_local_relation_with_fact_column_name(spark):
+    """ADVICE r6: a LocalRelation whose COLUMN LIST contains a fact-table
+    name ('events') must not trip BCAST_RAW_FACT — non-file leaves carry no
+    path identity and are skipped outright."""
+    lookup = spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["events", "lineitem_code"]
+    )
+    o = t(spark, SF, "orders")
+    plan = o.join(F.broadcast(lookup), F.col("o_orderkey") == F.col("events"))
+    assert "BCAST_RAW_FACT" not in {w.code for w in lint_plan(plan)}
+
+
+def test_lint_silent_on_substring_path_match(spark, tmp_path):
+    """ADVICE r6: a file source at .../reorders.parquet ('orders' as a
+    substring) must not trip BCAST_RAW_FACT — the match anchors to the
+    path basename."""
+    src = t(spark, SF, "region").selectExpr(
+        "r_regionkey AS k", "r_name AS v"
+    )
+    path = str(tmp_path / "reorders.parquet")
+    src.write.parquet(path)
+    lookup = spark.read.parquet(path)
+    o = t(spark, SF, "orders")
+    plan = o.join(F.broadcast(lookup), F.col("o_orderkey") == F.col("k"))
+    assert "BCAST_RAW_FACT" not in {w.code for w in lint_plan(plan)}
+
+
+def test_fact_scan_basename_anchoring():
+    from arthur_redshift_etl_spark.plans.lint import _fact_scans_from_path
+
+    assert _fact_scans_from_path("file:/x/sf0.1/lineitem.parquet") == ["lineitem"]
+    assert _fact_scans_from_path("/data/orders/") == ["orders"]
+    assert _fact_scans_from_path("/data/reorders/") == []
+    assert _fact_scans_from_path("/data/reorders.parquet") == []
+    assert _fact_scans_from_path("/data/events_archive.parquet") == []
+
+
 def test_big_broadcast_threshold_fires(spark):
     """The size check is live: any hinted subtree trips it when the budget
     is set below its Catalyst estimate."""
