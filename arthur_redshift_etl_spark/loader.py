@@ -42,6 +42,7 @@ from .monitor import STEP_LOAD, EventStore, Monitor
 from .names import TableName, TableSelector, as_backup, as_staging
 from .operators.constraints import check_all_constraints
 from .operators.identity import build_dimension
+from .plans.heap import ensure_heap_headroom
 from .relations import (
     Relation,
     mark_failure,
@@ -439,6 +440,10 @@ def _build_all(
         if rel.failed:
             continue
         try:
+            # long rebuilds accumulate broadcast/shuffle blocks that only a
+            # driver GC lets the ContextCleaner release; on a tight heap the
+            # debris kills later broadcast builds (measured: plans/heap.py)
+            ensure_heap_headroom(ctx.spark)
             build_one_relation(ctx, rel, use_staging, staging_ids)
         except Exception as exc:
             logger.error("transformation %s failed: %s", rel.identifier, exc)

@@ -84,3 +84,46 @@ def scan_summary(df: DataFrame) -> Dict[str, int]:
         "bytes_read": bytes_read,
         "output_rows": max(output_rows, 0),
     }
+
+
+def stage_totals(spark) -> Dict[str, int]:
+    """App-wide stage-metric totals from the live status store.
+
+    The cross-query counterpart of ``executed_metrics``: cumulative
+    memory/disk spill, shuffle bytes, and executor time across every stage
+    the app has run.  Diff a before/after pair around an action to
+    attribute the delta to one query — the engine's "did this spill, and
+    how much moved" telemetry (the reference read the same class of
+    numbers from ``stl_load_commits``; Spark's live AppStatusStore is the
+    analog, no listener registration or event-log parsing needed).
+
+    Spill here is the 100 TB health signal: a query that SPILLS under a
+    shrunken per-task memory slice degrades gracefully; one that OOMs is
+    mis-partitioned.  ``scripts/memory_stress.py`` runs the heavy bench
+    queries under an ample-vs-constrained heap A/B on top of this helper.
+    """
+    gw = spark.sparkContext._gateway
+    store = spark.sparkContext._jsc.sc().statusStore()
+    no_status_filter = gw.jvm.java.util.ArrayList()
+    no_task_filter = gw.jvm.java.util.ArrayList()
+    no_quantiles = gw.new_array(gw.jvm.double, 0)
+    stages = store.stageList(
+        no_status_filter, False, False, no_quantiles, no_task_filter
+    )
+    tot = {
+        "stages": 0,
+        "memory_spilled_bytes": 0,
+        "disk_spilled_bytes": 0,
+        "shuffle_write_bytes": 0,
+        "shuffle_read_bytes": 0,
+        "executor_run_ms": 0,
+    }
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        tot["stages"] += 1
+        tot["memory_spilled_bytes"] += s.memoryBytesSpilled()
+        tot["disk_spilled_bytes"] += s.diskBytesSpilled()
+        tot["shuffle_write_bytes"] += s.shuffleWriteBytes()
+        tot["shuffle_read_bytes"] += s.shuffleReadBytes()
+        tot["executor_run_ms"] += s.executorRunTime()
+    return tot

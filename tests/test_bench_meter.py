@@ -26,8 +26,10 @@ import pytest
 BURN = "import time\ne=time.time()+{secs}\nwhile time.time()<e: pass"
 
 # Idle-sample busy-core ceiling: above this the box is already contended
-# and the planted-load deltas drown in ambient noise.
-AMBIENT_BUSY_CEILING = 3.0
+# and the planted-load deltas drown in ambient noise.  Must sit BELOW the
+# tightest other_cores threshold (0.5) plus headroom — an ambient 2-core
+# competitor fails `other_cores < 0.8` no matter how exact the meter is.
+AMBIENT_BUSY_CEILING = 1.0
 
 
 def _bench_module():
@@ -53,18 +55,23 @@ def _attribution_test(fn):
     thresholds are inherently timing-sensitive)."""
 
     def wrapper():
-        bench = _bench_module()
-        ambient = _ambient_busy_cores(bench)
-        if ambient > AMBIENT_BUSY_CEILING:
-            pytest.skip(
-                f"ambient load {ambient:.1f} cores > {AMBIENT_BUSY_CEILING} — "
-                "attribution thresholds unreliable on a contended box"
-            )
-        try:
+        def attempt():
+            bench = _bench_module()
+            ambient = _ambient_busy_cores(bench)
+            if ambient > AMBIENT_BUSY_CEILING:
+                pytest.skip(
+                    f"ambient load {ambient:.1f} cores > {AMBIENT_BUSY_CEILING}"
+                    " — attribution thresholds unreliable on a contended box"
+                )
             fn(bench)
+
+        try:
+            attempt()
         except AssertionError:
-            time.sleep(1.0)
-            fn(_bench_module())
+            time.sleep(1.5)
+            # re-checks ambient first: a box that got busy MID-test skips
+            # on the retry instead of failing the suite
+            attempt()
 
     # no functools.wraps: it would copy __wrapped__ and pytest would then
     # treat the inner `bench` parameter as a fixture request
