@@ -43,15 +43,19 @@ def read_event_stream(
     )
 
 
-def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def hourly_rollup_stream(
+    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
     """Streaming analog of the batch ``hourly_event_rollup`` query.
 
     Watermark bounds state: late events beyond the horizon are dropped, the
-    rest update their hour bucket incrementally.
+    rest update their hour bucket incrementally.  ``window`` narrows the
+    bucket (the throughput harness uses seconds-scale windows so state
+    turnover is observable inside a short run).
     """
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
