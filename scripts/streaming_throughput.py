@@ -18,9 +18,24 @@ The max sustained rate per core is the number that transfers to a real
 cluster: rows/s/core x executor cores x executors, state sharded by key
 across the state store (one HDFS-backed store per partition).
 
+Two further shapes stress the parts the windowed pair doesn't:
+
+- stream_dedup (dropDuplicatesWithinWatermark on unique event_id): state
+  is one row PER KEY within the horizon — at rate R with a W-second
+  watermark that's ~R*W live state rows, the state-store capacity shape.
+  This is where the backend choice matters: the default HDFS-backed store
+  keeps every row on-heap (OOM at 100 TB-scale key cardinality); RocksDB
+  keeps them off-heap/on-disk with bounded memory.
+- custom_state_totals (applyInPandasWithState running totals): the
+  Python-side arbitrary-state path — Arrow batch transfer per group per
+  batch bounds its throughput well below the JVM shapes; the measured gap
+  is the documented cost of dropping out of the built-in operators.
+
 Run ALONE (32-core contention trap): python scripts/streaming_throughput.py
 Env: SPARK_GRAFT_STREAM_RATES="100000,400000,1600000" (rows/s steps)
      SPARK_GRAFT_STREAM_SECS=60 (per step)
+     SPARK_GRAFT_STREAM_STATE=hdfs|rocksdb (state store backend)
+     SPARK_GRAFT_STREAM_SHAPES=windowed_rollup,session_windows,... (subset)
 """
 
 from __future__ import annotations
@@ -41,6 +56,15 @@ RATES = [
 ]
 STEP_SECS = int(os.environ.get("SPARK_GRAFT_STREAM_SECS", "60"))
 CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+STATE_BACKEND = os.environ.get("SPARK_GRAFT_STREAM_STATE", "hdfs").lower()
+SHAPE_FILTER = {
+    s
+    for s in os.environ.get("SPARK_GRAFT_STREAM_SHAPES", "").split(",")
+    if s
+}
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
 
 
 def rate_events(spark, rows_per_sec: int):
@@ -137,7 +161,9 @@ def main() -> int:
 
     from arthur_redshift_etl_spark.session import build_session
     from arthur_redshift_etl_spark.streaming.events import (
+        dedup_stream,
         hourly_rollup_stream,
+        running_user_totals_stream,
         session_stream,
     )
 
@@ -145,11 +171,19 @@ def main() -> int:
         if d.startswith("stream_tp_"):
             shutil.rmtree(f"/tmp/{d}", ignore_errors=True)
 
+    extra_conf = {
+        "spark.ui.enabled": "false",
+        # pinned heap makes the backend A/B meaningful: per-key state that
+        # exceeds this either OOMs (HDFS on-heap store) or spills (RocksDB)
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_STREAM_HEAP", "4g"),
+    }
+    if STATE_BACKEND == "rocksdb":
+        extra_conf["spark.sql.streaming.stateStore.providerClass"] = ROCKSDB_PROVIDER
     spark = build_session(
         app_name="streaming-throughput",
         master=f"local[{CORES}]",
         shuffle_partitions=CORES,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -166,12 +200,39 @@ def main() -> int:
             "append",
             lambda ev: session_stream(ev, gap="10 seconds", watermark="30 seconds"),
         ),
+        # one state row per distinct event_id inside the horizon: the
+        # state-store capacity stressor (~rate x 30s live rows)
+        "stream_dedup": (
+            "append",
+            lambda ev: dedup_stream(ev, keys=("event_id",), watermark="30 seconds"),
+        ),
+        # Python arbitrary-state path (Arrow per-group transfer each batch)
+        "custom_state_totals": (
+            "update",
+            running_user_totals_stream,
+        ),
     }
-    report = {"cores": CORES, "step_secs": STEP_SECS, "shapes": {}}
+    if SHAPE_FILTER:
+        shapes = {k: v for k, v in shapes.items() if k in SHAPE_FILTER}
+    report = {
+        "cores": CORES,
+        "step_secs": STEP_SECS,
+        "state_backend": STATE_BACKEND,
+        "shapes": {},
+    }
     for name, (mode, build) in shapes.items():
         steps = []
         for r in RATES:
-            res = drive(spark, name, build, r, mode=mode)
+            try:
+                res = drive(spark, name, build, r, mode=mode)
+            except Exception as exc:  # noqa: BLE001 - record the failure mode
+                # e.g. HDFS_STORE_PROVIDER_OUT_OF_MEMORY: on-heap state store
+                # dying under per-key state is itself a measurement
+                steps.append(
+                    {"offered_rps": r, "failed": type(exc).__name__,
+                     "detail": str(exc)[:300], "kept_up": False}
+                )
+                break
             steps.append(res)
             print(
                 f"# {name} @ {r:,}/s -> sustained {res['sustained_rps']:,}/s "
@@ -189,6 +250,12 @@ def main() -> int:
             "max_sustained_rps_per_core": round(best / CORES),
         }
     spark.stop()
+    # the local JVM logs gc warnings to the shared stdout — a file target
+    # keeps the report parseable regardless
+    out_path = os.environ.get("SPARK_GRAFT_STREAM_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(report, fh)
     print(json.dumps(report))
     return 0
 
