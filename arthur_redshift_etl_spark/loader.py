@@ -188,13 +188,22 @@ def materialize_dataframe(ctx: LoadContext, rel: Relation, df: DataFrame, db: st
             )
         return ctx.spark.table(f"{_quote(db)}.{_quote(rel.table_name.table)}").count()
     writer_df = df
-    if isinstance(dist, list) and dist:
+    part_cols = list(rel.design.attributes.get("partition_by") or [])
+    if part_cols:
+        # A partitioned write without co-location opens a file per
+        # (task, partition-value) pair — tasks x partitions files (measured:
+        # 2,656 vs 83 on the sf1.0 lineitem-by-month write, 2.4x the wall;
+        # scripts/write_throughput.py).  Repartition on the partition
+        # columns first (plus any distkey for within-partition
+        # co-location) so each partition value lands in one task.
+        extra = [c for c in (dist if isinstance(dist, list) else []) if c not in part_cols]
+        writer_df = writer_df.repartition(*part_cols, *extra)
+    elif isinstance(dist, list) and dist:
         # DISTKEY analog: co-locate rows by the distribution column so
         # downstream joins on it shuffle less (AQE handles the rest).
         writer_df = writer_df.repartition(*dist)
     if sort_keys:
         writer_df = writer_df.sortWithinPartitions(*sort_keys)
-    part_cols = list(rel.design.attributes.get("partition_by") or [])
     writer = writer_df.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
