@@ -20,6 +20,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: State-store provider for state whose key cardinality scales with data
+#: volume.  Measured (SCALE.md round-7 streaming A/B, 4 GB heap): the
+#: default HDFS-backed on-heap store hard-OOMs the JVM at ~12M live
+#: per-key dedup rows, while RocksDB carries 14.4M rows in the same heap
+#: and degrades to disk-bound throughput instead of dying.
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def scalable_state_conf() -> dict:
+    """Session conf for streaming state that scales with data volume.
+
+    Use for any stateful shape whose distinct-key count grows with input
+    (per-event dedup, per-entity custom state); the schema-bounded shapes
+    (windows x event types) are fine on the default on-heap store.  Pass
+    to ``build_session(extra_conf=...)``, or set on a live session — the
+    provider class is read when each streaming query STARTS, so it applies
+    to queries started after the change, never to running ones.
+    """
+    return {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_STATE_PROVIDER}
+
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -167,6 +167,55 @@ def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
     assert got.select("event_id").distinct().count() == 500
 
 
+def test_dedup_stream_on_rocksdb_state_store(spark, tmp_path):
+    """scalable_state_conf routes state to RocksDB with identical results.
+
+    The backend matters at scale (SCALE.md round-7 A/B: the on-heap store
+    OOMs at ~12M per-key state rows where RocksDB degrades to disk); this
+    pins that the conf actually engages RocksDB (provider metrics visible
+    in progress) and that results are backend-independent.  The provider
+    class is read at query start, so setting it on the live session
+    applies to the query started below.
+    """
+    from arthur_redshift_etl_spark.streaming.events import (
+        dedup_stream,
+        read_event_stream,
+        run_to_memory,
+        scalable_state_conf,
+    )
+
+    d = str(tmp_path / "dup-events-rocks")
+    ev = load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).limit(300)
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    ev.coalesce(1).write.mode("append").parquet(d)
+
+    conf_key, provider = next(iter(scalable_state_conf().items()))
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, provider)
+    try:
+        stream = read_event_stream(spark, d, max_files_per_trigger=1)
+        q = run_to_memory(dedup_stream(stream), "dedup_rocks_sink", "append")
+        q.awaitTermination(120)
+        progress = q.recentProgress
+        state_metrics = [
+            m
+            for p in progress
+            if p.stateOperators
+            for m in (p.stateOperators[0].customMetrics or {})
+        ]
+        assert any(m.startswith("rocksdb") for m in state_metrics), state_metrics[:10]
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+    got = spark.table("dedup_rocks_sink")
+    assert got.count() == 300
+    assert got.select("event_id").distinct().count() == 300
+
+
 def test_rollup_to_table_stream_matches_batch(spark, event_dir, tmp_path):
     """foreachBatch-maintained rollup table == batch aggregate after drain."""
     from arthur_redshift_etl_spark.streaming.events import (
