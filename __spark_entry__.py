@@ -47,12 +47,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver writes into the repo each round — self-maintaining: a new round's
 # green rows automatically leave the front block, red rows (oracle bugs,
 # mismatches) automatically stay in it for resampling.
-def _driver_verified_from_artifacts() -> frozenset:
+def _driver_verified_from_artifacts() -> tuple:
     import glob
     import json
     import re
 
     verified = set()
+    last_green_round: dict = {}
 
     def _round_no(path: str) -> int:
         m = re.search(r"_r(\d+)\.json$", path)
@@ -85,9 +86,11 @@ def _driver_verified_from_artifacts() -> frozenset:
             )
             if green:
                 verified.add(name)
+                last_green_round[name] = _round_no(path)
             else:
                 verified.discard(name)  # latest verdict is red -> resample
-    return frozenset(verified)
+                last_green_round.pop(name, None)
+    return frozenset(verified), last_green_round
 
 
 # Fallback/documentation: the hardcoded r01/r02 sets (kept for transparency
@@ -152,7 +155,7 @@ _NEEDS_RESAMPLE = frozenset({
 # path the same entries are already red rows (not in the verified set), and
 # once a later round records them green they must leave the front block —
 # a permanent subtraction would waste 3 sample slots every future round.
-_ARTIFACT_VERIFIED = _driver_verified_from_artifacts()
+_ARTIFACT_VERIFIED, _VERIFIED_ROUND = _driver_verified_from_artifacts()
 _DRIVER_VERIFIED = (
     _ARTIFACT_VERIFIED
     if _ARTIFACT_VERIFIED
@@ -160,16 +163,12 @@ _DRIVER_VERIFIED = (
 )
 
 
-# Entries whose IMPLEMENTATION changed in round 6 (q21 rewritten to the
-# single-pass decorrelation, q02's SF-scaling broadcast hints removed,
-# minhash-LSH lineage checkpointing): their old driver rows verified the
-# old code, so force them into the first-50 sample and let
-# CORRECTNESS_r06 re-record them green on the new plans.
-_RESAMPLE_FIRST = (
-    "q21_waiting_suppliers",
-    "q02_min_cost_supplier",
-    "dedup_minhash_lsh",
-)
+# Entries whose IMPLEMENTATION changed in the current round: their old
+# driver rows verified the old code, so force them into the first-50
+# sample (round 6 used this for the q21 rewrite / q02 hint removal /
+# minhash checkpointing — all re-recorded green in CORRECTNESS_r06, so
+# the block is empty again).  Round 7 changed no catalog entry code.
+_RESAMPLE_FIRST = ()
 
 
 def _rotated(mapping: dict) -> dict:
@@ -179,10 +178,17 @@ def _rotated(mapping: dict) -> dict:
         for k, v in mapping.items()
         if k not in _DRIVER_VERIFIED and k not in first
     }
+    # verified entries ordered stalest-first (earliest last-green round):
+    # with the whole catalog driver-green, each round's 50-sample then
+    # refreshes the entries whose evidence is oldest instead of pinning
+    # the same front block forever (stable sort keeps catalog order
+    # within a round cohort)
     verified = {
-        k: v
-        for k, v in mapping.items()
-        if k in _DRIVER_VERIFIED and k not in first
+        k: mapping[k]
+        for k in sorted(
+            (k for k in mapping if k in _DRIVER_VERIFIED and k not in first),
+            key=lambda k: _VERIFIED_ROUND.get(k, 0),
+        )
     }
     return {**first, **unverified, **verified}
 
