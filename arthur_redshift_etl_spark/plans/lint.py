@@ -134,7 +134,17 @@ def broadcast_audit(df: DataFrame) -> List[dict]:
 
 
 def lint_plan(df: DataFrame, broadcast_bytes_hint: int = 256 << 20) -> List[LintWarning]:
-    """Inspect the physical plan for scale hazards."""
+    """Inspect the physical plan for scale hazards.
+
+    The broadcast warnings exist because the planner's own gate tests
+    Spark's COMPRESSED columnar size estimate against
+    ``autoBroadcastJoinThreshold`` — measured (scripts/
+    broadcast_crossover.py, SCALE.md round 7): auto-broadcast of a
+    1.5M-row dim (2.0 MB parquet, ~20x that as an in-memory hashmap) is
+    1.7x SLOWER than the sort-merge join it replaces, with zero network
+    cost; the crossover on a 6M-row fact is ~500k dim rows.  Budget
+    broadcasts on rows x decoded row width, not on stat bytes.
+    """
     text = plan_text(df)
     warnings: List[LintWarning] = []
 
