@@ -14,6 +14,7 @@ watermark), not a driver-side loop.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +42,39 @@ def scalable_state_conf() -> dict:
     to queries started after the change, never to running ones.
     """
     return {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_STATE_PROVIDER}
+
+
+@contextmanager
+def sized_stream_start(spark: SparkSession, partitions: int):
+    """Start streaming queries with a state shuffle sized to THEIR need.
+
+    ``spark.sql.shuffle.partitions`` is read when a streaming query is
+    planned and baked into its checkpoint — it then holds for the query's
+    whole life, independent of later session-conf changes.  An always-on
+    stream that inherits the batch-sized session default therefore queues
+    full-cluster task waves every micro-batch whether it needs them or
+    not.  Measured (scripts/mixed_workload_interference.py, SCALE.md
+    round 7): a 400k rows/s rollup inheriting 32 partitions inflates a
+    concurrent batch pass 2.0-3.7x even behind weighted FAIR pools; the
+    same stream started 8-wide inflates it 1.00x and still sustains its
+    offered rate.
+
+    Use as::
+
+        with sized_stream_start(spark, 8):
+            q = rollup.writeStream...start()
+
+    The session conf is restored on exit, so batch queries planned after
+    the block keep the batch sizing.  Size ``partitions`` to the stream's
+    measured throughput need (offered rate / per-core capacity), not to
+    the cluster width.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 EVENT_SCHEMA = T.StructType(

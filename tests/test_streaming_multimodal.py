@@ -607,3 +607,43 @@ def test_kll_rollup_replay_with_lost_checkpoint_adds_nothing(spark, event_dir, t
     )
     assert state2 == state1  # byte-identical, nothing re-added
     assert sum(w for _, w in state2) == n
+
+
+def test_sized_stream_start_bakes_state_width_and_restores_conf(
+    spark, event_dir, tmp_path
+):
+    """The stream's state shuffle is sized at query start (baked into the
+    checkpoint) while the session conf is restored for batch work — the
+    measured mixed-workload recipe (SCALE.md round 7: a 32-wide stream
+    inflates concurrent batch 2-3.7x; the same stream 8-wide, 1.00x)."""
+    import json
+    import os
+
+    from arthur_redshift_etl_spark.streaming.events import sized_stream_start
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    ckpt = str(tmp_path / "sized-ckpt")
+    with sized_stream_start(spark, 3):
+        q = (
+            hourly_rollup_stream(
+                read_event_stream(spark, event_dir, max_files_per_trigger=2)
+            )
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    q.awaitTermination(120)
+    # session conf restored for batch queries planned after the block
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    # the sizing is baked into the query: offset log records 3 ...
+    with open(os.path.join(ckpt, "offsets", "0")) as fh:
+        lines = fh.read().splitlines()
+    conf = next(json.loads(l) for l in lines if l.startswith("{"))
+    assert conf["conf"]["spark.sql.shuffle.partitions"] == "3"
+    # ... and the state store materialized exactly 3 partitions on disk
+    state_parts = sorted(os.listdir(os.path.join(ckpt, "state", "0")))
+    assert [p for p in state_parts if p.isdigit()] == ["0", "1", "2"]
