@@ -168,6 +168,23 @@ def test_partitioned_table_prunes(spark, tmp_path, clean_dbs):
 
     table = spark.table("psrc2.orders")
     assert table.count() == spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    # co-location pin: the writer repartitions on the partition columns, so
+    # each partition value lands in ONE task -> one file (measured: without
+    # it, tasks x partitions files, 2,656 vs 83 and 2.4x the wall on the
+    # sf1.0 lineitem-by-month write; scripts/write_throughput.py)
+    location = os.path.dirname(
+        os.path.dirname(table.inputFiles()[0])
+    ).replace("file:", "")
+    for entry in os.listdir(location):
+        if entry.startswith("order_month="):
+            n_files = len(
+                [
+                    f
+                    for f in os.listdir(os.path.join(location, entry))
+                    if f.endswith(".parquet")
+                ]
+            )
+            assert n_files == 1, f"{entry}: {n_files} files, expected 1"
     filtered = table.filter("order_month = '1997-03'")
     text = plan_text(filtered)
     assert "PartitionFilters" in text and "order_month" in text.split("PartitionFilters")[1][:200]
