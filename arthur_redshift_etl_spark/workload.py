@@ -2484,6 +2484,120 @@ def stratified_sample_by_source(spark, sf_dir):
 
 
 @query(
+    "corpus_temperature_mix",
+    oracle="""
+    WITH stats AS (
+      SELECT source, SUM(n_chars) AS chars, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1
+    ), wts AS (
+      SELECT source,
+             CAST(FLOOR(SQRT(CAST(chars AS DOUBLE)) * 1000000) AS BIGINT) AS w_int,
+             n_docs
+      FROM stats
+    ), tot AS (
+      SELECT source, w_int,
+             SUM(w_int) OVER () AS wsum,
+             (2 * SUM(n_docs) OVER ()) // 5 AS n_target
+      FROM wts
+    ), qb AS (
+      SELECT source, n_target,
+             (n_target * w_int) // wsum AS base,
+             (n_target * w_int) % wsum AS rem,
+             SUM((n_target * w_int) // wsum) OVER () AS base_sum
+      FROM tot
+    ), quota AS (
+      SELECT source,
+             base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+                              <= n_target - base_sum
+                         THEN 1 ELSE 0 END AS quota
+      FROM qb
+    )
+    SELECT d.doc_id, d.source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) d JOIN quota q ON d.source = q.source
+    WHERE d.rn <= q.quota
+    """,
+    description=(
+        "temperature-weighted corpus mixing (T=2 on per-source char mass): "
+        "integer-exact largest-remainder quotas, deterministic md5-order "
+        "selection per domain"
+    ),
+)
+def corpus_temperature_mix(spark, sf_dir):
+    """Domain rebalancing for training-data mixes: sample a 40%% budget of
+    docs with per-source quotas proportional to (char mass)^(1/T), T=2 —
+    the multilingual/low-resource up-weighting shape (raw proportions at
+    T=1 flatten toward uniform as T grows).
+
+    Exactness doctrine (driver %.10g + type parity): the only float op is
+    a per-source sqrt (IEEE-identical in both engines, no accumulation);
+    it is fixed-pointed via floor(sqrt*1e6) so the quota arithmetic —
+    integer div/mod largest remainder summing exactly to the target —
+    is order-independent int64 in both engines.  Bound: target x max
+    fixed-point weight must stay < 2^63 (holds through ~10 TB corpora;
+    beyond that swap the quota columns to decimal(38,0) like the KS
+    fallback).
+
+    Scale shape: quotas come from a domain-cardinality aggregate (window
+    over ~|domains| rows); selection is a per-source rank (same stratum
+    window as ``stratified_sample_by_source``) consumed by a broadcast
+    join against the tiny quota table — one shuffle on source, no
+    global window, no collect.
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    wall = Window.partitionBy()
+    quotas = (
+        docs.groupBy("source")
+        .agg(F.sum("n_chars").alias("chars"), F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "w_int",
+            F.floor(F.sqrt(F.col("chars").cast("double")) * F.lit(1000000.0)).cast(
+                "long"
+            ),
+        )
+        .withColumn("wsum", F.sum("w_int").over(wall))
+        .withColumn("n_target", F.expr("(2 * sum(n_docs) over ()) div 5"))
+        .withColumn("base", F.expr("(n_target * w_int) div wsum"))
+        .withColumn("rem", F.expr("(n_target * w_int) % wsum"))
+        .withColumn("base_sum", F.sum("base").over(wall))
+        .withColumn(
+            "extra_rank",
+            F.row_number().over(
+                Window.partitionBy().orderBy(F.col("rem").desc(), F.col("source"))
+            ),
+        )
+        .withColumn(
+            "quota",
+            F.col("base")
+            + F.when(
+                F.col("extra_rank") <= F.col("n_target") - F.col("base_sum"), 1
+            ).otherwise(0),
+        )
+        .select("source", "quota")
+    )
+    ranked = docs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source")
+    )
+
+
+@query(
     "text_tfidf_top_terms",
     oracle="""
     WITH toks AS (
