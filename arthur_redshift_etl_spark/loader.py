@@ -30,6 +30,7 @@ from dataclasses import dataclass, field
 from typing import Dict, Iterable, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .design import TableDesign
 from .errors import (
@@ -194,16 +195,41 @@ def materialize_dataframe(ctx: LoadContext, rel: Relation, df: DataFrame, db: st
         # (task, partition-value) pair — tasks x partitions files (measured:
         # 2,656 vs 83 on the sf1.0 lineitem-by-month write, 2.4x the wall;
         # scripts/write_throughput.py).  Repartition on the partition
-        # columns first (plus any distkey for within-partition
-        # co-location) so each partition value lands in one task.
-        extra = [c for c in (dist if isinstance(dist, list) else []) if c not in part_cols]
-        writer_df = writer_df.repartition(*part_cols, *extra)
-    elif isinstance(dist, list) and dist:
-        # DISTKEY analog: co-locate rows by the distribution column so
-        # downstream joins on it shuffle less (AQE handles the rest).
-        writer_df = writer_df.repartition(*dist)
-    if sort_keys:
-        writer_df = writer_df.sortWithinPartitions(*sort_keys)
+        # columns ONLY: hashing a distkey in as well would scatter each
+        # partition value across tasks again (files per value ≈
+        # min(tasks, distkey cardinality)) — the distkey belongs in the
+        # within-partition SORT, which gives the same downstream row
+        # clustering without breaking one-file-per-value.  Escape hatch
+        # for the low-cardinality cliff (few partition values x huge data
+        # -> write parallelism collapses to |values| and multi-GB single
+        # files): ``partition_write_buckets: k`` in the design attributes
+        # adds a deterministic k-way salt (hash of the distkey when set,
+        # else all columns) so each value writes k co-located files.
+        buckets = int(rel.design.attributes.get("partition_write_buckets") or 0)
+        if buckets > 1:
+            salt_cols = (
+                [F.col(c) for c in dist]
+                if isinstance(dist, list) and dist
+                else [F.col(c) for c in writer_df.columns]
+            )
+            writer_df = writer_df.repartition(
+                *part_cols, F.pmod(F.xxhash64(*salt_cols), F.lit(buckets))
+            )
+        else:
+            writer_df = writer_df.repartition(*part_cols)
+        extra = [
+            c for c in (dist if isinstance(dist, list) else []) if c not in part_cols
+        ]
+        within = extra + [k for k in (sort_keys or []) if k not in extra]
+        if within:
+            writer_df = writer_df.sortWithinPartitions(*within)
+    else:
+        if isinstance(dist, list) and dist:
+            # DISTKEY analog: co-locate rows by the distribution column so
+            # downstream joins on it shuffle less (AQE handles the rest).
+            writer_df = writer_df.repartition(*dist)
+        if sort_keys:
+            writer_df = writer_df.sortWithinPartitions(*sort_keys)
     writer = writer_df.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)

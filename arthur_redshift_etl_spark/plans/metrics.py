@@ -101,6 +101,15 @@ def stage_totals(spark) -> Dict[str, int]:
     shrunken per-task memory slice degrades gracefully; one that OOMs is
     mis-partitioned.  ``scripts/memory_stress.py`` runs the heavy bench
     queries under an ample-vs-constrained heap A/B on top of this helper.
+
+    Eviction bound: the live store retains only the last
+    ``spark.ui.retainedStages`` stages (default 1000) — in a session that
+    has run more, these "totals" are a trailing window, and a
+    before/after diff whose window slid between the two reads can
+    undercount or even go negative.  For a reliable diff around one
+    action, either take both reads within far fewer than retainedStages
+    stage completions (every engine use here does), or raise
+    ``spark.ui.retainedStages`` for the session being measured.
     """
     gw = spark.sparkContext._gateway
     store = spark.sparkContext._jsc.sc().statusStore()

@@ -45,7 +45,9 @@ def scalable_state_conf() -> dict:
 
 
 @contextmanager
-def sized_stream_start(spark: SparkSession, partitions: int):
+def sized_stream_start(
+    spark: SparkSession, partitions: int, isolated: bool = False
+):
     """Start streaming queries with a state shuffle sized to THEIR need.
 
     ``spark.sql.shuffle.partitions`` is read when a streaming query is
@@ -61,18 +63,30 @@ def sized_stream_start(spark: SparkSession, partitions: int):
 
     Use as::
 
-        with sized_stream_start(spark, 8):
-            q = rollup.writeStream...start()
+        with sized_stream_start(spark, 8) as s:
+            q = s.readStream...  # build the stream FROM the yielded session
+            ...writeStream...start()
 
-    The session conf is restored on exit, so batch queries planned after
-    the block keep the batch sizing.  Size ``partitions`` to the stream's
-    measured throughput need (offered rate / per-core capacity), not to
-    the cluster width.
+    Default mode mutates the shared session conf and restores it on exit
+    — correct when nothing else is PLANNING queries concurrently (the
+    runtime SQLConf is session-wide, not thread-scoped, so a batch query
+    planned by another thread inside the block would inherit the tiny
+    setting).  In a live mixed deployment pass ``isolated=True``: the
+    block yields ``spark.newSession()`` (same SparkContext/cluster, own
+    SQLConf) with the sizing applied there, so the parent session's
+    batch planning is untouched at every instant and nothing needs
+    restoring.  Size ``partitions`` to the stream's measured throughput
+    need (offered rate / per-core capacity), not to the cluster width.
     """
+    if isolated:
+        child = spark.newSession()
+        child.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        yield child
+        return
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
-        yield
+        yield spark
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 

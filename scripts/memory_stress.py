@@ -57,6 +57,9 @@ HEAVY = os.environ.get(
 
 
 def _norm(v):
+    # keep in lockstep with scripts/driver_sim.py's normalizer (the driver
+    # %.10g protocol) — cross-heap checksums must stay comparable to the
+    # correctness harness's notion of equality
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else f"{v:.10g}"
     if hasattr(v, "isoformat"):
@@ -179,8 +182,11 @@ def main() -> int:
     print("|---|---|---|---|---|---|")
     tight_spill = 0
     for name in HEAVY:
-        a = results[ample]["queries"][name]
-        b = results[tight]["queries"][name]
+        # a child that died mid-sequence (jvm_died_at) has no entries for
+        # the queries after the death point — report them as failures
+        # instead of KeyError-ing the whole comparison table
+        a = results[ample]["queries"].get(name, {"error": "jvm died earlier"})
+        b = results[tight]["queries"].get(name, {"error": "jvm died earlier"})
         if "error" in a or "error" in b:
             print(f"| {name} | {a.get('error', 'ok')} | {b.get('error', 'ok')} | FAIL | | |")
             bad += 1

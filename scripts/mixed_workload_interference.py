@@ -36,7 +36,7 @@ Run ALONE (32-core contention trap):  python scripts/mixed_workload_interference
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
      SPARK_GRAFT_CPUS (default 32)
      SPARK_GRAFT_MIX_RATE (default 400000)
-     SPARK_GRAFT_MIX_CONFIGS (default "equal,weighted")
+     SPARK_GRAFT_MIX_CONFIGS (default "equal,weighted,sized")
 """
 
 from __future__ import annotations
@@ -83,27 +83,48 @@ ALLOC_XML = """<?xml version="1.0"?>
 """
 
 
-def batch_pass(spark) -> dict:
+def batch_pass(spark, on_query_done=None) -> dict:
     timings = {}
     for name in FACT_QUERIES:
         t0 = time.perf_counter()
         workload.REGISTRY[name].fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        if on_query_done is not None:
+            on_query_done()  # keep the stream-row counter's window fresh
     return timings
 
 
-def stream_rows(q) -> int:
-    total = 0
-    for p in q.recentProgress:
-        total += p.numInputRows
-    return total
+class StreamRowCounter:
+    """Cumulative input rows across the query's whole life.
+
+    ``recentProgress`` is a sliding window of the last ~100 micro-batches;
+    a rate-source stream under contention can run >100 batches during a
+    long batch pass, so summing the window at two points undercounts the
+    delta.  Accumulate per unique batchId instead (drain() must be called
+    at least once per ~100 batches; this harness drains after every
+    batch query, far more often than that)."""
+
+    def __init__(self, q):
+        self.q = q
+        self.seen: set = set()
+        self.total = 0
+
+    def drain(self) -> int:
+        for p in self.q.recentProgress:
+            if p.batchId not in self.seen:
+                self.seen.add(p.batchId)
+                self.total += p.numInputRows
+        return self.total
 
 
 def measure(config: str) -> dict:
     """Build a session under the given pool config and run baseline + mixed."""
     from pyspark.sql import functions as F
 
-    from arthur_redshift_etl_spark.streaming.events import hourly_rollup_stream
+    from arthur_redshift_etl_spark.streaming.events import (
+        hourly_rollup_stream,
+        sized_stream_start,
+    )
 
     ckpt = f"/tmp/mix_ckpt_{config}"
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -145,30 +166,36 @@ def measure(config: str) -> dict:
                 F.lit("{}").alias("props"),
             )
         )
+        def start_stream():
+            return (
+                hourly_rollup_stream(ev, watermark="30 seconds", window="10 seconds")
+                .writeStream.outputMode("update")
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", "stream")
         if config == "sized":
-            # read at streaming-query planning and baked into the fresh
-            # checkpoint: the stream's state shuffle stays 8-wide for the
-            # query's whole life, independent of the session conf below
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
-        q = (
-            hourly_rollup_stream(ev, watermark="30 seconds", window="10 seconds")
-            .writeStream.outputMode("update")
-            .format("noop")
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        if config == "sized":
-            spark.conf.set("spark.sql.shuffle.partitions", str(CPUS))
+            # the engine helper this measurement justifies: the stream's
+            # state shuffle is baked 8-wide into the fresh checkpoint for
+            # the query's whole life, session conf restored after
+            with sized_stream_start(spark, 8):
+                q = start_stream()
+        else:
+            q = start_stream()
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", "batch")
         time.sleep(10)  # let the stream settle
 
-        rows0, t0 = stream_rows(q), time.time()
-        mixed = batch_pass(spark)
-        elapsed = time.time() - t0
-        # one more progress cycle so the final batches are visible
+        counter = StreamRowCounter(q)
+        rows0, t0 = counter.drain(), time.time()
+        mixed = batch_pass(spark, on_query_done=counter.drain)
+        # one more progress cycle so the final batches are visible; the
+        # stream keeps ingesting during the sleep, so elapsed is measured
+        # at the same instant as the final row count
         time.sleep(3)
-        stream_rps = (stream_rows(q) - rows0) / elapsed
+        rows1, elapsed = counter.drain(), time.time() - t0
+        stream_rps = (rows1 - rows0) / elapsed
         q.stop()
 
         mixed_total = round(sum(mixed.values()), 2)

@@ -37,3 +37,71 @@ def test_loader_wires_hygiene_between_transforms():
 
     src = inspect.getsource(loader._build_all)
     assert "ensure_heap_headroom" in src
+
+
+def _fake_spark(gc_counter):
+    """Minimal object graph for ensure_heap_headroom's py4j touchpoints."""
+    from types import SimpleNamespace
+
+    system = SimpleNamespace(gc=lambda: gc_counter.append(1))
+    return SimpleNamespace(
+        sparkContext=SimpleNamespace(_jvm=SimpleNamespace(System=system))
+    )
+
+
+def test_hysteresis_backs_off_when_live_set_owns_the_heap(monkeypatch):
+    """A driver whose LIVE data keeps the floor unreachable must not pay a
+    full stop-the-world GC before every build forever — only when used
+    bytes grew >= floor/4 past the post-GC level (new garbage)."""
+    from arthur_redshift_etl_spark.plans import heap
+
+    gcs = []
+    spark = _fake_spark(gcs)
+    reports = [
+        {"max": 1000, "committed": 1000, "used": 700, "potential_free": 300},
+        {"max": 1000, "committed": 1000, "used": 690, "potential_free": 310},  # post-GC
+        {"max": 1000, "committed": 1000, "used": 705, "potential_free": 295},  # +15 only
+        {"max": 1000, "committed": 1000, "used": 800, "potential_free": 200},  # +110
+        {"max": 1000, "committed": 1000, "used": 795, "potential_free": 205},  # post-GC
+    ]
+    monkeypatch.setattr(heap, "heap_report", lambda s: reports.pop(0))
+    assert heap.ensure_heap_headroom(spark, min_free_bytes=400) is True
+    assert len(gcs) == 1
+    # floor unreachable after the GC (310 < 400) and little new garbage
+    assert heap.ensure_heap_headroom(spark, min_free_bytes=400) is False
+    assert len(gcs) == 1  # backed off
+    # real garbage accumulated (690 -> 800 >= 690 + 400//4) -> GC again
+    assert heap.ensure_heap_headroom(spark, min_free_bytes=400) is True
+    assert len(gcs) == 2
+
+
+def test_no_hysteresis_when_gc_reaches_the_floor(monkeypatch):
+    """When collections DO restore headroom, every breach collects — the
+    measured requirement of the 512 MB sequence (debris, not live data)."""
+    from arthur_redshift_etl_spark.plans import heap
+
+    gcs = []
+    spark = _fake_spark(gcs)
+    reports = [
+        {"max": 1000, "committed": 1000, "used": 700, "potential_free": 300},
+        {"max": 1000, "committed": 1000, "used": 100, "potential_free": 900},  # post-GC
+        {"max": 1000, "committed": 1000, "used": 650, "potential_free": 350},  # breach
+        {"max": 1000, "committed": 1000, "used": 110, "potential_free": 890},  # post-GC
+    ]
+    monkeypatch.setattr(heap, "heap_report", lambda s: reports.pop(0))
+    assert heap.ensure_heap_headroom(spark, min_free_bytes=400) is True
+    assert heap.ensure_heap_headroom(spark, min_free_bytes=400) is True
+    assert len(gcs) == 2
+
+
+def test_probe_failure_never_raises(monkeypatch):
+    """Advisory hygiene must not fail a buildable relation: a py4j error in
+    the probe returns False instead of propagating into _build_all's
+    per-relation try (which would mark the relation failed and cascade)."""
+    from arthur_redshift_etl_spark.plans import heap
+
+    def boom(s):
+        raise RuntimeError("py4j gateway timeout")
+
+    monkeypatch.setattr(heap, "heap_report", boom)
+    assert heap.ensure_heap_headroom(object(), min_free_bytes=1) is False

@@ -732,3 +732,106 @@ def test_percolator_idle_timeout_deferred_by_inflight_load(
     # 0.9s in-flight + 0.4s idle: firing before ~1.3s would mean the
     # timeout ran while work was still progressing
     assert elapsed > 1.1, f"timeout fired during the in-flight load: {elapsed:.2f}s"
+
+
+def test_partitioned_write_with_distkey_keeps_one_file_per_value(
+    spark, tmp_path, clean_dbs
+):
+    """The distkey must NOT be hashed into the pre-write repartition —
+    that would scatter each partition value across tasks again (files per
+    value ~ min(tasks, distkey cardinality)); it belongs in the
+    within-partition sort."""
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.bootstrap import bootstrap_source_design
+    from arthur_redshift_etl_spark.loader import load_warehouse
+
+    d = str(tmp_path / "data" / "orders_pd")
+    (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    design = bootstrap_source_design(
+        spark.read.parquet(d), "psrc3.orders", "up.public.orders"
+    )
+    design.attributes["partition_by"] = ["order_month"]
+    design.attributes["distribution"] = ["o_custkey"]
+    rels = [Relation(design=design, data_location=d)]
+    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=EventStore())
+    load_warehouse(ctx, rels)
+    table = spark.table("psrc3.orders")
+    location = os.path.dirname(
+        os.path.dirname(table.inputFiles()[0])
+    ).replace("file:", "")
+    month_dirs = [e for e in os.listdir(location) if e.startswith("order_month=")]
+    assert month_dirs
+    for entry in month_dirs:
+        n_files = len(
+            [
+                f
+                for f in os.listdir(os.path.join(location, entry))
+                if f.endswith(".parquet")
+            ]
+        )
+        assert n_files == 1, f"{entry}: {n_files} files, expected 1"
+
+
+def test_partition_write_buckets_bounds_files_per_value(spark, tmp_path, clean_dbs):
+    """partition_write_buckets=k: the low-cardinality escape hatch writes
+    up to k distkey-co-located files per partition value (write
+    parallelism |values| x k instead of collapsing to |values|)."""
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.bootstrap import bootstrap_source_design
+    from arthur_redshift_etl_spark.loader import load_warehouse
+
+    d = str(tmp_path / "data" / "orders_pb")
+    (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    design = bootstrap_source_design(
+        spark.read.parquet(d), "psrc4.orders", "up.public.orders"
+    )
+    design.attributes["partition_by"] = ["order_month"]
+    design.attributes["distribution"] = ["o_custkey"]
+    design.attributes["partition_write_buckets"] = 4
+    rels = [Relation(design=design, data_location=d)]
+    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=EventStore())
+    # at sf0.001 AQE coalesces the whole write shuffle into one partition
+    # (every month -> 1 task -> 1 file regardless of salt); at production
+    # partition sizes coalescing never merges across the advisory target,
+    # so disable it here to observe the salt the way a real write would
+    old_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        load_warehouse(ctx, rels)
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", old_coalesce
+        )
+    table = spark.table("psrc4.orders")
+    assert table.count() == spark.read.parquet(d).count()
+    location = os.path.dirname(
+        os.path.dirname(table.inputFiles()[0])
+    ).replace("file:", "")
+    month_dirs = [e for e in os.listdir(location) if e.startswith("order_month=")]
+    assert month_dirs
+    counts = []
+    for entry in month_dirs:
+        counts.append(
+            len(
+                [
+                    f
+                    for f in os.listdir(os.path.join(location, entry))
+                    if f.endswith(".parquet")
+                ]
+            )
+        )
+    assert all(1 <= c <= 4 for c in counts), counts
+    # the hatch actually widens the write: at least one month got >1 file
+    assert max(counts) > 1, counts

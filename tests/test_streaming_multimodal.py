@@ -647,3 +647,36 @@ def test_sized_stream_start_bakes_state_width_and_restores_conf(
     # ... and the state store materialized exactly 3 partitions on disk
     state_parts = sorted(os.listdir(os.path.join(ckpt, "state", "0")))
     assert [p for p in state_parts if p.isdigit()] == ["0", "1", "2"]
+
+
+def test_sized_stream_start_isolated_leaves_parent_conf_untouched(
+    spark, event_dir, tmp_path
+):
+    """isolated=True plans the stream on a child session (own SQLConf,
+    same SparkContext): concurrent batch planning on the parent never
+    sees the stream's tiny partition count, at any instant."""
+    import os
+
+    from arthur_redshift_etl_spark.streaming.events import sized_stream_start
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    ckpt = str(tmp_path / "sized-iso-ckpt")
+    with sized_stream_start(spark, 3, isolated=True) as s:
+        assert s is not spark
+        assert s.conf.get("spark.sql.shuffle.partitions") == "3"
+        # the parent is untouched INSIDE the block, not just after it
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+        q = (
+            hourly_rollup_stream(
+                read_event_stream(s, event_dir, max_files_per_trigger=2)
+            )
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(120)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    state_parts = sorted(os.listdir(os.path.join(ckpt, "state", "0")))
+    assert [p for p in state_parts if p.isdigit()] == ["0", "1", "2"]
