@@ -62,12 +62,14 @@ def heap_report(spark) -> dict:
     }
 
 
-# (used, floor_reached) right after the last GC, keyed per session object:
-# when the floor was unreachable because the heap is mostly LIVE data (not
-# debris), re-collecting reclaims nothing — back off until real garbage
-# accumulates.  When the last GC DID reach the floor, keep the measured
-# GC-every-breach behavior (the 512 MB sequence needs it, module docstring).
-_post_gc_state: dict = {}
+# Post-GC (used, floor_reached) is stored ON the session object (an
+# id()-keyed module dict would both leak entries and collide when a freed
+# object's address is reused): when the floor was unreachable because the
+# heap is mostly LIVE data (not debris), re-collecting reclaims nothing —
+# back off until real garbage accumulates.  When the last GC DID reach the
+# floor, keep the measured GC-every-breach behavior (the 512 MB sequence
+# needs it, module docstring).
+_STATE_ATTR = "_spark_graft_post_gc_state"
 
 
 def ensure_heap_headroom(spark, min_free_bytes: int | None = None) -> bool:
@@ -100,8 +102,7 @@ def ensure_heap_headroom(spark, min_free_bytes: int | None = None) -> bool:
                 min_free_bytes = int(rep["max"] * DEFAULT_MIN_FREE_FRACTION)
         if rep["potential_free"] >= min_free_bytes:
             return False
-        key = id(spark)
-        state = _post_gc_state.get(key)
+        state = getattr(spark, _STATE_ATTR, None)
         if (
             state is not None
             and not state["floor_reached"]
@@ -110,10 +111,14 @@ def ensure_heap_headroom(spark, min_free_bytes: int | None = None) -> bool:
             return False
         spark.sparkContext._jvm.System.gc()
         after = heap_report(spark)
-        _post_gc_state[key] = {
-            "used": after["used"],
-            "floor_reached": after["potential_free"] >= min_free_bytes,
-        }
+        setattr(
+            spark,
+            _STATE_ATTR,
+            {
+                "used": after["used"],
+                "floor_reached": after["potential_free"] >= min_free_bytes,
+            },
+        )
         return True
     except Exception:  # noqa: BLE001 - advisory probe, never fail the build
         return False
