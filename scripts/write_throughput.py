@@ -119,6 +119,36 @@ def main() -> int:
         results,
     )
 
+    # the low-cardinality cliff partition_write_buckets exists for:
+    # 3 partition values (l_returnflag) x 6M rows — co-location alone
+    # collapses the write to 3 tasks; an 8-way distkey salt restores
+    # parallelism at 8 co-located files per value.  AQE coalescing is
+    # disabled for this pair: at sf1.0 the salted partitions (~8 MB) sit
+    # under the advisory target and would re-merge, which production-size
+    # partitions never do — the A/B must show the parallelism effect.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    measure(
+        dfp,
+        lambda d, p: d.repartition("l_returnflag")
+        .write.partitionBy("l_returnflag")
+        .parquet(p),
+        "lowcard_colocated_3tasks",
+        n_rows,
+        results,
+    )
+    measure(
+        dfp,
+        lambda d, p: d.repartition(
+            F.col("l_returnflag"), F.pmod(F.xxhash64("l_orderkey"), F.lit(8))
+        )
+        .write.partitionBy("l_returnflag")
+        .parquet(p),
+        "lowcard_bucketed_8x",
+        n_rows,
+        results,
+    )
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
     report = {"src": SRC, "rows": n_rows, "cores": CPUS, "configs": results}
     out_path = os.environ.get("SPARK_GRAFT_WRITE_OUT")
     if out_path:
