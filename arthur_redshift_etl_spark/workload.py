@@ -2598,6 +2598,91 @@ def corpus_temperature_mix(spark, sf_dir):
 
 
 @query(
+    "corpus_mix_epochs",
+    oracle="""
+    WITH stats AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY 1
+    ), wts AS (
+      SELECT source, chars,
+             CAST(FLOOR(SQRT(CAST(chars AS DOUBLE)) * 1000000) AS BIGINT) AS w_int
+      FROM stats
+    ), tgt AS (
+      SELECT source, chars,
+             CAST(
+               ((3 * SUM(chars) OVER ()) * w_int) // SUM(w_int) OVER ()
+               AS BIGINT) AS target_chars
+      FROM wts
+    )
+    SELECT source, chars, target_chars,
+           CAST(CASE WHEN (target_chars + chars - 1) // chars > 4
+                THEN 4 ELSE (target_chars + chars - 1) // chars END
+                AS BIGINT) AS epochs,
+           CAST(CASE WHEN target_chars > 4 * chars THEN 4 * chars
+                ELSE target_chars END AS BIGINT) AS achieved_chars,
+           CAST(CASE WHEN target_chars > 4 * chars THEN target_chars - 4 * chars
+                ELSE 0 END AS BIGINT) AS shortfall_chars
+    FROM tgt
+    """,
+    description=(
+        "repetition plan for data-constrained mixing: per-domain epoch "
+        "counts (capped at 4) to reach a 3x temperature-weighted char "
+        "budget, with explicit shortfall where the cap binds"
+    ),
+)
+def corpus_mix_epochs(spark, sf_dir):
+    """The companion to ``corpus_temperature_mix`` for UP-sampling: when
+    the mix budget exceeds a domain's data, the domain is repeated —
+    epochs = ceil(target/available), capped at 4 (repetition beyond ~4
+    epochs stops adding value in data-constrained training), and the
+    unreachable remainder is surfaced as an explicit per-domain
+    shortfall instead of being silently absorbed.
+
+    Same exactness doctrine as the mix entry: one per-source IEEE sqrt
+    fixed-pointed to int64, then every target/epoch/shortfall is integer
+    div/mod — order-independent in both engines.  Scale shape: a single
+    domain-cardinality aggregate plus bounded whole-set windows; the
+    output is |domains| rows, the plan has no per-doc work at all (the
+    actual repetition is a downstream union of the selection N times).
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    wall = Window.partitionBy()
+    return (
+        docs.groupBy("source")
+        .agg(F.sum("n_chars").alias("chars"))
+        .withColumn(
+            "w_int",
+            F.floor(F.sqrt(F.col("chars").cast("double")) * F.lit(1000000.0)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "target_chars",
+            F.expr("((3 * sum(chars) over ()) * w_int) div (sum(w_int) over ())"),
+        )
+        .withColumn(
+            "epochs",
+            F.least(
+                F.expr("(target_chars + chars - 1) div chars"), F.lit(4).cast("long")
+            ),
+        )
+        .withColumn(
+            "achieved_chars", F.least(F.col("target_chars"), F.expr("4 * chars"))
+        )
+        .withColumn(
+            "shortfall_chars",
+            F.greatest(F.expr("target_chars - 4 * chars"), F.lit(0).cast("long")),
+        )
+        .select(
+            "source", "chars", "target_chars", "epochs", "achieved_chars",
+            "shortfall_chars",
+        )
+    )
+
+
+@query(
     "text_tfidf_top_terms",
     oracle="""
     WITH toks AS (
