@@ -222,7 +222,15 @@ def materialize_dataframe(ctx: LoadContext, rel: Relation, df: DataFrame, db: st
         ]
         within = extra + [k for k in (sort_keys or []) if k not in extra]
         if within:
-            writer_df = writer_df.sortWithinPartitions(*within)
+            # FileFormatWriter's required ordering for a dynamic-partition
+            # write is (partition columns first); a sort that omits them
+            # makes Spark insert its OWN sort by part_cols on top, a
+            # redundant per-task re-sort that also only preserves the
+            # distkey/sort-key clustering if it happens to be stable.
+            # Leading with part_cols satisfies the writer's requirement
+            # outright (one sort, no insert) and is a no-op cost-wise:
+            # each task holds few partition values post-repartition.
+            writer_df = writer_df.sortWithinPartitions(*part_cols, *within)
     else:
         if isinstance(dist, list) and dist:
             # DISTKEY analog: co-locate rows by the distribution column so

@@ -2501,9 +2501,10 @@ def stratified_sample_by_source(spark, sf_dir):
       FROM wts
     ), qb AS (
       SELECT source, n_target,
-             (n_target * w_int) // wsum AS base,
-             (n_target * w_int) % wsum AS rem,
-             SUM((n_target * w_int) // wsum) OVER () AS base_sum
+             CAST((CAST(n_target AS HUGEINT) * w_int) // wsum AS BIGINT) AS base,
+             CAST((CAST(n_target AS HUGEINT) * w_int) % wsum AS BIGINT) AS rem,
+             SUM(CAST((CAST(n_target AS HUGEINT) * w_int) // wsum AS BIGINT))
+               OVER () AS base_sum
       FROM tot
     ), quota AS (
       SELECT source,
@@ -2538,10 +2539,15 @@ def corpus_temperature_mix(spark, sf_dir):
     a per-source sqrt (IEEE-identical in both engines, no accumulation);
     it is fixed-pointed via floor(sqrt*1e6) so the quota arithmetic —
     integer div/mod largest remainder summing exactly to the target —
-    is order-independent int64 in both engines.  Bound: target x max
-    fixed-point weight must stay < 2^63 (holds through ~10 TB corpora;
-    beyond that swap the quota columns to decimal(38,0) like the KS
-    fallback).
+    is order-independent.  The n_target x w_int product runs in 128-bit
+    integer space (Spark decimal(38,0) div/% -> bigint, DuckDB HUGEINT
+    // and %) because the int64 version overflows early: w_int ~
+    sqrt(chars)*1e6 is ~3e12 at a 10 TB single domain, capping n_target
+    at ~3e6 docs before 2^63 — far below a 40% doc budget.  The 128-bit
+    bound is n_target x max(w_int) < 1e38: at 1e21 chars (~zettabyte,
+    ~4e17 docs at 2.5 kB/doc) the product is ~5e33, so the arithmetic is
+    exact through any physically plausible corpus.  Both engines
+    hard-error (no silent wrap) if it were ever exceeded.
 
     Scale shape: quotas come from a domain-cardinality aggregate (window
     over ~|domains| rows); selection is a per-source rank (same stratum
@@ -2564,8 +2570,16 @@ def corpus_temperature_mix(spark, sf_dir):
         )
         .withColumn("wsum", F.sum("w_int").over(wall))
         .withColumn("n_target", F.expr("(2 * sum(n_docs) over ()) div 5"))
-        .withColumn("base", F.expr("(n_target * w_int) div wsum"))
-        .withColumn("rem", F.expr("(n_target * w_int) % wsum"))
+        .withColumn(
+            "base",
+            F.expr("(CAST(n_target AS DECIMAL(38,0)) * w_int) div wsum"),
+        )
+        .withColumn(
+            "rem",
+            F.expr(
+                "CAST((CAST(n_target AS DECIMAL(38,0)) * w_int) % wsum AS BIGINT)"
+            ),
+        )
         .withColumn("base_sum", F.sum("base").over(wall))
         .withColumn(
             "extra_rank",
@@ -2610,7 +2624,8 @@ def corpus_temperature_mix(spark, sf_dir):
     ), tgt AS (
       SELECT source, chars,
              CAST(
-               ((3 * SUM(chars) OVER ()) * w_int) // SUM(w_int) OVER ()
+               ((3 * CAST(SUM(chars) OVER () AS HUGEINT)) * w_int)
+                 // SUM(w_int) OVER ()
                AS BIGINT) AS target_chars
       FROM wts
     )
@@ -2640,7 +2655,14 @@ def corpus_mix_epochs(spark, sf_dir):
 
     Same exactness doctrine as the mix entry: one per-source IEEE sqrt
     fixed-pointed to int64, then every target/epoch/shortfall is integer
-    div/mod — order-independent in both engines.  Scale shape: a single
+    div/mod — order-independent in both engines.  The 3*total x w_int
+    product runs in 128-bit integer space (Spark decimal(38,0) div ->
+    bigint, DuckDB HUGEINT //): the int64 version wrapped silently in
+    Spark once 3*total*w_int passed 2^63 — with w_int ~ sqrt(chars)*1e6
+    that is only ~2e8 total chars (~200 MB), i.e. barely past test
+    scale.  The 128-bit bound is 3*total*max(w_int) < 1e38, i.e.
+    3e6*total^1.5 < 1e38 -> total < ~1e21 chars (zettabyte); both
+    engines hard-error rather than wrap beyond it.  Scale shape: a single
     domain-cardinality aggregate plus bounded whole-set windows; the
     output is |domains| rows, the plan has no per-doc work at all (the
     actual repetition is a downstream union of the selection N times).
@@ -2660,7 +2682,10 @@ def corpus_mix_epochs(spark, sf_dir):
         )
         .withColumn(
             "target_chars",
-            F.expr("((3 * sum(chars) over ()) * w_int) div (sum(w_int) over ())"),
+            F.expr(
+                "((3 * CAST(sum(chars) over () AS DECIMAL(38,0))) * w_int)"
+                " div (sum(w_int) over ())"
+            ),
         )
         .withColumn(
             "epochs",

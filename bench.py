@@ -91,7 +91,7 @@ def _spin_probe_ms(n: int = 10_000_000) -> float:
     return round((time.perf_counter() - t0) * 1000.0, 1)
 
 
-def _memstream_probe_ms(mb: int = 256, passes: int = 4) -> float:
+def _memstream_probe_ms(mb: int = 256, passes: int = 4) -> float | None:
     """Wall time of a FIXED memory-bandwidth-bound workload.
 
     The pure-register spin probe has a blind spot: a neighbor saturating

@@ -174,3 +174,108 @@ def test_chunk_dedup_within_doc_repeat_kept_once(spark):
     import hashlib
 
     assert row.rebuilt_md5 == hashlib.md5(chunk.encode()).hexdigest()
+
+
+def test_mix_epochs_exact_beyond_int64(spark, tmp_path):
+    """Regression: corpus_mix_epochs' 3*total*w_int intermediate wrapped
+    silently in int64 once total char mass passed ~2e8 (w_int ~
+    sqrt(chars)*1e6).  The 128-bit (decimal(38,0)) arithmetic must match
+    Python's arbitrary-precision integers exactly at a char mass where
+    the old path produced garbage."""
+    import math
+
+    from arthur_redshift_etl_spark import workload
+
+    rows = [
+        # (doc_id, text, lang, source, n_chars) — 6e8 total chars
+        (1, "x", "en", "web", 500_000_000),
+        (2, "x", "en", "books", 90_000_000),
+        (3, "x", "en", "code", 10_000_000),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    chars = {"web": 500_000_000, "books": 90_000_000, "code": 10_000_000}
+    w = {s: math.floor(math.sqrt(c) * 1_000_000) for s, c in chars.items()}
+    total, wsum = sum(chars.values()), sum(w.values())
+    # the old int64 intermediate provably wraps at this mass
+    assert 3 * total * max(w.values()) > 2**63 - 1
+    expect = {}
+    for s in chars:
+        target = (3 * total * w[s]) // wsum  # exact in Python ints
+        epochs = min((target + chars[s] - 1) // chars[s], 4)
+        achieved = min(target, 4 * chars[s])
+        shortfall = max(target - 4 * chars[s], 0)
+        expect[s] = (chars[s], target, epochs, achieved, shortfall)
+
+    out = {
+        r["source"]: (
+            r["chars"],
+            r["target_chars"],
+            r["epochs"],
+            r["achieved_chars"],
+            r["shortfall_chars"],
+        )
+        for r in workload.corpus_mix_epochs(spark, str(tmp_path)).collect()
+    }
+    assert out == expect
+    assert all(v[1] > 0 for v in out.values())  # the wrap produced negatives
+
+
+def test_temperature_mix_quota_exact_beyond_int64(spark, tmp_path):
+    """Same regression for corpus_temperature_mix's n_target*w_int quota
+    product: at large doc counts x char mass it exceeded 2^63.  The
+    quotas must implement exact largest-remainder (sum == n_target) at a
+    scale where int64 would wrap."""
+    import math
+
+    from arthur_redshift_etl_spark import workload
+
+    # few docs, astronomically heavy: forces w_int ~ 3.1e13 so that even a
+    # tiny n_target (2 docs per source here is irrelevant — the product
+    # n_target*w_int is what wraps) exercises the decimal path.
+    n_docs_per_source = 400_000
+    # only quota math touches n_chars aggregates; docs themselves are rows
+    chars = {"web": 10**15, "books": 10**13}
+    rows = []
+    for i, (s, c) in enumerate(sorted(chars.items())):
+        per_doc = c // n_docs_per_source
+        rows.append((i, s, per_doc))
+    # build the doc table compactly with explode to avoid 800k python rows
+    src = spark.createDataFrame(rows, ["sid", "source", "per_doc"])
+    df = (
+        src.withColumn("seq", F.explode(F.sequence(F.lit(1), F.lit(n_docs_per_source))))
+        .select(
+            (F.col("sid") * n_docs_per_source + F.col("seq")).alias("doc_id"),
+            F.lit("x").alias("text"),
+            F.lit("en").alias("lang"),
+            "source",
+            F.col("per_doc").alias("n_chars"),
+        )
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    w = {s: math.floor(math.sqrt(c) * 1_000_000) for s, c in chars.items()}
+    n_total = 2 * n_docs_per_source
+    n_target = (2 * n_total) // 5
+    assert n_target * max(w.values()) > 2**63 - 1  # old path wrapped here
+    wsum = sum(w.values())
+    base = {s: (n_target * w[s]) // wsum for s in chars}
+    rem = {s: (n_target * w[s]) % wsum for s in chars}
+    extras = n_target - sum(base.values())
+    order = sorted(chars, key=lambda s: (-rem[s], s))
+    quota = {
+        s: base[s] + (1 if order.index(s) < extras else 0) for s in chars
+    }
+
+    out = (
+        workload.corpus_temperature_mix(spark, str(tmp_path))
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    got = {r["source"]: r["count"] for r in out}
+    assert got == quota
+    assert sum(got.values()) == n_target
