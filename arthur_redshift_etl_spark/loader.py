@@ -466,6 +466,10 @@ def _build_all(
 
     def load_source(rel: Relation) -> None:
         try:
+            # same broadcast-debris exposure as the sequential loop below,
+            # shared driver heap; single-flight so the pool's threads never
+            # stack stop-the-world GCs for the same debris
+            ensure_heap_headroom(ctx.spark, single_flight=True)
             build_one_relation(ctx, rel, use_staging, staging_ids)
         except Exception as exc:
             logger.error("source %s failed: %s", rel.identifier, exc)
@@ -860,14 +864,18 @@ def compact_table(
 
     Bucketed tables are returned untouched: their file count IS the bucket
     spec (layout carries join semantics), so compaction there means
-    re-bucketing, a different operation.
+    re-bucketing, a different operation.  Partitioned tables too: a flat
+    coalesce-rewrite of the discovery-read root would erase the directory
+    layout (and the r7 write path already keeps them compact — one
+    co-located file per partition value, ``materialize_dataframe``); a
+    fragmented single partition is ``refresh_partitions``' job.
     """
     import math
     import os
 
     db = db or rel.table_name.schema
     fq = f"{_quote(db)}.{_quote(rel.table_name.table)}"
-    if _bucket_spec(rel.design):
+    if _bucket_spec(rel.design) or rel.design.attributes.get("partition_by"):
         return (0, 0)
     loc_rows = (
         ctx.spark.sql(f"DESCRIBE FORMATTED {fq}")
@@ -1079,6 +1087,13 @@ def vacuum_lake(spark: SparkSession, data_root: str) -> List[str]:
     return removed
 
 
+def _build_with_heap_check(ctx: LoadContext, rel: Relation, staging_ids) -> int:
+    """Percolator build unit: heap hygiene (single-flight — the pool's
+    threads share one driver heap) then the staged build."""
+    ensure_heap_headroom(ctx.spark, single_flight=True)
+    return build_one_relation(ctx, rel, True, staging_ids)
+
+
 def load_sources_as_extracted(
     ctx: LoadContext,
     relations: Sequence[Relation],
@@ -1129,7 +1144,7 @@ def load_sources_as_extracted(
                         skipped,
                     )
                 futures[ident] = pool.submit(
-                    build_one_relation, ctx, rel, True, staging_ids
+                    _build_with_heap_check, ctx, rel, staging_ids
                 )
             for ident, fut in list(futures.items()):
                 if fut.done():

@@ -87,6 +87,67 @@ def global_row_number(
     return out, acc
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[str],
+    row_number_column: str = "__grn_g",
+    count_column: Optional[str] = None,
+) -> DataFrame:
+    """Per-group 1-based row numbers with NO single-task stratum sort.
+
+    ``row_number() OVER (PARTITION BY group ORDER BY ...)`` sorts EVERY row
+    of a group in one task — with skewed groups (one web-crawl domain can be
+    >90% of a 100 TB corpus) that window is a straggler/OOM point.  This is
+    the exact, skew-proof replacement:
+
+    1. :func:`global_row_number` over ``(group_cols, order_by)`` — the range
+       repartition spreads a giant group across MANY range partitions (the
+       partitioner splits on the full key tuple), each sorts only its slice,
+       and the driver-side prefix sum is metadata-only;
+    2. one aggregate finds each group's first global rank (and size, if
+       ``count_column`` is requested) — |groups| rows with map-side partial
+       aggregation, skew-irrelevant;
+    3. per-group rank = global rank − group start + 1, attached via a
+       budget-gated broadcast join (``plans.broadcast``): group-cardinality
+       tables are tiny for real strata (domains, languages, sources); above
+       the decoded budget the join falls back to shuffle, still exact.
+
+    Equivalent to the single-window answer for any total order (make
+    ``order_by`` unique with an id tiebreaker, same contract as the window).
+    The group-start aggregate is one extra (cheap) job versus the window —
+    the price of removing the unbounded per-task sort.
+
+    Returns the frame with ``row_number_column`` (long) and, when
+    ``count_column`` is given, the group size (long) — the pair
+    stratified sampling needs (rank ≤ ceil(fraction·n)).
+    """
+    from ..plans.broadcast import broadcast_within_budget
+
+    ranked, total = global_row_number(
+        df, [*group_cols, *order_by], row_number_column="__grn_all"
+    )
+    if total == 0:
+        out = ranked.withColumn(row_number_column, F.lit(None).cast("long"))
+        if count_column:
+            out = out.withColumn(count_column, F.lit(None).cast("long"))
+        return out.drop("__grn_all")
+    aggs = [F.min("__grn_all").alias("__gstart")]
+    if count_column:
+        aggs.append(F.count(F.lit(1)).cast("long").alias(count_column))
+    starts = ranked.groupBy(*group_cols).agg(*aggs)
+    # the ranked side is localCheckpoint-pinned (global_row_number), so this
+    # count scans materialized blocks, not the full upstream lineage
+    n_groups = starts.count()
+    out = ranked.join(
+        broadcast_within_budget(starts, n_groups), list(group_cols)
+    ).withColumn(
+        row_number_column,
+        (F.col("__grn_all") - F.col("__gstart") + F.lit(1)).cast("long"),
+    )
+    return out.drop("__grn_all", "__gstart")
+
+
 def global_running_sum(
     df: DataFrame,
     order_by: Sequence[str],

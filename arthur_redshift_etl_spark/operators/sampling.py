@@ -15,10 +15,12 @@ per-group exact-fraction samples.
 Scale notes:
 - ``hash_bucket``/``split_assign`` are narrow (per-row projection, no
   shuffle); they survive any data size and push down to scans.
-- ``stratified_sample_exact`` needs one shuffle per group (window over the
-  stratum key) — for heavily skewed strata prefer ``split_assign`` with a
-  per-stratum threshold, which stays shuffle-free at the cost of only
-  approximating the fraction.
+- ``stratified_sample_exact`` pays one RANGE shuffle over (stratum, rank
+  key) plus a tiny group-start aggregate — skew-proof: a 90%-mass stratum
+  spreads over many range partitions instead of funneling through one
+  task (the old full-stratum window's failure mode).  ``split_assign``
+  with a per-stratum threshold remains the shuffle-FREE alternative when
+  an approximate fraction suffices.
 """
 
 from __future__ import annotations
@@ -73,17 +75,24 @@ def stratified_sample_exact(
     """Exactly ⌈fraction·|stratum|⌉ rows per stratum, deterministically.
 
     Rows are ranked inside each stratum by (hash_bucket, id) — a stable
-    pseudo-random order — and the top ⌈fraction·n⌉ are kept.  One shuffle
-    on the stratum key; rank and count share the same window partitioning.
+    pseudo-random order — and the top ⌈fraction·n⌉ are kept.
+
+    The rank is :func:`..operators.identity.grouped_row_number` (range
+    repartition + local rank + metadata prefix sum + group-start join),
+    NOT a ``row_number() OVER (PARTITION BY stratum)`` window: the window
+    sorts a whole stratum in one task, and real corpora are domain-skewed
+    — a 90%-mass web-crawl stratum at 100 TB is a one-task straggler/OOM
+    (measured: scripts/stratified_skew_ab.py).  Same answer for the same
+    total order; the stratum never funnels through one task.
     """
-    w = Window.partitionBy(*stratum_cols)
-    ranked = (
-        df.withColumn("_hb", hash_bucket(F.col(id_col)))
-        .withColumn(
-            "_rn",
-            F.row_number().over(w.orderBy(F.col("_hb"), F.col(id_col))),
-        )
-        .withColumn("_n", F.count(F.lit(1)).over(w))
+    from .identity import grouped_row_number
+
+    ranked = grouped_row_number(
+        df.withColumn("_hb", hash_bucket(F.col(id_col))),
+        stratum_cols,
+        ["_hb", id_col],
+        row_number_column="_rn",
+        count_column="_n",
     )
     return ranked.filter(
         F.col("_rn") <= F.ceil(F.lit(fraction) * F.col("_n"))

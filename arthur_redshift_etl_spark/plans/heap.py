@@ -38,6 +38,7 @@ nothing; ``ensure_heap_headroom`` is a no-op until potential free heap
 from __future__ import annotations
 
 import os
+import threading
 
 # A build needs MOST of a tight heap free: an absolute floor (256 MB ≈ 53%
 # of a 512 MB heap) was measured insufficient — post-GC usage passed the
@@ -71,8 +72,36 @@ def heap_report(spark) -> dict:
 # needs it, module docstring).
 _STATE_ATTR = "_spark_graft_post_gc_state"
 
+# Concurrent build paths (the parallel source pool, the percolator) call
+# the check per-build from MANY threads sharing one driver heap.  The probe
+# is cheap but System.gc() is not — N threads tripping the floor together
+# must not stack N stop-the-world collections for the same debris.  A
+# non-blocking try-lock makes the check single-flight: whoever holds the
+# lock does the GC, everyone else skips (their next build re-checks).
+_SINGLE_FLIGHT = threading.Lock()
 
-def ensure_heap_headroom(spark, min_free_bytes: int | None = None) -> bool:
+
+def ensure_heap_headroom(
+    spark, min_free_bytes: int | None = None, single_flight: bool = False
+) -> bool:
+    """GC the driver when potential free heap drops below the floor.
+
+    ``single_flight=True`` (concurrent callers) makes the whole check
+    try-lock guarded: if another thread is already probing/collecting,
+    return False immediately instead of queueing a second GC.  See
+    :func:`_ensure_heap_headroom` for the policy and measurements.
+    """
+    if single_flight:
+        if not _SINGLE_FLIGHT.acquire(blocking=False):
+            return False
+        try:
+            return ensure_heap_headroom(spark, min_free_bytes)
+        finally:
+            _SINGLE_FLIGHT.release()
+    return _ensure_heap_headroom(spark, min_free_bytes)
+
+
+def _ensure_heap_headroom(spark, min_free_bytes: int | None = None) -> bool:
     """GC the driver when potential free heap drops below the floor.
 
     Default floor: ``DEFAULT_MIN_FREE_FRACTION`` of max heap (or the

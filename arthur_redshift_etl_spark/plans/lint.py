@@ -114,10 +114,35 @@ def broadcast_audit(df: DataFrame) -> List[dict]:
                 raw = subtree.stats().sizeInBytes()  # scala BigInt; py4j may
                 size = raw if isinstance(raw, int) else int(raw.toString())
                 scans, reduced = scan_subtree(subtree)
+                rc_opt = subtree.stats().rowCount()
+                row_count = None
+                if rc_opt.isDefined():
+                    rc = rc_opt.get()  # scala BigInt; py4j may auto-convert
+                    row_count = rc if isinstance(rc, int) else int(rc.toString())
+                # decoded estimate: what the driver/executors actually hold
+                # (UnsafeHashedRelation), NOT the compressed stat bytes.
+                # rowCount x modeled row width when CBO stats carry a row
+                # count; else stat bytes x the measured ~10x decode ratio
+                # (scripts/broadcast_crossover.py) on reduction-free lineage.
+                decoded = None
+                try:
+                    from pyspark.sql.types import _parse_datatype_json_string
+
+                    from .broadcast import decoded_row_width
+
+                    schema = _parse_datatype_json_string(subtree.schema().json())
+                    if row_count is not None:
+                        decoded = row_count * decoded_row_width(schema)
+                    elif not reduced:
+                        decoded = size * 10
+                except Exception:  # noqa: BLE001 - estimate only, never fatal
+                    pass
                 records.append(
                     {
                         "scans": sorted(set(scans)),
                         "size_bytes": size,
+                        "row_count": row_count,
+                        "decoded_bytes_est": decoded,
                         # a reducing node makes the subtree row-bounded AND
                         # its Catalyst byte estimate meaningless (default
                         # multiplicative propagation through joins printed
@@ -133,7 +158,11 @@ def broadcast_audit(df: DataFrame) -> List[dict]:
     return records
 
 
-def lint_plan(df: DataFrame, broadcast_bytes_hint: int = 256 << 20) -> List[LintWarning]:
+def lint_plan(
+    df: DataFrame,
+    broadcast_bytes_hint: int = 256 << 20,
+    decoded_budget_bytes: int = 64 << 20,
+) -> List[LintWarning]:
     """Inspect the physical plan for scale hazards.
 
     The broadcast warnings exist because the planner's own gate tests
@@ -166,6 +195,22 @@ def lint_plan(df: DataFrame, broadcast_bytes_hint: int = 256 << 20) -> List[Lint
                     f"broadcast subtree estimated at {rec['size_bytes']} "
                     f"bytes (> {broadcast_bytes_hint}) — driver materializes "
                     "every broadcast; prefer a shuffle join at this size",
+                )
+            )
+        decoded = rec.get("decoded_bytes_est")
+        if (
+            rec["size_meaningful"]
+            and decoded is not None
+            and decoded > decoded_budget_bytes
+        ):
+            warnings.append(
+                LintWarning(
+                    "BIG_DECODED_BROADCAST",
+                    f"hinted broadcast's DECODED estimate {decoded} B "
+                    f"(> {decoded_budget_bytes}) — the measured crossover "
+                    "(~500k rows / 20 MiB decoded, SCALE.md r7) says this "
+                    "side joins faster shuffled; route the hint through "
+                    "plans.broadcast.broadcast_within_budget",
                 )
             )
 

