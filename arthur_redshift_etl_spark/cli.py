@@ -587,6 +587,34 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """Threshold-gated lake maintenance: probe every selected table's
+    fragmentation (metadata-only) and compact only past the measured-tax
+    threshold — the scheduled/post-update analog of the reference's
+    vacuum-after-update (python/etl/load.py:1360-1367)."""
+    from .loader import maintain_warehouse
+
+    spark = _spark(args)
+    ctx = _ctx(args, spark)
+    reports = maintain_warehouse(
+        ctx, _relations(args, args.patterns),
+        target_file_bytes=args.target_mb << 20,
+    )
+    for ident, rep in sorted(reports.items()):
+        if rep.get("exempt"):
+            state = "exempt (bucketed/partitioned layout)"
+        elif rep["compacted"]:
+            state = f"compacted {rep['files']} -> {rep['files_after']} file(s)"
+        elif rep["fragmented"]:
+            state = "fragmented but compaction did not shrink it"
+        else:
+            state = f"ok ({rep['files']} file(s))"
+        print(f"{ident}: {state}")
+    n_comp = sum(1 for r in reports.values() if r.get("compacted"))
+    print(f"maintain: probed {len(reports)}, compacted {n_comp}")
+    return 0
+
+
 def cmd_promote_schemas(args) -> int:
     from .loader import promote_schemas
 
@@ -1096,6 +1124,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("restore_schemas", cmd_restore_schemas)
     add("vacuum", cmd_vacuum, patterns=False)
     sp = add("compact", cmd_compact)
+    sp.add_argument("--target-mb", type=int, default=128,
+                    help="target file size in MiB (default 128)")
+    sp = add("maintain", cmd_maintain)
     sp.add_argument("--target-mb", type=int, default=128,
                     help="target file size in MiB (default 128)")
     add("create_index", cmd_create_index)

@@ -39,7 +39,7 @@ from .errors import (
     RequiredRelationLoadError,
 )
 from .functions.compat import rewrite_redshift_sql
-from .monitor import STEP_LOAD, EventStore, Monitor
+from .monitor import STEP_LOAD, STEP_MAINTAIN, EventStore, Monitor
 from .names import TableName, TableSelector, as_backup, as_staging
 from .operators.constraints import check_all_constraints
 from .operators.identity import build_dimension
@@ -67,6 +67,9 @@ class LoadContext:
     max_concurrency: int = 4
     skip_copy: bool = False  # structural smoke mode (--skip-copy)
     analyze: bool = True  # ANALYZE TABLE after load (reference load.py:554-561)
+    # post-publish threshold-gated compaction (reference vacuum-after-update,
+    # load.py:1360-1367); probe is metadata-only, rewrite is checksum-gated
+    auto_maintain: bool = True
 
     def table_location(self, table_name: TableName) -> str:
         return f"{self.data_root}/{self.etl_id}/{table_name.schema}/{table_name.table}"
@@ -646,6 +649,17 @@ def update_warehouse(
             drop_schema(ctx.spark, as_staging(schema))
         raise RequiredRelationLoadError([r.identifier for r in failed])
     publish(ctx, rels)
+    # post-publish maintenance, mirroring the reference's vacuum-after-
+    # update (load.py:1360-1367): probe is metadata-only; a rewrite fires
+    # only past the measured fragmentation threshold, checksum-gated.
+    # A fresh-etl_id context keeps the compaction rewrite from colliding
+    # with the locations this update just published.
+    if ctx.auto_maintain:
+        import dataclasses
+        import uuid as _uuid
+
+        mctx = dataclasses.replace(ctx, etl_id=_uuid.uuid4().hex[:12])
+        maintain_warehouse(mctx, rels, selector)
 
 
 def merge_update_table(
@@ -923,6 +937,119 @@ def compact_table(
         ]
     )
     return (len(files), n_after)
+
+
+# --- lake maintenance policy (round 8) -------------------------------------
+# Thresholds from the measured fragmentation tax (SCALE.md r7,
+# scripts/small_files_compaction_ab.py): scans pay 3.3-5x once the layout
+# fragments to ~32x the compact file count; the tax clears measurement noise
+# from roughly 4x on.  A table is "fragmented" when its file count exceeds
+# FILE_COUNT_MULTIPLE x the compact target AND an absolute floor (tiny
+# tables with a handful of small files are not worth a rewrite pass).
+MAINTAIN_FILE_COUNT_MULTIPLE = 4
+MAINTAIN_MIN_FILES = 16
+
+
+def fragmentation_report(
+    ctx: LoadContext,
+    rel: Relation,
+    db: str | None = None,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Metadata-only fragmentation probe: file count, bytes, compact target.
+
+    Driver-side listing, no data read — cheap enough to run after every
+    update.  Bucketed/partitioned tables report ``exempt`` (their layout
+    carries semantics / is compact by construction, see
+    :func:`compact_table`).
+    """
+    import math
+    import os
+
+    db = db or rel.table_name.schema
+    fq = f"{_quote(db)}.{_quote(rel.table_name.table)}"
+    if _bucket_spec(rel.design) or rel.design.attributes.get("partition_by"):
+        return {"files": 0, "bytes": 0, "target_files": 0,
+                "fragmented": False, "exempt": True}
+    loc_rows = (
+        ctx.spark.sql(f"DESCRIBE FORMATTED {fq}")
+        .filter("col_name = 'Location'")
+        .collect()
+    )
+    location = loc_rows[0]["data_type"].replace("file:", "")
+    sizes = [
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, names in os.walk(location)
+        for f in names
+        if f.endswith(".parquet")
+    ]
+    total = sum(sizes)
+    target = max(1, math.ceil(total / target_file_bytes))
+    return {
+        "files": len(sizes),
+        "bytes": total,
+        "target_files": target,
+        "fragmented": (
+            len(sizes) >= MAINTAIN_MIN_FILES
+            and len(sizes) > MAINTAIN_FILE_COUNT_MULTIPLE * target
+        ),
+        "exempt": False,
+    }
+
+
+def maintain_table(
+    ctx: LoadContext,
+    rel: Relation,
+    db: str | None = None,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Threshold-gated compaction with event-store evidence.
+
+    The reference vacuums every updated table after its transactional
+    update (``python/etl/load.py:1360-1367``); a parquet lake's analog is
+    compaction, but an unconditional rewrite after every update would pay
+    a full table write for nothing most days — so the policy probes first
+    (metadata-only) and rewrites only past the measured-tax threshold.
+    The rewrite itself is :func:`compact_table`'s checksum-gated atomic
+    re-register; a failed compaction leaves the table untouched and a
+    ``fail`` event recorded.
+    """
+    rep = fragmentation_report(ctx, rel, db, target_file_bytes)
+    rep["compacted"] = False
+    if not rep["fragmented"]:
+        return rep
+    with Monitor(
+        ctx.store, rel.identifier, STEP_MAINTAIN, etl_id=ctx.etl_id
+    ) as mon:
+        before, after = compact_table(ctx, rel, db, target_file_bytes)
+        mon.rowcount = after
+    rep["compacted"] = after < before
+    rep["files_after"] = after
+    return rep
+
+
+def maintain_warehouse(
+    ctx: LoadContext,
+    relations: Sequence[Relation],
+    selector: Optional[TableSelector] = None,
+    target_file_bytes: int = 128 << 20,
+) -> Dict[str, dict]:
+    """Maintenance pass over loaded tables: probe every relation, compact
+    the fragmented ones.  Returns per-identifier reports (probe-only rows
+    included, so the caller sees what was checked, not just what moved)."""
+    out: Dict[str, dict] = {}
+    for rel in relations:
+        if rel.is_view_relation:
+            continue
+        if selector is not None and not selector.match(rel.table_name):
+            continue
+        fq = f"{_quote(rel.table_name.schema)}.{_quote(rel.table_name.table)}"
+        if not ctx.spark.catalog.tableExists(fq):
+            continue
+        out[rel.identifier] = maintain_table(
+            ctx, rel, target_file_bytes=target_file_bytes
+        )
+    return out
 
 
 def promote_schemas(ctx: LoadContext, relations: Sequence[Relation]) -> None:

@@ -22,6 +22,7 @@ logger = logging.getLogger(__name__)
 STEP_EXTRACT = "extract"
 STEP_LOAD = "load"
 STEP_UNLOAD = "unload"
+STEP_MAINTAIN = "maintain"
 
 EVENT_START = "start"
 EVENT_FINISH = "finish"

@@ -40,8 +40,126 @@ def scalable_state_conf() -> dict:
     to ``build_session(extra_conf=...)``, or set on a live session — the
     provider class is read when each streaming query STARTS, so it applies
     to queries started after the change, never to running ones.
+
+    **Migration trap (pinned in tests/test_streaming_multimodal.py):** an
+    EXISTING checkpoint pins its provider in the offset-log metadata, and
+    on restart Spark restores the pinned class — the session conf is
+    SILENTLY IGNORED.  Measured consequence: an operator who "fixes" a
+    growing dedup stream by setting this conf and restarting still runs
+    the on-heap store, which hard-OOMs at ~12M state rows (SCALE.md r7).
+    :func:`checkpoint_state_provider` detects the pin; the maintainers
+    below log a loud warning when a restart's session conf asks for a
+    different provider than the checkpoint will actually use.
+
+    **Migration recipe (tested end-to-end):** state-store format is
+    provider-specific (heap ``.delta``/``.snapshot`` vs RocksDB zips), so
+    there is no in-place switch.  Instead:
+
+    1. drain and stop the query (``processAllAvailable()`` → ``stop()``);
+    2. retire the old checkpoint directory (keep it for rollback);
+    3. restart the SAME maintainer with this conf set and a FRESH
+       checkpoint.  For the engine's file-source maintainers the source
+       replays retained files and the batch-id swap discipline rebuilds
+       the stored table idempotently (exactly-once markers make replay
+       safe).  For non-replayable sources, bound the replay by seeding
+       the new query from the old checkpoint's last COMMITTED offsets
+       (:func:`checkpoint_source_offsets` — e.g. a Kafka reader's
+       ``startingOffsets``).
     """
     return {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_STATE_PROVIDER}
+
+
+_PROVIDER_CONF_KEY = "spark.sql.streaming.stateStore.providerClass"
+_DEFAULT_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+
+
+def checkpoint_state_provider(checkpoint: str) -> Optional[str]:
+    """The state-store provider class an existing checkpoint will USE on
+    restart (pinned in its offset-log metadata), or None for a fresh or
+    absent checkpoint.
+
+    Spark writes the originating session's state conf into every offset
+    file and restores it on recovery precisely so state files stay
+    readable — which makes a later session-conf change a silent no-op.
+    This reads the pin so operators (and the maintainer guard) can tell
+    what a restart will actually run.
+    """
+    import json
+    import os
+
+    offsets_dir = os.path.join(checkpoint, "offsets")
+    try:
+        batches = sorted(int(f) for f in os.listdir(offsets_dir) if f.isdigit())
+    except OSError:
+        return None
+    if not batches:
+        return None
+    with open(os.path.join(offsets_dir, str(batches[-1]))) as fh:
+        lines = fh.read().splitlines()
+    try:
+        meta = json.loads(lines[1])
+    except (IndexError, ValueError):
+        return None
+    return meta.get("conf", {}).get(_PROVIDER_CONF_KEY, _DEFAULT_PROVIDER)
+
+
+def checkpoint_source_offsets(checkpoint: str) -> Optional[list]:
+    """Per-source offsets of the last COMMITTED batch in a checkpoint.
+
+    The seed for bounded-replay migration on non-replayable sources: the
+    returned list has one entry per source (parsed JSON where the offset
+    is JSON — e.g. Kafka's partition map — else the raw string).  Returns
+    None when nothing was committed yet.
+    """
+    import json
+    import os
+
+    commits_dir = os.path.join(checkpoint, "commits")
+    try:
+        committed = sorted(
+            int(f) for f in os.listdir(commits_dir) if f.isdigit()
+        )
+    except OSError:
+        return None
+    if not committed:
+        return None
+    with open(os.path.join(checkpoint, "offsets", str(committed[-1]))) as fh:
+        lines = fh.read().splitlines()
+    out = []
+    for ln in lines[2:]:  # line 0: version, line 1: metadata, 2+: sources
+        try:
+            out.append(json.loads(ln))
+        except ValueError:
+            out.append(ln)
+    return out
+
+
+def _warn_on_pinned_provider(spark: SparkSession, checkpoint: str) -> None:
+    """Restart guard: turning the silent provider no-op into evidence.
+
+    Called by every maintainer before ``start()``: when the session conf
+    requests a different provider than the checkpoint pins, the restart
+    would quietly keep the old backend (the r7 capacity measurements say
+    that difference is OOM-vs-degrade at ~12M state rows), so say it
+    loudly and point at the migration recipe.
+    """
+    pinned = checkpoint_state_provider(checkpoint)
+    if pinned is None:
+        return
+    requested = spark.conf.get(_PROVIDER_CONF_KEY, _DEFAULT_PROVIDER)
+    if requested != pinned:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "checkpoint %s pins state-store provider %s; the session's %s "
+            "is IGNORED on restart. To migrate: drain, retire the "
+            "checkpoint, restart fresh (see scalable_state_conf docstring).",
+            checkpoint,
+            pinned.rsplit(".", 1)[-1],
+            requested.rsplit(".", 1)[-1],
+        )
 
 
 @contextmanager
@@ -371,6 +489,7 @@ def rollup_to_table_stream(
         )
         _swap_with_marker(result, target_path, batch_id)
 
+    _warn_on_pinned_provider(events.sparkSession, checkpoint)
     return (
         events.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
@@ -424,6 +543,7 @@ def sketch_rollup_stream(
         )
         _swap_with_marker(result, target_path, batch_id)
 
+    _warn_on_pinned_provider(events.sparkSession, checkpoint)
     return (
         events.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
@@ -469,6 +589,7 @@ def cms_rollup_stream(
         )
         _swap_with_marker(result, target_path, batch_id)
 
+    _warn_on_pinned_provider(events.sparkSession, checkpoint)
     return (
         events.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
@@ -524,6 +645,7 @@ def kll_rollup_stream(
         result = spark.createDataFrame(merged, "value double, weight long")
         _swap_with_marker(result, target_path, batch_id)
 
+    _warn_on_pinned_provider(events.sparkSession, checkpoint)
     return (
         events.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
@@ -646,6 +768,7 @@ def drift_monitor_stream(
             report = spark.read.parquet(target_path).unionByName(report)
         _swap_with_marker(report, target_path, batch_id)
 
+    _warn_on_pinned_provider(events.sparkSession, checkpoint)
     return (
         events.writeStream.foreachBatch(report_batch)
         .option("checkpointLocation", checkpoint)

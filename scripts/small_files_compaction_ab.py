@@ -100,6 +100,18 @@ def measure_layout(spark, path: str) -> dict:
         "files": len(files),
         "avg_file_kb": round(total / len(files) / 1024, 1),
         "listing_s": round(listing_s, 3),
+        # what the SAME layout costs on an object store, modeled: S3
+        # ListObjectsV2 returns <=1000 keys/page at ~25-50 ms/page
+        # (sequential — continuation tokens serialize paging within a
+        # prefix), plus one ~15 ms GET per parquet FOOTER at planning
+        # (footers are fetched in parallel; schema merge reads one, but
+        # row-group pruning touches every file once) amortized over the
+        # driver's thread pool (~8 effective lanes).  Local-FS getdents
+        # hides both, so listing_s above UNDERSTATES the fragmentation
+        # tax by exactly this column.
+        "s3_listing_model_s": round(
+            (len(files) + 999) // 1000 * 0.035 + len(files) * 0.015 / 8, 3
+        ),
         "scan_selective_s": round(min(sel), 3),
         "scan_full_s": round(min(full), 3),
         "scan_tasks": spark.read.parquet(path).rdd.getNumPartitions(),

@@ -835,3 +835,126 @@ def test_partition_write_buckets_bounds_files_per_value(spark, tmp_path, clean_d
     assert all(1 <= c <= 4 for c in counts), counts
     # the hatch actually widens the write: at least one month got >1 file
     assert max(counts) > 1, counts
+
+
+# ---- lake maintenance policy (round 8) -------------------------------------
+
+def test_maintain_table_compacts_past_threshold_with_events(
+    spark, tmp_path, clean_dbs
+):
+    """A fragmented table crosses the measured-tax threshold, gets a
+    checksum-gated compaction, and leaves start/finish events in the
+    store; an un-fragmented table is probe-only (no rewrite, no event)."""
+    from arthur_redshift_etl_spark.loader import (
+        content_checksum,
+        load_warehouse,
+        maintain_warehouse,
+    )
+    from arthur_redshift_etl_spark.monitor import (
+        EVENT_FINISH,
+        STEP_MAINTAIN,
+    )
+
+    rel = source_rel(spark, tmp_path, "schema.nation_m", "nation")
+    ok_rel = source_rel(spark, tmp_path, "schema.region_m", "region")
+    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=EventStore())
+    load_warehouse(ctx, [rel, ok_rel])
+    # fragment nation's production storage in place: 20 tiny files
+    loc = (
+        spark.sql("DESCRIBE FORMATTED `schema`.`nation_m`")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+        .replace("file:", "")
+    )
+    tmp_frag = str(tmp_path / "frag_m")
+    one = spark.read.parquet(loc)
+    many = one
+    for _ in range(9):  # 10x the rows so 20 partitions are all non-empty
+        many = many.unionAll(one)
+    many.repartition(20).write.mode("overwrite").parquet(tmp_frag)
+    spark.read.parquet(tmp_frag).repartition(20).write.mode("overwrite").parquet(loc)
+    before = content_checksum(spark.read.parquet(loc))
+
+    store = EventStore()
+    ctx2 = LoadContext(spark=spark, data_root=ctx.data_root, store=store)
+    reports = maintain_warehouse(ctx2, [rel, ok_rel])
+    assert reports["schema.nation_m"]["fragmented"] is True
+    assert reports["schema.nation_m"]["compacted"] is True
+    assert reports["schema.nation_m"]["files_after"] < 20
+    assert content_checksum(spark.table("`schema`.`nation_m`")) == before
+    # region never crossed the absolute floor: probe-only
+    assert reports["schema.region_m"]["fragmented"] is False
+    assert reports["schema.region_m"]["compacted"] is False
+    # event evidence: exactly the compacted relation has maintain events
+    finishes = store.query(step=STEP_MAINTAIN)
+    idents = {e["target"] for e in finishes}
+    assert "schema.nation_m" in idents and "schema.region_m" not in idents
+    assert any(e["event"] == EVENT_FINISH for e in finishes)
+
+
+def test_update_warehouse_runs_post_publish_maintenance(
+    spark, tmp_path, clean_dbs
+):
+    """The post-publish hook: an update whose build lands fragmented (tiny
+    read splits force many output files) is compacted before the verb
+    returns — production shows the compact layout and the maintain event."""
+    from arthur_redshift_etl_spark.loader import update_warehouse
+    from arthur_redshift_etl_spark.monitor import EVENT_FINISH, STEP_MAINTAIN
+    from arthur_redshift_etl_spark.relations import TableSelector
+
+    rel = source_rel(spark, tmp_path, "schema.nation_u", "nation")
+    # re-write the extract as 20 tiny files (10x rows so none are empty)
+    # and force one read split each
+    one = spark.read.parquet(rel.data_location)
+    many = one
+    for _ in range(9):
+        many = many.unionAll(one)
+    many.repartition(20).write.mode("overwrite").parquet(
+        str(tmp_path / "data_u_frag")
+    )
+    spark.read.parquet(str(tmp_path / "data_u_frag")).repartition(20).write.mode(
+        "overwrite"
+    ).parquet(rel.data_location)
+    store = EventStore()
+    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=store)
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    # each ~1.4 KB extract file must become its own read split (and thus
+    # its own output file) for the build to land fragmented at this toy
+    # size; 1 KB splits each file in ~2 without degenerating into
+    # byte-range task storms
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        update_warehouse(ctx, [rel], TableSelector([]))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
+    loc = (
+        spark.sql("DESCRIBE FORMATTED `schema`.`nation_u`")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+        .replace("file:", "")
+    )
+    n_files = len([f for f in os.listdir(loc) if f.endswith(".parquet")])
+    assert n_files < 16, f"post-publish maintenance did not compact: {n_files}"
+    ev = store.query(step=STEP_MAINTAIN)
+    assert any(
+        e["event"] == EVENT_FINISH and e["target"] == "schema.nation_u" for e in ev
+    )
+    assert spark.table("`schema`.`nation_u`").count() > 0
+
+
+def test_update_warehouse_auto_maintain_opt_out(spark, tmp_path, clean_dbs):
+    from arthur_redshift_etl_spark.loader import update_warehouse
+    from arthur_redshift_etl_spark.monitor import STEP_MAINTAIN
+    from arthur_redshift_etl_spark.relations import TableSelector
+
+    rel = source_rel(spark, tmp_path, "schema.nation_o", "nation")
+    store = EventStore()
+    ctx = LoadContext(
+        spark=spark, data_root=str(tmp_path / "lake"), store=store,
+        auto_maintain=False,
+    )
+    update_warehouse(ctx, [rel], TableSelector([]))
+    assert store.query(step=STEP_MAINTAIN) == []

@@ -680,3 +680,157 @@ def test_sized_stream_start_isolated_leaves_parent_conf_untouched(
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
     state_parts = sorted(os.listdir(os.path.join(ckpt, "state", "0")))
     assert [p for p in state_parts if p.isdigit()] == ["0", "1", "2"]
+
+
+# ---- state-store migration path (round 8) ----------------------------------
+
+def test_checkpoint_pins_provider_and_session_conf_is_ignored(spark, tmp_path):
+    """The migration trap, pinned: a checkpoint created on the heap store
+    keeps the heap store on restart even when the session conf asks for
+    RocksDB — the conf is SILENTLY ignored (measured: that difference is
+    OOM-vs-degrade at ~12M state rows, SCALE.md r7).  The helper must
+    read the pin, and the maintainer guard must turn it into a warning."""
+    from arthur_redshift_etl_spark.streaming.events import (
+        _warn_on_pinned_provider,
+        checkpoint_source_offsets,
+        checkpoint_state_provider,
+        dedup_stream,
+        read_event_stream,
+        scalable_state_conf,
+    )
+
+    d = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ev = (
+        load_table(spark, SF, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .limit(200)
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+
+    def start():
+        s = read_event_stream(spark, d, max_files_per_trigger=1)
+        return (
+            dedup_stream(s)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert checkpoint_state_provider(ckpt).endswith(
+        "HDFSBackedStateStoreProvider"
+    )
+    offs = checkpoint_source_offsets(ckpt)
+    assert offs and offs[0].get("logOffset") == 0  # file source, batch 0
+
+    conf_key, provider = next(iter(scalable_state_conf().items()))
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, provider)
+    try:
+        # redeliver the same events; with state honored, output stays 200
+        ev.coalesce(1).write.mode("append").parquet(d)
+        q2 = start()
+        q2.processAllAvailable()
+        prog = q2.recentProgress
+        q2.stop()
+        mets = [
+            m
+            for p in prog
+            if p.stateOperators
+            for m in (p.stateOperators[0].customMetrics or {})
+        ]
+        # the pin held: heap store still running, RocksDB NOT engaged
+        assert not any(m.startswith("rocksdb") for m in mets), mets[:8]
+        assert spark.read.parquet(out).count() == 200  # state was honored
+        # and the guard says so out loud
+        import logging
+
+        records = []
+
+        class Cap(logging.Handler):
+            def emit(self, rec):
+                records.append(rec.getMessage())
+
+        lg = logging.getLogger("arthur_redshift_etl_spark.streaming.events")
+        h = Cap()
+        lg.addHandler(h)
+        try:
+            _warn_on_pinned_provider(spark, ckpt)
+        finally:
+            lg.removeHandler(h)
+        assert any("IGNORED on restart" in m for m in records), records
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+
+
+def test_state_store_migration_recipe_fresh_checkpoint(spark, tmp_path):
+    """The documented migration (drain -> retire checkpoint -> restart
+    fresh with scalable_state_conf) end-to-end on a table maintainer:
+    RocksDB actually engages after migration and the rebuilt table equals
+    the pre-migration result (file-source replay + batch-id swap
+    discipline make the replay idempotent)."""
+    from arthur_redshift_etl_spark.streaming.events import (
+        checkpoint_state_provider,
+        read_event_stream,
+        rollup_to_table_stream,
+        scalable_state_conf,
+    )
+
+    d = str(tmp_path / "ev")
+    ev = load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(d)
+    target = str(tmp_path / "rollup")
+    ckpt1 = str(tmp_path / "ckpt-heap")
+
+    # phase 1: heap-store maintainer, drain and stop
+    q = rollup_to_table_stream(
+        read_event_stream(spark, d, max_files_per_trigger=1), target, ckpt1
+    )
+    q.awaitTermination(120)
+    before = {
+        (str(r["hour_ts"]), r["event_type"], r["p_n"], str(r["p_sum"]))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert checkpoint_state_provider(ckpt1).endswith(
+        "HDFSBackedStateStoreProvider"
+    )
+
+    # phase 2: migrate — fresh checkpoint + RocksDB conf; the maintainer's
+    # target keeps its batch-id marker from ckpt1's run, and a fresh
+    # checkpoint restarts batch ids at 0, so the migrated stream must
+    # rebuild into a FRESH target (re-pointing an existing table at a new
+    # checkpoint is exactly the hazard _committed_batch_id documents)
+    conf_key, provider = next(iter(scalable_state_conf().items()))
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, provider)
+    target2 = str(tmp_path / "rollup-migrated")
+    ckpt2 = str(tmp_path / "ckpt-rocks")
+    try:
+        q2 = rollup_to_table_stream(
+            read_event_stream(spark, d, max_files_per_trigger=1), target2, ckpt2
+        )
+        q2.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+    assert checkpoint_state_provider(ckpt2).endswith(
+        "RocksDBStateStoreProvider"
+    )
+    after = {
+        (str(r["hour_ts"]), r["event_type"], r["p_n"], str(r["p_sum"]))
+        for r in spark.read.parquet(target2).collect()
+    }
+    assert after == before
