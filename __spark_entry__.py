@@ -167,8 +167,18 @@ _DRIVER_VERIFIED = (
 # driver rows verified the old code, so force them into the first-50
 # sample (round 6 used this for the q21 rewrite / q02 hint removal /
 # minhash checkpointing — all re-recorded green in CORRECTNESS_r06, so
-# the block is empty again).  Round 7 changed no catalog entry code.
-_RESAMPLE_FIRST = ()
+# the block is empty again).  Round 8 rewired the per-stratum selection
+# rank in these entries through the skew-proof grouped rank and moved the
+# quota/target arithmetic to 128-bit integers (pagerank only re-routed its
+# unchanged broadcast gate through the shared budget helper) — their
+# driver evidence predates the change, so they re-enter the sample block
+# until a post-change hash-verified row exists.
+_RESAMPLE_FIRST = (
+    "corpus_temperature_mix",
+    "corpus_mix_epochs",
+    "stratified_sample_by_source",
+    "pagerank_two_iterations",
+)
 
 
 def _rotated(mapping: dict) -> dict:

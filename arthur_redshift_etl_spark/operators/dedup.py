@@ -450,6 +450,15 @@ def ngram_jaccard_join(
         .filter(F.col("size_b") * F.lit(threshold) <= F.col("size_a"))
         .select("id_a", "id_b")
         .distinct()
+        # lineage truncation, same reason as the minhash path above: the
+        # prefix self-join's lineage otherwise re-plans (and, for
+        # multi-consumer callers like label spread's bidirectional union,
+        # re-EXECUTES) under every consumer — measured at sf0.001:
+        # label_spread 76 -> 6 plan exchanges, plan 2.4 s -> 0.3 s, exec
+        # 13.1 s -> 1.1 s; dedup_keep_first 39 -> 9, dedup_ngram_jaccard
+        # 36 -> 6.  Candidates are the id-pair table (output-bounded),
+        # cheap to pin.
+        .localCheckpoint(eager=True)
     )
     return jaccard_from_shingles(
         sh, cand, id_col, broadcast_sets="auto",

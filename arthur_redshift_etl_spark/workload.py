@@ -2962,7 +2962,12 @@ def dedup_keep_best_in_cluster(spark, sf_dir):
 )
 def label_spread_similarity_graph(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_join(docs, "doc_id", "text", threshold=0.5)
+    # the bidirectional union consumes the verified pair table TWICE —
+    # pin it (tiny: one row per qualifying pair) so the exact-Jaccard
+    # verification runs once, not once per union branch
+    pairs = dd.ngram_jaccard_join(
+        docs, "doc_id", "text", threshold=0.5
+    ).localCheckpoint(eager=True)
     bidir = pairs.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     ).unionAll(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
