@@ -61,6 +61,59 @@ def ntile_exact(
     return ranked.withColumn(bucket_column, bucket.cast("int")).drop("__grn")
 
 
+def ntile_exact_grouped(
+    df: DataFrame,
+    num_buckets: int,
+    group_cols: Sequence[str],
+    order_by: Sequence[str],
+    bucket_column: str = "bucket",
+) -> DataFrame:
+    """NTILE(k) OVER (PARTITION BY group ORDER BY ...) — exact, skew-proof.
+
+    The per-group counterpart of :func:`ntile_exact`, for per-domain score
+    calibration (quality quartiles within each source so a verbose domain
+    doesn't monopolize the top global bucket).  The naive window sorts an
+    entire stratum in one task — the same 90%-mass-domain straggler the
+    round-8 sampling fix killed — so the rank comes from
+    :func:`..operators.identity.grouped_row_number` (range repartition +
+    local rank + metadata prefix sum + budget-gated group-start join) and
+    NTILE's front-loaded bucket contract (first ``n mod k`` buckets get
+    ``ceil(n/k)`` rows) is then pure per-row integer arithmetic on the
+    group-local rank and group size — per-group n, unlike the global
+    version's driver-side divmod, so it rides the same row.
+    """
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    from .identity import grouped_row_number
+
+    ranked = grouped_row_number(
+        df, group_cols, order_by, row_number_column="__grn_g",
+        count_column="__n_g",
+    )
+    k = F.lit(num_buckets).cast("long")
+    q = F.expr(f"__n_g div {num_buckets}")
+    r = F.col("__n_g") % k
+    head = r * (q + F.lit(1))
+    grn = F.col("__grn_g")
+    # integer `div` (not double /), same boundary-exactness reason as the
+    # global version
+    bucket = (
+        F.when(q == 0, grn)  # fewer rows than buckets: bucket == rank
+        .when(grn <= head, F.expr(f"(__grn_g - 1) div (__n_g div {num_buckets} + 1)") + 1)
+        .otherwise(
+            r
+            + F.expr(
+                f"(__grn_g - (__n_g % {num_buckets}) * (__n_g div {num_buckets} + 1) - 1)"
+                f" div (__n_g div {num_buckets})"
+            )
+            + 1
+        )
+    )
+    return ranked.withColumn(bucket_column, bucket.cast("int")).drop(
+        "__grn_g", "__n_g"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mergeable single-pass quantile sketch (KLL-style, deterministic compaction)
 # ---------------------------------------------------------------------------

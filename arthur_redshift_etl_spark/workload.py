@@ -3080,6 +3080,54 @@ def ntile_chars_quartiles(spark, sf_dir):
 
 
 @query(
+    "ntile_grouped_source_quartiles",
+    oracle="""
+    SELECT source, quartile, COUNT(*) AS docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM (
+      SELECT source, n_chars,
+             CAST(NTILE(4) OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+             ) AS INTEGER) AS quartile
+      FROM documents
+    ) GROUP BY source, quartile
+    """,
+    description=(
+        "per-domain quality calibration: exact NTILE(4) WITHIN each source "
+        "(so a verbose domain does not monopolize the top global bucket) — "
+        "computed without a per-stratum window: the skew-proof grouped rank "
+        "(range repartition + local rank + metadata prefix sum) plus NTILE's "
+        "front-loaded bucket contract as per-row integer arithmetic on the "
+        "group-local rank and size (operators.quantiles.ntile_exact_grouped)"
+    ),
+)
+def ntile_grouped_source_quartiles(spark, sf_dir):
+    """Per-source quartile assignment over document length.
+
+    The training-mix use: select 'top quartile per domain' instead of 'top
+    quartile overall', which under domain-length skew is dominated by one
+    domain.  Scale shape: ONE range shuffle over (source, n_chars, doc_id)
+    + a |sources|-row group-stats aggregate broadcast back — a 90%-mass
+    web-crawl source spreads over many range partitions instead of
+    funneling one task (same machinery and A/B evidence as the round-8
+    stratified-sampling fix, scripts/stratified_skew_ab.py).
+    """
+    docs = t(spark, sf_dir, "documents")
+    q4 = qt.ntile_exact_grouped(
+        docs.select("source", "n_chars", "doc_id"),
+        4,
+        ["source"],
+        ["n_chars", "doc_id"],
+        bucket_column="quartile",
+    )
+    return q4.groupBy("source", "quartile").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
     "funnel_bounded_gaps",
     oracle="""
     WITH v AS (

@@ -72,3 +72,35 @@ def test_sketch_handles_nulls_empty_and_rejects_bad_capacity(spark):
     for bad in (0, 1, 3, 255):
         with _pytest.raises(ValueError):
             qt.kll_partition_sketches(df, "v", capacity=bad)
+
+
+def test_ntile_exact_grouped_matches_window_semantics(spark):
+    """ntile_exact_grouped == NTILE(k) OVER (PARTITION BY g ORDER BY ...)
+    exactly, including groups smaller than k (bucket == rank there) and
+    the front-loaded ceil-sized leading buckets."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.operators.quantiles import (
+        ntile_exact_grouped,
+    )
+
+    rows = []
+    # group sizes straddling k=4: 1, 2, 3, 4, 5, 9, 103 (ties included)
+    for gi, size in enumerate((1, 2, 3, 4, 5, 9, 103)):
+        for i in range(size):
+            rows.append((f"g{gi}", (i * 7919) % 23, gi * 1000 + i))
+    df = spark.createDataFrame(rows, ["g", "v", "id"]).repartition(8)
+
+    got = {
+        (r["g"], r["id"]): r["b"]
+        for r in ntile_exact_grouped(
+            df, 4, ["g"], ["v", "id"], bucket_column="b"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r["g"], r["id"]): r["b"]
+        for r in df.withColumn("b", F.ntile(4).over(w)).collect()
+    }
+    assert got == want
