@@ -413,7 +413,10 @@ def main() -> None:
             env = dict(os.environ)
             env.update(
                 SPARK_GRAFT_BENCH_QUERIES=name,
-                SPARK_GRAFT_BENCH_WARM="0",
+                # warm pass ON: the child's second (same-JVM) run isolates
+                # whole-stage-codegen/JIT from plan execution — fresh cold
+                # high + child-warm at t0-warm = compile, not plan
+                SPARK_GRAFT_BENCH_WARM="1",
                 SPARK_GRAFT_BENCH_RECHECK="0",
                 SPARK_GRAFT_BENCH_CHILD="1",
             )
@@ -440,6 +443,7 @@ def main() -> None:
                     "exec": round(fresh[name] - planning, 4)
                     if planning is not None
                     else None,
+                    "warm_same_jvm": child.get("queries_warm", {}).get(name),
                     "spin_ms_pre": chost.get("spin_ms_pre"),
                     "spin_ms_post": chost.get("spin_ms_post"),
                     "mem_ms_post": chost.get("mem_ms_post"),
