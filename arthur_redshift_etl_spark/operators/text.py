@@ -72,12 +72,22 @@ def token_frequencies(
 def top_tokens(
     df: DataFrame, group_col: str = "lang", text_col: str = "text", k: int = 5
 ) -> DataFrame:
-    """Top-k tokens per group, deterministic ties (cnt desc, token asc)."""
-    freq = token_frequencies(df, group_col, text_col)
-    w = Window.partitionBy(group_col).orderBy(F.col("cnt").desc(), F.col("token").asc())
+    """Top-k tokens per group, deterministic ties (cnt desc, token asc).
+
+    Sharded two-phase selection (``sampling.topk_per_group``), not a
+    per-group rank window: the group is VOCABULARY-sized — data-scaled,
+    billions of distinct tokens per language at 100 TB — so a window
+    would sort a whole vocabulary in one task.
+    """
+    from .sampling import topk_per_group
+
+    freq = token_frequencies(df, group_col, text_col).withColumn(
+        "_neg_cnt", -F.col("cnt")
+    )
     return (
-        freq.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= k)
+        topk_per_group(freq, [group_col], ["_neg_cnt", "token"], k)
+        .withColumn("rk", F.col("sample_rank").cast("int"))
+        .drop("_neg_cnt", "sample_rank")
     )
 
 

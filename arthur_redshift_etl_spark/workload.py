@@ -3382,19 +3382,31 @@ def grouping_sets_docs(spark, sf_dir):
     """,
     description=(
         "per-group top-n (top tokens per language): token-count aggregate "
-        "then a window ranked within each small group — no global sort"
+        "then sharded two-phase top-k per language — the per-lang group is "
+        "VOCABULARY-sized (data-scaled, billions of distinct tokens per "
+        "language at 100 TB), so a plain per-lang rank window would sort a "
+        "whole vocabulary in one task; topk_per_group bounds every sort by "
+        "the shard (phase 1 keeps <=k per (lang, input partition), phase 2 "
+        "ranks the <=k x shards survivors)"
     ),
 )
 def top_tokens_per_lang(spark, sf_dir):
+    from .operators.sampling import topk_per_group
+
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    cnt = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    cnt = (
+        toks.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # rank key must be ascending for the shared two-phase operator:
+        # top-by-count == bottom-by-negated-count, token tiebreaker
+        .withColumn("_neg_n", -F.col("n"))
+    )
     return (
-        cnt.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= 3)
+        topk_per_group(cnt, ["lang"], ["_neg_n", "token"], 3)
+        .withColumn("rk", F.col("sample_rank").cast("int"))
         .select("lang", "token", "n", "rk")
     )
 
@@ -8976,18 +8988,28 @@ def gini_customer_revenue(spark, sf_dir):
         "string, and every log term is floor-quantized to 1e-12 units so "
         "the moment sums are exact integers — the final slope is one "
         "IEEE chain on identical inputs.  Plan: one token-count shuffle, "
-        "a vocab-sized rank window, a 1-row moment aggregate"
+        "the two-phase distributed rank (range repartition + local rank + "
+        "metadata prefix sum — the vocabulary is data-scaled, so no "
+        "partition-less window), a 1-row moment aggregate"
     ),
 )
 def zipf_slope_tokens(spark, sf_dir):
+    from .operators.identity import global_row_number
+
     docs = t(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
     )
-    w = Window.partitionBy().orderBy(F.col("f").desc(), F.col("token"))
-    ranked = freq.withColumn("r", F.row_number().over(w))
+    # the frequency rank runs over the FULL vocabulary — data-scaled
+    # (billions of distinct tokens at 100 TB), so a partition-less window
+    # is a single-task sort; the two-phase distributed rank gives the
+    # identical r for the same total order (top-by-f == ascending -f)
+    ranked, _ = global_row_number(
+        freq.withColumn("_neg_f", -F.col("f")), ["_neg_f", "token"],
+        row_number_column="r",
+    )
     lnr = F.log(F.col("r").cast("double"))
     lnf = F.log(F.col("f").cast("double"))
     q = F.lit(1000000000000.0)
