@@ -178,6 +178,13 @@ _RESAMPLE_FIRST = (
     "corpus_mix_epochs",
     "stratified_sample_by_source",
     "pagerank_two_iterations",
+    # window-audit rewires whose rank machinery changed (values pinned
+    # unchanged by the sf0.01 sweep; driver re-grade is the stronger bar).
+    # The PPJoin localCheckpoint consumers (dedup_keep_first, label_spread,
+    # …) are lineage-only changes and rotate naturally (last green r4-r7):
+    # listing them too would push the r3-stale cohort out of the 50-sample.
+    "top_tokens_per_lang",
+    "zipf_slope_tokens",
 )
 
 
