@@ -239,6 +239,14 @@ def materialize_dataframe(ctx: LoadContext, rel: Relation, df: DataFrame, db: st
             # DISTKEY analog: co-locate rows by the distribution column so
             # downstream joins on it shuffle less (AQE handles the rest).
             writer_df = writer_df.repartition(*dist)
+        else:
+            # no layout contract: REBALANCE so AQE sizes output partitions
+            # to the advisory size — without it the file layout is
+            # whatever the read splits were (a 20-tiny-file extract writes
+            # 20 tiny files), which made every rebuild of a plain table
+            # re-trip the post-publish compaction forever.  One write-time
+            # shuffle buys target-size files by construction.
+            writer_df = writer_df.hint("rebalance")
         if sort_keys:
             writer_df = writer_df.sortWithinPartitions(*sort_keys)
     writer = writer_df.write.mode("overwrite")
@@ -651,15 +659,20 @@ def update_warehouse(
     publish(ctx, rels)
     # post-publish maintenance, mirroring the reference's vacuum-after-
     # update (load.py:1360-1367): probe is metadata-only; a rewrite fires
-    # only past the measured fragmentation threshold, checksum-gated.
-    # A fresh-etl_id context keeps the compaction rewrite from colliding
-    # with the locations this update just published.
+    # only past the measured fragmentation threshold, checksum-gated, and
+    # contained per table (a failed compaction never poisons the publish
+    # that already succeeded).  The sweep covers ALL known relations, not
+    # just the rebuilt selection — rebuilt tables land compact by
+    # construction (write-time rebalance); the debris this pass exists for
+    # accretes on the tables NOT in this update (streaming targets,
+    # merge-upserted tables).  A fresh-etl_id context keeps any compaction
+    # rewrite from colliding with the locations this update published.
     if ctx.auto_maintain:
         import dataclasses
         import uuid as _uuid
 
         mctx = dataclasses.replace(ctx, etl_id=_uuid.uuid4().hex[:12])
-        maintain_warehouse(mctx, rels, selector)
+        maintain_warehouse(mctx, relations)
 
 
 def merge_update_table(
@@ -849,11 +862,27 @@ def content_checksum(df: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["s"] or 0)
 
 
+def _parquet_listing(location: str) -> tuple:
+    """Driver-side (location's parquet files, total bytes) — the listing
+    both the fragmentation probe and compaction need; computed once and
+    shared when maintenance drives the rewrite."""
+    import os
+
+    files = [
+        os.path.join(dirpath, f)
+        for dirpath, _, names in os.walk(location)
+        for f in names
+        if f.endswith(".parquet")
+    ]
+    return files, sum(os.path.getsize(f) for f in files)
+
+
 def compact_table(
     ctx: LoadContext,
     rel: Relation,
     db: str | None = None,
     target_file_bytes: int = 128 << 20,
+    precomputed_listing: "tuple | None" = None,
 ) -> tuple[int, int]:
     """Small-file compaction: rewrite a table's storage into ~target-size
     files without changing its content.  Returns (files_before, files_after).
@@ -891,19 +920,19 @@ def compact_table(
     fq = f"{_quote(db)}.{_quote(rel.table_name.table)}"
     if _bucket_spec(rel.design) or rel.design.attributes.get("partition_by"):
         return (0, 0)
-    loc_rows = (
-        ctx.spark.sql(f"DESCRIBE FORMATTED {fq}")
-        .filter("col_name = 'Location'")
-        .collect()
-    )
-    location = loc_rows[0]["data_type"].replace("file:", "")
-    files = [
-        os.path.join(dirpath, f)
-        for dirpath, _, names in os.walk(location)
-        for f in names
-        if f.endswith(".parquet")
-    ]
-    total_bytes = sum(os.path.getsize(f) for f in files)
+    if precomputed_listing is not None:
+        # maintenance already listed the table for its threshold probe —
+        # on the lakes this targets (millions of files) a second driver
+        # walk is the single most expensive step, so reuse it
+        location, files, total_bytes = precomputed_listing
+    else:
+        loc_rows = (
+            ctx.spark.sql(f"DESCRIBE FORMATTED {fq}")
+            .filter("col_name = 'Location'")
+            .collect()
+        )
+        location = loc_rows[0]["data_type"].replace("file:", "")
+        files, total_bytes = _parquet_listing(location)
     n_target = max(1, math.ceil(total_bytes / target_file_bytes))
     if len(files) <= n_target:
         return (len(files), len(files))  # already compact — no rewrite
@@ -955,16 +984,18 @@ def fragmentation_report(
     rel: Relation,
     db: str | None = None,
     target_file_bytes: int = 128 << 20,
+    include_listing: bool = False,
 ) -> dict:
     """Metadata-only fragmentation probe: file count, bytes, compact target.
 
     Driver-side listing, no data read — cheap enough to run after every
     update.  Bucketed/partitioned tables report ``exempt`` (their layout
     carries semantics / is compact by construction, see
-    :func:`compact_table`).
+    :func:`compact_table`).  ``include_listing`` additionally returns the
+    probe's (location, files, bytes) under ``_listing`` so a compaction
+    driven by this probe never lists the table twice.
     """
     import math
-    import os
 
     db = db or rel.table_name.schema
     fq = f"{_quote(db)}.{_quote(rel.table_name.table)}"
@@ -977,24 +1008,21 @@ def fragmentation_report(
         .collect()
     )
     location = loc_rows[0]["data_type"].replace("file:", "")
-    sizes = [
-        os.path.getsize(os.path.join(dirpath, f))
-        for dirpath, _, names in os.walk(location)
-        for f in names
-        if f.endswith(".parquet")
-    ]
-    total = sum(sizes)
+    files, total = _parquet_listing(location)
     target = max(1, math.ceil(total / target_file_bytes))
-    return {
-        "files": len(sizes),
+    rep = {
+        "files": len(files),
         "bytes": total,
         "target_files": target,
         "fragmented": (
-            len(sizes) >= MAINTAIN_MIN_FILES
-            and len(sizes) > MAINTAIN_FILE_COUNT_MULTIPLE * target
+            len(files) >= MAINTAIN_MIN_FILES
+            and len(files) > MAINTAIN_FILE_COUNT_MULTIPLE * target
         ),
         "exempt": False,
     }
+    if include_listing:
+        rep["_listing"] = (location, files, total)
+    return rep
 
 
 def maintain_table(
@@ -1014,14 +1042,19 @@ def maintain_table(
     re-register; a failed compaction leaves the table untouched and a
     ``fail`` event recorded.
     """
-    rep = fragmentation_report(ctx, rel, db, target_file_bytes)
+    rep = fragmentation_report(
+        ctx, rel, db, target_file_bytes, include_listing=True
+    )
+    listing = rep.pop("_listing", None)
     rep["compacted"] = False
     if not rep["fragmented"]:
         return rep
     with Monitor(
         ctx.store, rel.identifier, STEP_MAINTAIN, etl_id=ctx.etl_id
     ) as mon:
-        before, after = compact_table(ctx, rel, db, target_file_bytes)
+        before, after = compact_table(
+            ctx, rel, db, target_file_bytes, precomputed_listing=listing
+        )
         mon.rowcount = after
     rep["compacted"] = after < before
     rep["files_after"] = after
@@ -1036,7 +1069,14 @@ def maintain_warehouse(
 ) -> Dict[str, dict]:
     """Maintenance pass over loaded tables: probe every relation, compact
     the fragmented ones.  Returns per-identifier reports (probe-only rows
-    included, so the caller sees what was checked, not just what moved)."""
+    included, so the caller sees what was checked, not just what moved).
+
+    Best-effort PER TABLE: maintenance is hygiene, not the load — a
+    failed compaction (checksum mismatch, listing error) leaves that
+    table untouched (compact_table's gate), records the fail event
+    (Monitor), lands as an ``error`` report row, and must never poison a
+    publish that already succeeded or stop the sweep from probing the
+    remaining tables."""
     out: Dict[str, dict] = {}
     for rel in relations:
         if rel.is_view_relation:
@@ -1046,9 +1086,13 @@ def maintain_warehouse(
         fq = f"{_quote(rel.table_name.schema)}.{_quote(rel.table_name.table)}"
         if not ctx.spark.catalog.tableExists(fq):
             continue
-        out[rel.identifier] = maintain_table(
-            ctx, rel, target_file_bytes=target_file_bytes
-        )
+        try:
+            out[rel.identifier] = maintain_table(
+                ctx, rel, target_file_bytes=target_file_bytes
+            )
+        except Exception as exc:  # noqa: BLE001 - per-table containment
+            logger.warning("maintenance failed for %s: %s", rel.identifier, exc)
+            out[rel.identifier] = {"error": repr(exc), "compacted": False}
     return out
 
 

@@ -111,7 +111,13 @@ def grouped_row_number(
     3. per-group rank = global rank − group start + 1, attached via a
        budget-gated broadcast join (``plans.broadcast``): group-cardinality
        tables are tiny for real strata (domains, languages, sources); above
-       the decoded budget the join falls back to shuffle, still exact.
+       the decoded budget (~600k groups) the join falls back to shuffle —
+       still exact, but note the fallback hash-partitions the ranked side
+       by the group key, so a skewed group re-concentrates in one join
+       partition; that partition only ATTACHES the start offset (no
+       re-sort), and AQE's skew-join split (on in our sessions) bounds it.
+       NULL group keys are kept (null-safe join), matching the window and
+       the SQL oracles.
 
     Equivalent to the single-window answer for any total order (make
     ``order_by`` unique with an id tiebreaker, same contract as the window).
@@ -135,17 +141,32 @@ def grouped_row_number(
     aggs = [F.min("__grn_all").alias("__gstart")]
     if count_column:
         aggs.append(F.count(F.lit(1)).cast("long").alias(count_column))
-    starts = ranked.groupBy(*group_cols).agg(*aggs)
+    # group keys renamed on the start table so the join can be NULL-SAFE:
+    # a plain equi-join would silently DROP every row whose group key is
+    # NULL, while the window this replaces treats NULL as a normal
+    # partition (and so do the SQL oracles) — <=> keeps hash-join
+    # eligibility, so the budget-gated broadcast still applies
+    starts = ranked.groupBy(*group_cols).agg(*aggs).select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        "__gstart",
+        *([count_column] if count_column else []),
+    )
     # the ranked side is localCheckpoint-pinned (global_row_number), so this
     # count scans materialized blocks, not the full upstream lineage
     n_groups = starts.count()
+    cond = None
+    for c in group_cols:
+        clause = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        cond = clause if cond is None else (cond & clause)
     out = ranked.join(
-        broadcast_within_budget(starts, n_groups), list(group_cols)
+        broadcast_within_budget(starts, n_groups), cond
     ).withColumn(
         row_number_column,
         (F.col("__grn_all") - F.col("__gstart") + F.lit(1)).cast("long"),
     )
-    return out.drop("__grn_all", "__gstart")
+    return out.drop(
+        "__grn_all", "__gstart", *[f"__g_{c}" for c in group_cols]
+    )
 
 
 def global_running_sum(

@@ -198,8 +198,13 @@ def lint_plan(
                 )
             )
         decoded = rec.get("decoded_bytes_est")
+        # a CBO rowCount makes the decoded estimate trustworthy even under
+        # a reducing node (the reduction argument only invalidates Catalyst
+        # BYTE propagation); the stat-bytes x10 fallback is what needs the
+        # reduction-free gate
+        decoded_trustworthy = rec["row_count"] is not None or rec["size_meaningful"]
         if (
-            rec["size_meaningful"]
+            decoded_trustworthy
             and decoded is not None
             and decoded > decoded_budget_bytes
         ):

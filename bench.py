@@ -426,7 +426,11 @@ def main() -> None:
                     env=env,
                     capture_output=True,
                     text=True,
-                    timeout=300,
+                    # the child now runs cold + same-JVM warm (the
+                    # attribution pair) — double the old budget so slow
+                    # queries don't lose exactly the evidence this exists
+                    # to collect
+                    timeout=600,
                 )
                 line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
                 child = json.loads(line)

@@ -703,3 +703,36 @@ def test_label_spread_constructed_neighborhood(spark, tmp_path):
     assert set(out) == {0, 5}
     assert out[0]["pred_lang"] == "en" and out[0]["n_votes"] == 2
     assert out[5]["pred_lang"] is None and out[5]["n_votes"] == 0
+
+
+def test_stratified_sample_keeps_null_strata(spark):
+    """Regression (round-8 review): the grouped-rank join must be
+    null-safe — a NULL stratum is a normal partition to the window and
+    the SQL oracles, and a plain equi-join silently dropped it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark.operators.sampling import (
+        hash_bucket,
+        stratified_sample_exact,
+    )
+
+    rows = [(i, None if i % 2 == 0 else "web") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = stratified_sample_exact(df, ["source"], "doc_id", 0.5)
+    by = {r["source"]: 1 for r in got.collect()}
+    assert None in by and "web" in by
+    # exact equality with the naive window on the same total order
+    w = Window.partitionBy("source")
+    ranked = (
+        df.withColumn("_hb", hash_bucket(F.col("doc_id")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(w.orderBy(F.col("_hb"), F.col("doc_id"))),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+    )
+    want = ranked.filter(
+        F.col("_rn") <= F.ceil(F.lit(0.5) * F.col("_n"))
+    ).select("doc_id", "source")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -892,57 +892,74 @@ def test_maintain_table_compacts_past_threshold_with_events(
     assert any(e["event"] == EVENT_FINISH for e in finishes)
 
 
-def test_update_warehouse_runs_post_publish_maintenance(
-    spark, tmp_path, clean_dbs
-):
-    """The post-publish hook: an update whose build lands fragmented (tiny
-    read splits force many output files) is compacted before the verb
-    returns — production shows the compact layout and the maintain event."""
-    from arthur_redshift_etl_spark.loader import update_warehouse
-    from arthur_redshift_etl_spark.monitor import EVENT_FINISH, STEP_MAINTAIN
-    from arthur_redshift_etl_spark.relations import TableSelector
-
-    rel = source_rel(spark, tmp_path, "schema.nation_u", "nation")
-    # re-write the extract as 20 tiny files (10x rows so none are empty)
-    # and force one read split each
-    one = spark.read.parquet(rel.data_location)
-    many = one
-    for _ in range(9):
-        many = many.unionAll(one)
-    many.repartition(20).write.mode("overwrite").parquet(
-        str(tmp_path / "data_u_frag")
-    )
-    spark.read.parquet(str(tmp_path / "data_u_frag")).repartition(20).write.mode(
-        "overwrite"
-    ).parquet(rel.data_location)
-    store = EventStore()
-    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=store)
-    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
-    # each ~1.4 KB extract file must become its own read split (and thus
-    # its own output file) for the build to land fragmented at this toy
-    # size; 1 KB splits each file in ~2 without degenerating into
-    # byte-range task storms
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
-    spark.conf.set("spark.sql.files.openCostInBytes", "0")
-    try:
-        update_warehouse(ctx, [rel], TableSelector([]))
-    finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
-        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
-    loc = (
-        spark.sql("DESCRIBE FORMATTED `schema`.`nation_u`")
+def _prod_location(spark, fq: str) -> str:
+    return (
+        spark.sql(f"DESCRIBE FORMATTED {fq}")
         .filter("col_name = 'Location'")
         .collect()[0]["data_type"]
         .replace("file:", "")
     )
-    n_files = len([f for f in os.listdir(loc) if f.endswith(".parquet")])
-    assert n_files < 16, f"post-publish maintenance did not compact: {n_files}"
+
+
+def test_update_warehouse_runs_post_publish_maintenance(
+    spark, tmp_path, clean_dbs
+):
+    """The post-publish hook sweeps the WHOLE warehouse: a table NOT in
+    this update whose storage accreted small files (the streaming/merge
+    debris scenario) is compacted before the verb returns; the rebuilt
+    table itself lands compact by construction (write-time rebalance —
+    tiny read splits no longer dictate the file layout)."""
+    from arthur_redshift_etl_spark.loader import (
+        content_checksum,
+        load_warehouse,
+        update_warehouse,
+    )
+    from arthur_redshift_etl_spark.monitor import EVENT_FINISH, STEP_MAINTAIN
+    from arthur_redshift_etl_spark.relations import TableSelector
+
+    rel = source_rel(spark, tmp_path, "schema.nation_u", "nation")
+    other = source_rel(spark, tmp_path, "schema.region_u", "region")
+    ctx0 = LoadContext(
+        spark=spark, data_root=str(tmp_path / "lake"), store=EventStore()
+    )
+    load_warehouse(ctx0, [rel, other])
+    # accrete debris on nation_u's PRODUCTION storage (as streaming
+    # micro-batches / per-batch merges would): 20 tiny in-place files
+    loc = _prod_location(spark, "`schema`.`nation_u`")
+    one = spark.read.parquet(loc)
+    many = one
+    for _ in range(9):
+        many = many.unionAll(one)
+    many.repartition(20).write.mode("overwrite").parquet(
+        str(tmp_path / "frag_u")
+    )
+    spark.read.parquet(str(tmp_path / "frag_u")).repartition(20).write.mode(
+        "overwrite"
+    ).parquet(loc)
+    before = content_checksum(spark.read.parquet(loc))
+
+    # update a DIFFERENT relation; the hook must still sweep nation_u
+    store = EventStore()
+    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=store)
+    update_warehouse(
+        ctx, [rel, other], TableSelector(["schema.region_u"])
+    )
+    new_loc = _prod_location(spark, "`schema`.`nation_u`")
+    n_files = len([f for f in os.listdir(new_loc) if f.endswith(".parquet")])
+    assert n_files < 16, f"post-publish sweep did not compact: {n_files}"
+    assert content_checksum(spark.table("`schema`.`nation_u`")) == before
     ev = store.query(step=STEP_MAINTAIN)
     assert any(
         e["event"] == EVENT_FINISH and e["target"] == "schema.nation_u" for e in ev
     )
-    assert spark.table("`schema`.`nation_u`").count() > 0
+    # the rebuilt table is compact by construction — no maintain event
+    reg_files = [
+        f
+        for f in os.listdir(_prod_location(spark, "`schema`.`region_u`"))
+        if f.endswith(".parquet")
+    ]
+    assert len(reg_files) < 16
+    assert not any(e["target"] == "schema.region_u" for e in ev)
 
 
 def test_update_warehouse_auto_maintain_opt_out(spark, tmp_path, clean_dbs):
