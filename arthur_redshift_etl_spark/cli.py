@@ -601,14 +601,18 @@ def cmd_maintain(args) -> int:
         target_file_bytes=args.target_mb << 20,
     )
     for ident, rep in sorted(reports.items()):
-        if rep.get("exempt"):
+        if rep.get("error"):
+            # per-table containment row (loader.maintain_warehouse): the
+            # sweep must report the failure and keep printing the rest
+            state = f"maintenance failed: {rep['error']}"
+        elif rep.get("exempt"):
             state = "exempt (bucketed/partitioned layout)"
-        elif rep["compacted"]:
+        elif rep.get("compacted"):
             state = f"compacted {rep['files']} -> {rep['files_after']} file(s)"
-        elif rep["fragmented"]:
+        elif rep.get("fragmented"):
             state = "fragmented but compaction did not shrink it"
         else:
-            state = f"ok ({rep['files']} file(s))"
+            state = f"ok ({rep.get('files')} file(s))"
         print(f"{ident}: {state}")
     n_comp = sum(1 for r in reports.values() if r.get("compacted"))
     print(f"maintain: probed {len(reports)}, compacted {n_comp}")

@@ -672,7 +672,16 @@ def update_warehouse(
         import uuid as _uuid
 
         mctx = dataclasses.replace(ctx, etl_id=_uuid.uuid4().hex[:12])
-        maintain_warehouse(mctx, relations)
+        # skip the tables this update just rebuilt: they are compact by
+        # construction (write-time rebalance / one-file-per-value), so the
+        # sweep pays the per-table DESCRIBE + listing only for the tables
+        # where debris can actually live.  Cost is still O(other tables)
+        # driver listing per update — for enormous warehouses set
+        # auto_maintain=False and schedule the `maintain` verb instead.
+        rebuilt = {r.identifier for r in rels}
+        maintain_warehouse(
+            mctx, [r for r in relations if r.identifier not in rebuilt]
+        )
 
 
 def merge_update_table(
@@ -1064,7 +1073,6 @@ def maintain_table(
 def maintain_warehouse(
     ctx: LoadContext,
     relations: Sequence[Relation],
-    selector: Optional[TableSelector] = None,
     target_file_bytes: int = 128 << 20,
 ) -> Dict[str, dict]:
     """Maintenance pass over loaded tables: probe every relation, compact
@@ -1080,8 +1088,6 @@ def maintain_warehouse(
     out: Dict[str, dict] = {}
     for rel in relations:
         if rel.is_view_relation:
-            continue
-        if selector is not None and not selector.match(rel.table_name):
             continue
         fq = f"{_quote(rel.table_name.schema)}.{_quote(rel.table_name.table)}"
         if not ctx.spark.catalog.tableExists(fq):

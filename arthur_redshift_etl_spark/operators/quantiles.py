@@ -90,24 +90,17 @@ def ntile_exact_grouped(
         df, group_cols, order_by, row_number_column="__grn_g",
         count_column="__n_g",
     )
-    k = F.lit(num_buckets).cast("long")
-    q = F.expr(f"__n_g div {num_buckets}")
-    r = F.col("__n_g") % k
-    head = r * (q + F.lit(1))
-    grn = F.col("__grn_g")
-    # integer `div` (not double /), same boundary-exactness reason as the
-    # global version
-    bucket = (
-        F.when(q == 0, grn)  # fewer rows than buckets: bucket == rank
-        .when(grn <= head, F.expr(f"(__grn_g - 1) div (__n_g div {num_buckets} + 1)") + 1)
-        .otherwise(
-            r
-            + F.expr(
-                f"(__grn_g - (__n_g % {num_buckets}) * (__n_g div {num_buckets} + 1) - 1)"
-                f" div (__n_g div {num_buckets})"
-            )
-            + 1
-        )
+    # one SQL expression, q/r spelled once (integer `div`, not double /:
+    # boundary exactness, same reason as the global version).  NTILE's
+    # front-loaded contract: with n = q*k + r, the first r buckets get
+    # q+1 rows; fewer rows than buckets -> bucket == rank.
+    qs = f"(__n_g div {num_buckets})"
+    rs = f"(__n_g % {num_buckets})"
+    bucket = F.expr(
+        f"CASE WHEN {qs} = 0 THEN __grn_g"
+        f" WHEN __grn_g <= {rs} * ({qs} + 1)"
+        f" THEN (__grn_g - 1) div ({qs} + 1) + 1"
+        f" ELSE {rs} + (__grn_g - {rs} * ({qs} + 1) - 1) div {qs} + 1 END"
     )
     return ranked.withColumn(bucket_column, bucket.cast("int")).drop(
         "__grn_g", "__n_g"

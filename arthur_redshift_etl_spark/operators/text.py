@@ -69,25 +69,43 @@ def token_frequencies(
     )
 
 
-def top_tokens(
-    df: DataFrame, group_col: str = "lang", text_col: str = "text", k: int = 5
+def top_k_by_count(
+    df: DataFrame,
+    group_cols,
+    count_col: str,
+    tiebreak_col: str,
+    k: int,
+    rank_col: str = "rk",
 ) -> DataFrame:
-    """Top-k tokens per group, deterministic ties (cnt desc, token asc).
+    """Top-k rows per group by (count DESC, tiebreak ASC) — sharded.
 
-    Sharded two-phase selection (``sampling.topk_per_group``), not a
-    per-group rank window: the group is VOCABULARY-sized — data-scaled,
-    billions of distinct tokens per language at 100 TB — so a window
-    would sort a whole vocabulary in one task.
+    The one spelling of the descending two-phase idiom (negate the count
+    so ``sampling.topk_per_group``'s ascending order ranks it, rename the
+    rank), shared by every vocabulary-scale top-n so the pattern can't
+    drift between call sites.  Not a per-group rank window: the group is
+    data-scaled (billions of distinct tokens per language at 100 TB) and
+    a window would sort a whole vocabulary in one task.
     """
     from .sampling import topk_per_group
 
-    freq = token_frequencies(df, group_col, text_col).withColumn(
-        "_neg_cnt", -F.col("cnt")
+    out = topk_per_group(
+        df.withColumn("_neg_cnt", -F.col(count_col)),
+        list(group_cols),
+        ["_neg_cnt", tiebreak_col],
+        k,
     )
-    return (
-        topk_per_group(freq, [group_col], ["_neg_cnt", "token"], k)
-        .withColumn("rk", F.col("sample_rank").cast("int"))
-        .drop("_neg_cnt", "sample_rank")
+    return out.withColumn(rank_col, F.col("sample_rank").cast("int")).drop(
+        "_neg_cnt", "sample_rank"
+    )
+
+
+def top_tokens(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Top-k tokens per group, deterministic ties (cnt desc, token asc)."""
+    return top_k_by_count(
+        token_frequencies(df, group_col, text_col), [group_col], "cnt",
+        "token", k,
     )
 
 

@@ -3391,23 +3391,13 @@ def grouping_sets_docs(spark, sf_dir):
     ),
 )
 def top_tokens_per_lang(spark, sf_dir):
-    from .operators.sampling import topk_per_group
-
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    cnt = (
-        toks.groupBy("lang", "token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        # rank key must be ascending for the shared two-phase operator:
-        # top-by-count == bottom-by-negated-count, token tiebreaker
-        .withColumn("_neg_n", -F.col("n"))
-    )
-    return (
-        topk_per_group(cnt, ["lang"], ["_neg_n", "token"], 3)
-        .withColumn("rk", F.col("sample_rank").cast("int"))
-        .select("lang", "token", "n", "rk")
+    cnt = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    return tx.top_k_by_count(cnt, ["lang"], "n", "token", 3).select(
+        "lang", "token", "n", "rk"
     )
 
 
