@@ -163,28 +163,17 @@ _DRIVER_VERIFIED = (
 )
 
 
-# Entries whose IMPLEMENTATION changed in the current round: their old
-# driver rows verified the old code, so force them into the first-50
-# sample (round 6 used this for the q21 rewrite / q02 hint removal /
-# minhash checkpointing — all re-recorded green in CORRECTNESS_r06, so
-# the block is empty again).  Round 8 rewired the per-stratum selection
-# rank in these entries through the skew-proof grouped rank and moved the
-# quota/target arithmetic to 128-bit integers (pagerank only re-routed its
-# unchanged broadcast gate through the shared budget helper) — their
-# driver evidence predates the change, so they re-enter the sample block
-# until a post-change hash-verified row exists.
+# Entries whose IMPLEMENTATION changed since their last green driver row:
+# force them into the first-50 sample until a post-change hash-verified
+# row exists (round 6 used this for the q21 rewrite; round 8 for the
+# stratum-window/128-bit-quota rewires — all re-recorded green in
+# CORRECTNESS_r08, so those left the block again).  Remaining: round 8
+# rewired tx.top_tokens / classify_by_token_profile through the shared
+# top_k_by_count idiom, and these two consumers were NOT in the r8 sample,
+# so their driver evidence still predates the change (ADVICE r8 #1).
 _RESAMPLE_FIRST = (
-    "corpus_temperature_mix",
-    "corpus_mix_epochs",
-    "stratified_sample_by_source",
-    "pagerank_two_iterations",
-    # window-audit rewires whose rank machinery changed (values pinned
-    # unchanged by the sf0.01 sweep; driver re-grade is the stronger bar).
-    # The PPJoin localCheckpoint consumers (dedup_keep_first, label_spread,
-    # …) are lineage-only changes and rotate naturally (last green r4-r7):
-    # listing them too would push the r3-stale cohort out of the 50-sample.
-    "top_tokens_per_lang",
-    "zipf_slope_tokens",
+    "text_top_tokens",
+    "text_lang_profile_classify",
 )
 
 

@@ -209,6 +209,12 @@ def cmd_update(args) -> int:
         return 0
     from .jobcontrol import BuildGroup, is_cancellation
 
+    if getattr(args, "with_maintain", False):
+        # opt-in post-publish sweep (reference's run_vacuum analog); the
+        # default path leaves maintenance to the scheduled `maintain` verb
+        import dataclasses
+
+        ctx = dataclasses.replace(ctx, auto_maintain=True)
     with BuildGroup(spark, args.repo, group=args.job_group) as bg:
         try:
             update_warehouse(ctx, _relations(args), TableSelector(args.patterns))
@@ -1081,6 +1087,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="SQL filter over the partition columns: re-run the "
                          "transformation for that slice and dynamically "
                          "overwrite only the touched partitions")
+    sp.add_argument("--with-maintain", action="store_true",
+                    help="run the threshold-gated compaction sweep after "
+                         "publish (reference run_vacuum analog; default "
+                         "leaves it to the scheduled `maintain` verb)")
     sp.add_argument("--job-group", help="cancellable job-group name")
     sp = add("scrub", cmd_scrub)
     sp.add_argument("--requests", required=True,

@@ -68,8 +68,11 @@ class LoadContext:
     skip_copy: bool = False  # structural smoke mode (--skip-copy)
     analyze: bool = True  # ANALYZE TABLE after load (reference load.py:554-561)
     # post-publish threshold-gated compaction (reference vacuum-after-update,
-    # load.py:1360-1367); probe is metadata-only, rewrite is checksum-gated
-    auto_maintain: bool = True
+    # load.py:1360-1367).  OPT-IN like the reference's run_vacuum flag: the
+    # probe is metadata-only but still costs a DESCRIBE + storage listing per
+    # non-rebuilt relation on every update — at warehouse scale that sweep
+    # belongs on a schedule (the `maintain` verb), not in every verb run.
+    auto_maintain: bool = False
 
     def table_location(self, table_name: TableName) -> str:
         return f"{self.data_root}/{self.etl_id}/{table_name.schema}/{table_name.table}"

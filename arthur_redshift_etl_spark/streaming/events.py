@@ -75,10 +75,106 @@ _DEFAULT_PROVIDER = (
 )
 
 
-def checkpoint_state_provider(checkpoint: str) -> Optional[str]:
+def _ckpt_io(checkpoint: str, spark: Optional[SparkSession]):
+    """(list_names, read_text) accessors for a checkpoint directory, or
+    None when the path cannot be probed from here.
+
+    Checkpoints live wherever the query put them — local disk in tests,
+    HDFS/S3 in production — so the probes must not assume ``os`` works.
+    Local paths (no scheme, or file:) use ``os`` directly; anything else
+    goes through the Hadoop FileSystem API of the given (or active)
+    session, the same client the streaming engine itself uses.  A
+    non-local path with no JVM in reach returns None — and the caller is
+    expected to SAY the probe was skipped rather than silently passing.
+    """
+    import os
+
+    scheme = checkpoint.split("://", 1)[0] if "://" in checkpoint else ""
+
+    def _os_io(root: str):
+        def list_names(sub: str):
+            try:
+                return os.listdir(os.path.join(root, sub))
+            except OSError:
+                return None
+
+        def read_text(sub: str, name: str) -> str:
+            with open(os.path.join(root, sub, name)) as fh:
+                return fh.read()
+
+        return list_names, read_text
+
+    if scheme == "":
+        return _os_io(checkpoint)
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        # file:// is still the local disk — strip the scheme and read it;
+        # anything else is unreachable without a JVM, and silence here is
+        # exactly the failure the provider guard exists to prevent.
+        if scheme == "file":
+            return _os_io(checkpoint.split("://", 1)[1])
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "checkpoint probe SKIPPED for %s: non-local path and no active "
+            "SparkSession to reach it through (pass spark= to probe it)",
+            checkpoint,
+        )
+        return None
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def jpath(*parts: str):
+        return jvm.org.apache.hadoop.fs.Path("/".join((checkpoint,) + parts))
+
+    try:
+        fs = jpath().getFileSystem(hconf)
+    except Exception:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "checkpoint probe SKIPPED for %s: filesystem for scheme %r is "
+            "not reachable from this session",
+            checkpoint,
+            scheme,
+        )
+        return None
+
+    def list_names(sub: str):
+        p = jpath(sub)
+        try:
+            if not fs.exists(p):
+                return None
+            return [st.getPath().getName() for st in fs.listStatus(p)]
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "checkpoint probe SKIPPED for %s: listing %s failed "
+                "(filesystem unreachable?)",
+                checkpoint,
+                sub,
+            )
+            return None
+
+    def read_text(sub: str, name: str) -> str:
+        stream = fs.open(jpath(sub, name))
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, True)
+        return baos.toString("UTF-8")
+
+    return list_names, read_text
+
+
+def checkpoint_state_provider(
+    checkpoint: str, spark: Optional[SparkSession] = None
+) -> Optional[str]:
     """The state-store provider class an existing checkpoint will USE on
     restart (pinned in its offset-log metadata), or None for a fresh or
-    absent checkpoint.
+    absent checkpoint (or a non-local path with no session to reach it —
+    logged, never silent).
 
     Spark writes the originating session's state conf into every offset
     file and restores it on recovery precisely so state files stay
@@ -87,17 +183,18 @@ def checkpoint_state_provider(checkpoint: str) -> Optional[str]:
     what a restart will actually run.
     """
     import json
-    import os
 
-    offsets_dir = os.path.join(checkpoint, "offsets")
-    try:
-        batches = sorted(int(f) for f in os.listdir(offsets_dir) if f.isdigit())
-    except OSError:
+    io = _ckpt_io(checkpoint, spark)
+    if io is None:
         return None
+    list_names, read_text = io
+    names = list_names("offsets")
+    if not names:
+        return None
+    batches = sorted(int(f) for f in names if f.isdigit())
     if not batches:
         return None
-    with open(os.path.join(offsets_dir, str(batches[-1]))) as fh:
-        lines = fh.read().splitlines()
+    lines = read_text("offsets", str(batches[-1])).splitlines()
     try:
         meta = json.loads(lines[1])
     except (IndexError, ValueError):
@@ -105,28 +202,30 @@ def checkpoint_state_provider(checkpoint: str) -> Optional[str]:
     return meta.get("conf", {}).get(_PROVIDER_CONF_KEY, _DEFAULT_PROVIDER)
 
 
-def checkpoint_source_offsets(checkpoint: str) -> Optional[list]:
+def checkpoint_source_offsets(
+    checkpoint: str, spark: Optional[SparkSession] = None
+) -> Optional[list]:
     """Per-source offsets of the last COMMITTED batch in a checkpoint.
 
     The seed for bounded-replay migration on non-replayable sources: the
     returned list has one entry per source (parsed JSON where the offset
     is JSON — e.g. Kafka's partition map — else the raw string).  Returns
-    None when nothing was committed yet.
+    None when nothing was committed yet (or the path is unreachable —
+    see :func:`_ckpt_io`).
     """
     import json
-    import os
 
-    commits_dir = os.path.join(checkpoint, "commits")
-    try:
-        committed = sorted(
-            int(f) for f in os.listdir(commits_dir) if f.isdigit()
-        )
-    except OSError:
+    io = _ckpt_io(checkpoint, spark)
+    if io is None:
         return None
+    list_names, read_text = io
+    names = list_names("commits")
+    if not names:
+        return None
+    committed = sorted(int(f) for f in names if f.isdigit())
     if not committed:
         return None
-    with open(os.path.join(checkpoint, "offsets", str(committed[-1]))) as fh:
-        lines = fh.read().splitlines()
+    lines = read_text("offsets", str(committed[-1])).splitlines()
     out = []
     for ln in lines[2:]:  # line 0: version, line 1: metadata, 2+: sources
         try:
@@ -145,7 +244,7 @@ def _warn_on_pinned_provider(spark: SparkSession, checkpoint: str) -> None:
     that difference is OOM-vs-degrade at ~12M state rows), so say it
     loudly and point at the migration recipe.
     """
-    pinned = checkpoint_state_provider(checkpoint)
+    pinned = checkpoint_state_provider(checkpoint, spark)
     if pinned is None:
         return
     requested = spark.conf.get(_PROVIDER_CONF_KEY, _DEFAULT_PROVIDER)

@@ -2550,8 +2550,13 @@ def corpus_temperature_mix(spark, sf_dir):
     at ~3e6 docs before 2^63 — far below a 40% doc budget.  The 128-bit
     bound is n_target x max(w_int) < 1e38: at 1e21 chars (~zettabyte,
     ~4e17 docs at 2.5 kB/doc) the product is ~5e33, so the arithmetic is
-    exact through any physically plausible corpus.  Both engines
-    hard-error (no silent wrap) if it were ever exceeded.
+    exact through any physically plausible corpus.  Past that bound the
+    engines DIVERGE in failure mode: DuckDB HUGEINT hard-errors, but
+    Spark's decimal(38,0) overflow under the default ansi=false returns
+    NULL silently — base/rem would go NULL and quotas would empty rather
+    than error.  The bound is 5 orders of magnitude beyond a zettabyte
+    corpus, so no runtime check is spent on it; anyone raising the quota
+    precision should revisit this note.
 
     Scale shape: quotas come from a domain-cardinality aggregate (window
     over ~|domains| rows); selection is the skew-proof grouped rank

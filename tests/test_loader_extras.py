@@ -938,9 +938,12 @@ def test_update_warehouse_runs_post_publish_maintenance(
     ).parquet(loc)
     before = content_checksum(spark.read.parquet(loc))
 
-    # update a DIFFERENT relation; the hook must still sweep nation_u
+    # update a DIFFERENT relation; the (opt-in) hook must still sweep nation_u
     store = EventStore()
-    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=store)
+    ctx = LoadContext(
+        spark=spark, data_root=str(tmp_path / "lake"), store=store,
+        auto_maintain=True,
+    )
     update_warehouse(
         ctx, [rel, other], TableSelector(["schema.region_u"])
     )
@@ -962,7 +965,10 @@ def test_update_warehouse_runs_post_publish_maintenance(
     assert not any(e["target"] == "schema.region_u" for e in ev)
 
 
-def test_update_warehouse_auto_maintain_opt_out(spark, tmp_path, clean_dbs):
+def test_update_warehouse_maintain_is_opt_in(spark, tmp_path, clean_dbs):
+    """The post-publish sweep is OPT-IN (mirrors the reference gating
+    vacuum-after-update behind run_vacuum): a default-constructed context
+    pays zero maintenance cost per update."""
     from arthur_redshift_etl_spark.loader import update_warehouse
     from arthur_redshift_etl_spark.monitor import STEP_MAINTAIN
     from arthur_redshift_etl_spark.relations import TableSelector
@@ -971,7 +977,7 @@ def test_update_warehouse_auto_maintain_opt_out(spark, tmp_path, clean_dbs):
     store = EventStore()
     ctx = LoadContext(
         spark=spark, data_root=str(tmp_path / "lake"), store=store,
-        auto_maintain=False,
     )
+    assert ctx.auto_maintain is False
     update_warehouse(ctx, [rel], TableSelector([]))
     assert store.query(step=STEP_MAINTAIN) == []

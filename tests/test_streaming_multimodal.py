@@ -772,6 +772,72 @@ def test_checkpoint_pins_provider_and_session_conf_is_ignored(spark, tmp_path):
             spark.conf.set(conf_key, old)
 
 
+def test_checkpoint_probe_nonlocal_paths(spark, tmp_path):
+    """ADVICE r8 #2: the probes must work on non-``os`` checkpoint paths.
+    A ``file://`` URI exercises the Hadoop FileSystem route end-to-end
+    (same client as HDFS/S3 in production) and must agree with the plain
+    os-path read; an unreachable scheme must SKIP LOUDLY (warn + None),
+    never crash a maintainer start or silently pass the provider guard."""
+    from arthur_redshift_etl_spark.streaming.events import (
+        checkpoint_source_offsets,
+        checkpoint_state_provider,
+        dedup_stream,
+        read_event_stream,
+    )
+
+    d = str(tmp_path / "ev_nl")
+    ckpt = str(tmp_path / "ckpt_nl")
+    out = str(tmp_path / "out_nl")
+    ev = (
+        load_table(spark, SF, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .limit(50)
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    q = (
+        dedup_stream(read_event_stream(spark, d, max_files_per_trigger=1))
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # Hadoop-FS route (file:// scheme with a session) == os route
+    assert checkpoint_state_provider("file://" + ckpt, spark) == (
+        checkpoint_state_provider(ckpt)
+    )
+    assert checkpoint_source_offsets("file://" + ckpt, spark) == (
+        checkpoint_source_offsets(ckpt)
+    )
+    # file:// still readable with no session passed (falls back to os via
+    # the active session's FS or the stripped path)
+    assert checkpoint_state_provider("file://" + ckpt) is not None
+
+    # unreachable scheme: loud skip, not an exception
+    import logging
+
+    records = []
+
+    class Cap(logging.Handler):
+        def emit(self, rec):
+            records.append(rec.getMessage())
+
+    lg = logging.getLogger("arthur_redshift_etl_spark.streaming.events")
+    h = Cap()
+    lg.addHandler(h)
+    try:
+        got = checkpoint_state_provider(
+            "hdfs://nowhere.invalid:1/ckpt", spark
+        )
+    finally:
+        lg.removeHandler(h)
+    assert got is None
+    assert any("SKIPPED" in m for m in records), records
+
+
 def test_state_store_migration_recipe_fresh_checkpoint(spark, tmp_path):
     """The documented migration (drain -> retire checkpoint -> restart
     fresh with scalable_state_conf) end-to-end on a table maintainer:
