@@ -165,6 +165,34 @@ def _register_bucketed_table(
     )
 
 
+def _bloom_options(design) -> dict:
+    """Parquet bloom-filter writer options from the table design.
+
+    ``attributes.bloom_filter_columns: [col, ...]`` writes a per-row-group
+    bloom filter for each listed column (``parquet.bloom.filter.enabled#col``
+    — the point-lookup analog of the reference's per-column encoding choice,
+    design.py attributes).  Use it for high-cardinality columns that point
+    predicates hit WITHOUT the table being sorted on them: min/max row-group
+    stats can't prune when every row group spans the full value range (an
+    unsorted unique id), but a bloom filter answers "is this value in this
+    row group" directly, so an equality scan touches ~1 row group instead of
+    all of them.  The 100 TB cases: RTBF/scrub reverse lookups by user key,
+    incident forensics by request id, CDC key probes.
+
+    ``attributes.bloom_filter_ndv: {col: n}`` sizes each filter (expected
+    distinct values per ROW GROUP — the default 1M costs ~1.2 MB per row
+    group per column, so set it to ~row-group rows for unique ids).
+    """
+    cols = design.attributes.get("bloom_filter_columns") or []
+    ndv = design.attributes.get("bloom_filter_ndv") or {}
+    opts = {}
+    for c in cols:
+        opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        if c in ndv:
+            opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(int(ndv[c]))
+    return opts
+
+
 def materialize_dataframe(ctx: LoadContext, rel: Relation, df: DataFrame, db: str) -> int:
     """Write the relation's data (versioned location) and register the table.
 
@@ -183,6 +211,7 @@ def materialize_dataframe(ctx: LoadContext, rel: Relation, df: DataFrame, db: st
         (
             df.write.mode("overwrite")
             .option("path", location)  # external: staging drop keeps files
+            .options(**_bloom_options(rel.design))
             .format("parquet")
             .bucketBy(buckets, *cols)
             .sortBy(*cols)
@@ -252,7 +281,7 @@ def materialize_dataframe(ctx: LoadContext, rel: Relation, df: DataFrame, db: st
             writer_df = writer_df.hint("rebalance")
         if sort_keys:
             writer_df = writer_df.sortWithinPartitions(*sort_keys)
-    writer = writer_df.write.mode("overwrite")
+    writer = writer_df.write.mode("overwrite").options(**_bloom_options(rel.design))
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(location)
@@ -960,7 +989,9 @@ def compact_table(
             f"compact_table would overwrite {location} in place; use a "
             "LoadContext with a fresh etl_id"
         )
-    compacted.write.mode("overwrite").parquet(new_location)
+    compacted.write.mode("overwrite").options(**_bloom_options(rel.design)).parquet(
+        new_location
+    )
     after = content_checksum(ctx.spark.read.parquet(new_location))
     if after != before:
         raise ETLRuntimeError(

@@ -981,3 +981,72 @@ def test_update_warehouse_maintain_is_opt_in(spark, tmp_path, clean_dbs):
     assert ctx.auto_maintain is False
     update_warehouse(ctx, [rel], TableSelector([]))
     assert store.query(step=STEP_MAINTAIN) == []
+
+
+# ---- parquet bloom filters (round 9) ----------------------------------------
+
+def _bloom_offsets(spark, location):
+    """{column: has_bloom_filter} read from the first parquet file's footer
+    via parquet-mr (the writer's own metadata — structural, not timing)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    f = next(
+        os.path.join(dp, n)
+        for dp, _, names in os.walk(location)
+        for n in sorted(names)
+        if n.endswith(".parquet")
+    )
+    footer = jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        hconf, jvm.org.apache.hadoop.fs.Path(f)
+    )
+    out = {}
+    block = footer.getBlocks().get(0)
+    for i in range(block.getColumns().size()):
+        col = block.getColumns().get(i)
+        out[col.getPath().toDotString()] = col.getBloomFilterOffset() >= 0
+    return out
+
+
+def test_bloom_filter_columns_written_and_preserved(spark, tmp_path, clean_dbs):
+    """`attributes.bloom_filter_columns` writes a parquet bloom filter for
+    exactly the listed columns (footer-verified), and compact_table keeps
+    it through the rewrite — point-lookup pruning must survive maintenance."""
+    from arthur_redshift_etl_spark.loader import compact_table, load_warehouse
+
+    rel = source_rel(spark, tmp_path, "schema.nation_bf", "nation")
+    rel.design.attributes["bloom_filter_columns"] = ["n_nationkey"]
+    rel.design.attributes["bloom_filter_ndv"] = {"n_nationkey": 64}
+    ctx = LoadContext(
+        spark=spark, data_root=str(tmp_path / "lake"), store=EventStore()
+    )
+    load_warehouse(ctx, [rel])
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED `schema`.`nation_bf`")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+        .replace("file:", "")
+    )
+    offs = _bloom_offsets(spark, loc)
+    assert offs["n_nationkey"] is True, offs
+    assert offs["n_name"] is False, offs
+
+    # fragment then compact: the rewrite must re-apply the design's blooms
+    import dataclasses
+    import uuid
+
+    df = spark.read.parquet(loc)
+    df.repartition(20).write.mode("overwrite").parquet(str(tmp_path / "fragbf"))
+    spark.read.parquet(str(tmp_path / "fragbf")).repartition(20).write.mode(
+        "overwrite"
+    ).parquet(loc)
+    mctx = dataclasses.replace(ctx, etl_id=uuid.uuid4().hex[:12])
+    n_before, n_after = compact_table(mctx, rel)
+    assert n_after < n_before
+    new_loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED `schema`.`nation_bf`")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+        .replace("file:", "")
+    )
+    offs2 = _bloom_offsets(spark, new_loc)
+    assert offs2["n_nationkey"] is True, offs2
