@@ -160,12 +160,15 @@ def main() -> int:
     import shutil
 
     from arthur_redshift_etl_spark.session import build_session
+    from pyspark.sql import functions as F
+
     from arthur_redshift_etl_spark.streaming.events import (
         dedup_stream,
         hourly_rollup_stream,
         running_user_totals_stream,
         session_stream,
     )
+    from arthur_redshift_etl_spark.streaming.joins import attribution_join_stream
 
     for d in os.listdir("/tmp"):
         if d.startswith("stream_tp_"):
@@ -210,6 +213,26 @@ def main() -> int:
         "custom_state_totals": (
             "update",
             running_user_totals_stream,
+        ),
+        # stream-stream interval join: BOTH sides buffered in state for
+        # watermark+horizon (~40s x rate rows per side here).  2M users
+        # bounds the match fan-out to ~1 per touch so the measurement is
+        # join/state cost, not output amplification.
+        "interval_join": (
+            "append",
+            lambda ev: attribution_join_stream(
+                ev.withColumn(
+                    "user_id", F.col("event_id") % 2_000_000
+                ).withColumn(
+                    "event_type",
+                    F.when(F.col("event_id") % 2 == 0, F.lit("view")).otherwise(
+                        F.lit("purchase")
+                    ),
+                ),
+                horizon="10 seconds",
+                watermark="30 seconds",
+                how="inner",
+            ),
         ),
     }
     if SHAPE_FILTER:
