@@ -193,6 +193,33 @@ def _bloom_options(design) -> dict:
     return opts
 
 
+def _analyze_relation(ctx: "LoadContext", schema: str, table: str, design) -> None:
+    """Feed the CBO after a (re)registration.
+
+    Table-level ``COMPUTE STATISTICS`` (size + row count) is a
+    metadata-only scan and always runs: it's what broadcast decisions and
+    AQE thresholds consume.  ``attributes.stats_columns: [col, ...]``
+    additionally computes per-column ndv/min/max/null-count — the inputs
+    join REORDERING actually needs (``spark.sql.cbo.joinReorder`` can't
+    estimate join selectivity from row counts alone, so without column
+    stats it keeps the written order).  Column stats cost one real scan
+    of the listed columns per publish, so they're opt-in and belong on
+    join/filter keys only — at 100 TB "FOR ALL COLUMNS" on a wide fact
+    is a full-table read per refresh for stats mostly nothing consumes.
+    Measured effect: scripts/cbo_reorder_ab.py (SCALE.md round 9).
+    """
+    if not ctx.analyze:
+        return
+    full = f"{_quote(schema)}.{_quote(table)}"
+    ctx.spark.sql(f"ANALYZE TABLE {full} COMPUTE STATISTICS")
+    cols = design.attributes.get("stats_columns") or []
+    if cols:
+        col_list = ", ".join(_quote(c) for c in cols)
+        ctx.spark.sql(
+            f"ANALYZE TABLE {full} COMPUTE STATISTICS FOR COLUMNS {col_list}"
+        )
+
+
 def materialize_dataframe(ctx: LoadContext, rel: Relation, df: DataFrame, db: str) -> int:
     """Write the relation's data (versioned location) and register the table.
 
@@ -217,11 +244,7 @@ def materialize_dataframe(ctx: LoadContext, rel: Relation, df: DataFrame, db: st
             .sortBy(*cols)
             .saveAsTable(f"{_quote(db)}.{_quote(rel.table_name.table)}")
         )
-        if ctx.analyze:
-            ctx.spark.sql(
-                f"ANALYZE TABLE {_quote(db)}.{_quote(rel.table_name.table)} "
-                "COMPUTE STATISTICS"
-            )
+        _analyze_relation(ctx, db, rel.table_name.table, rel.design)
         return ctx.spark.table(f"{_quote(db)}.{_quote(rel.table_name.table)}").count()
     writer_df = df
     part_cols = list(rel.design.attributes.get("partition_by") or [])
@@ -290,12 +313,8 @@ def materialize_dataframe(ctx: LoadContext, rel: Relation, df: DataFrame, db: st
         _register_partitioned_table(ctx, db, rel, location)
     else:
         _register_external_table(ctx, db, rel.table_name.table, location)
-    if ctx.analyze:
-        # stats feed Catalyst's CBO (broadcast decisions, join reordering)
-        ctx.spark.sql(
-            f"ANALYZE TABLE {_quote(db)}.{_quote(rel.table_name.table)} "
-            "COMPUTE STATISTICS"
-        )
+    # stats feed Catalyst's CBO (broadcast decisions, join reordering)
+    _analyze_relation(ctx, db, rel.table_name.table, rel.design)
     return ctx.spark.read.parquet(location).count()
 
 
@@ -360,11 +379,7 @@ def build_external_relation(ctx: LoadContext, rel: Relation, db: str) -> int:
         _register_partitioned_table(ctx, db, rel, location)
     else:
         _register_external_table(ctx, db, rel.table_name.table, location)
-    if ctx.analyze:
-        ctx.spark.sql(
-            f"ANALYZE TABLE {_quote(db)}.{_quote(rel.table_name.table)} "
-            "COMPUTE STATISTICS"
-        )
+    _analyze_relation(ctx, db, rel.table_name.table, rel.design)
     return ctx.spark.table(f"{_quote(db)}.{_quote(rel.table_name.table)}").count()
 
 
@@ -595,13 +610,9 @@ def publish(ctx: LoadContext, relations: Sequence[Relation]) -> None:
             _register_partitioned_table(ctx, tn.schema, rel, location)
         else:
             _register_external_table(ctx, tn.schema, tn.table, location)
-        if ctx.analyze:
-            # re-registration discards staging stats; recompute on the
-            # production name so the CBO sees sizes (metadata-only scan)
-            ctx.spark.sql(
-                f"ANALYZE TABLE {_quote(tn.schema)}.{_quote(tn.table)} "
-                "COMPUTE STATISTICS"
-            )
+        # re-registration discards staging stats; recompute on the
+        # production name so the CBO sees sizes
+        _analyze_relation(ctx, tn.schema, tn.table, rel.design)
     for rel in views:
         tn = rel.table_name
         full = f"{_quote(tn.schema)}.{_quote(tn.table)}"

@@ -106,6 +106,26 @@ def test_analyze_populates_stats(spark, tmp_path, clean_dbs):
     assert stats, "ANALYZE should record table statistics"
 
 
+def test_stats_columns_populate_column_ndv(spark, tmp_path, clean_dbs):
+    """attributes.stats_columns -> ANALYZE FOR COLUMNS: ndv/min/max land in
+    the catalog for exactly the declared columns (join-reorder inputs)."""
+    rel = source_rel(spark, tmp_path, "csrc.nation", "nation")
+    rel.design.attributes["stats_columns"] = ["n_nationkey"]
+    ctx = LoadContext(spark=spark, data_root=str(tmp_path / "lake"), store=EventStore())
+    load_warehouse(ctx, [rel])
+
+    def col_stats(col):
+        rows = spark.sql(f"DESCRIBE EXTENDED csrc.nation {col}").collect()
+        return {r["info_name"]: r["info_value"] for r in rows}
+
+    keyed = col_stats("n_nationkey")
+    assert keyed.get("distinct_count") not in (None, "NULL")
+    assert keyed.get("max") not in (None, "NULL")
+    # the undeclared column stays stat-free (opt-in: no surprise scans)
+    other = col_stats("n_name")
+    assert other.get("distinct_count") in (None, "NULL")
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path, clean_dbs):
     """bucket_by attribute → co-located join: zero Exchanges after publish."""
     from pyspark.sql import functions as F
