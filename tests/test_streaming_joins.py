@@ -173,6 +173,66 @@ def test_enrich_stream_static_matches_batch(spark, stream_dir):
     assert _rows(got) == _rows(expect)
 
 
+def test_join_state_survives_restart_exactly_once(spark, tmp_path):
+    """Stop the join mid-stream, deliver more files, restart from the
+    checkpoint: buffered left rows from before the stop must still match
+    right rows arriving after it, and nothing may duplicate."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    # split at the conversion instant of a real matched pair, so at least
+    # one touch is buffered before the stop and converts after the restart
+    expect = _batch_attribution(_events(spark), "inner")
+    pair = (
+        expect.filter(F.col("convert_ts") > F.col("touch_ts"))
+        .orderBy("convert_ts")
+        .limit(1)
+        .collect()
+    )
+    assert pair, "fixture data must contain a non-simultaneous match"
+    split = pair[0].convert_ts
+    first = _events(spark).filter(F.col("ts") < F.lit(split))
+    second = _events(spark).filter(F.col("ts") >= F.lit(split))
+
+    def deliver(df, name):
+        stage = str(tmp_path / f"stage-{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        f = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+        shutil.copyfile(os.path.join(stage, f), os.path.join(src, f"{name}.parquet"))
+
+    def run_once():
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        joined = attribution_join_stream(
+            stream, horizon=HORIZON, watermark="40 days", how="inner"
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    deliver(first, "first")
+    run_once()  # buffers unmatched first-half touches in checkpointed state
+    deliver(second, "second")
+    run_once()  # restart: second-half conversions must match them
+
+    got = spark.read.parquet(out)
+    assert got.count() == expect.count()  # exactly-once: no dup emissions
+    assert _rows(got) == _rows(expect)
+    # cross-restart matches actually exist (a touch before the split
+    # converting after it) — otherwise this test proves nothing
+    cross = expect.filter(
+        (F.col("touch_ts") < F.lit(split)) & (F.col("convert_ts") >= F.lit(split))
+    ).count()
+    assert cross > 0
+
+
 def test_interval_join_validation(spark):
     df = spark.range(1).select(
         F.col("id").alias("k"), F.current_timestamp().alias("ts")
