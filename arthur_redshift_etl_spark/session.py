@@ -54,6 +54,9 @@ def build_session(
         # computes at publish (join reordering needs them; no-op without)
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # Python DataSource extracts (sources/duckdb_source.py) translate
+        # simple predicates to upstream SQL; off by default in Spark 4
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Independent relation builds may submit jobs from multiple threads.
         .config("spark.scheduler.mode", "FAIR")
     )

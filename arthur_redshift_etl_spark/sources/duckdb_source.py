@@ -1,0 +1,237 @@
+"""DuckDB extract source via the Spark 4 Python DataSource API.
+
+The reference's extract framework pulls from upstream databases with
+Sqoop-over-JDBC (python/etl/extract/sqoop.py: split column, boundary
+query, N parallel mappers).  ``sources/jdbc.py`` replicates that for
+JDBC-reachable upstreams; this module covers the upstream kind JDBC
+can't reach from this engine — an embedded analytical store — and in
+doing so demonstrates the engine's source EXTENSIBILITY path: any
+Python-readable system becomes a first-class, partition-parallel,
+filter-pushing Spark source by subclassing ``DataSource``.
+
+The same Sqoop-analog planning applies, but implemented in the
+DataSource hooks where Spark expects them:
+
+- ``partitions()``  — boundary query (MIN/MAX of the split column) then
+  N half-open key ranges, one Spark task each (sqoop's ``--split-by`` /
+  ``--num-mappers``);
+- ``pushFilters()`` — simple comparisons translate to parameterized SQL
+  in the per-partition query, so the upstream prunes before a byte
+  crosses into Spark (the reference pushes WHERE into sqoop's
+  ``--query``);
+- ``read()``        — each task opens its own read-only connection and
+  streams Arrow record batches straight out of DuckDB (zero
+  row-at-a-time Python conversion; Spark ingests the batches directly).
+
+Column pruning is NOT available in the Python DataSource API (the reader
+receives the full schema), so narrow extracts should use ``query=`` with
+an explicit projection — same advice as the reference's extract
+``columns`` setting.
+
+Usage::
+
+    register_duckdb_source(spark)
+    df = (spark.read.format("duckdb")
+          .option("path", "/data/upstream.duckdb")
+          .option("table", "orders")             # or .option("query", "SELECT ...")
+          .option("partition_column", "o_orderkey")
+          .option("num_partitions", "8")
+          .load())
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, List, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+# DuckDB -> Spark DDL type map (the subset the synthetic + TPC-H tables
+# use, plus the common scalars; unsupported types raise at schema time
+# rather than corrupting silently).
+_TYPE_MAP = {
+    "BOOLEAN": "boolean",
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "HUGEINT": "decimal(38,0)",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "BLOB": "binary",
+    "DATE": "date",
+    # duckdb TIMESTAMP is tz-naive -> NTZ (matches how Spark reads the
+    # same values from parquet; the engine's timestamps are naive UTC)
+    "TIMESTAMP": "timestamp_ntz",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+}
+
+def _duck_type_to_ddl(t: str) -> str:
+    t = t.strip().upper()
+    if t.startswith("DECIMAL"):
+        return t.lower()
+    if t in _TYPE_MAP:
+        return _TYPE_MAP[t]
+    raise ValueError(f"duckdb type not mapped: {t}")
+
+
+def _connect(path: str):
+    import duckdb
+
+    return duckdb.connect(path, read_only=True)
+
+
+@dataclass
+class _Range(InputPartition):
+    lo: object = None  # None = unbounded (single-partition or edge range)
+    hi: object = None
+
+
+class DuckDBDataSource(DataSource):
+    """``format("duckdb")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "duckdb"
+
+    def _relation_sql(self) -> str:
+        table = self.options.get("table")
+        query = self.options.get("query")
+        if bool(table) == bool(query):
+            raise ValueError("exactly one of table= / query= is required")
+        return f"({query}) AS q" if query else table
+
+    def schema(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("path= (duckdb database file) is required")
+        con = _connect(path)
+        try:
+            rows = con.execute(
+                f"DESCRIBE SELECT * FROM {self._relation_sql()}"
+            ).fetchall()
+        finally:
+            con.close()
+        cols = ", ".join(
+            f"{name} {_duck_type_to_ddl(dtype)}" for name, dtype, *_ in rows
+        )
+        return cols
+
+    def reader(self, schema: StructType) -> "DuckDBReader":
+        return DuckDBReader(dict(self.options), self._relation_sql(), schema)
+
+
+class DuckDBReader(DataSourceReader):
+    def __init__(self, options: dict, relation_sql: str, schema: StructType):
+        self.path = options["path"]
+        self.relation = relation_sql
+        self.schema = schema
+        self.split_by = options.get("partition_column")
+        self.n_parts = int(options.get("num_partitions") or 1)
+        self.batch_rows = int(options.get("batch_rows") or 65536)
+        self.where: List[str] = []
+        self.params: List[object] = []
+        if self.n_parts > 1 and not self.split_by:
+            raise ValueError("num_partitions > 1 requires partition_column=")
+
+    # -- filter pushdown ----------------------------------------------
+    _OPS = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+
+    def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
+        # NOTE: planning runs in a separate Python worker process, so
+        # acceptance is observable only through the plan (no Filter node
+        # survives above the scan) — pinned in tests/test_duckdb_source.py
+        for f in filters:
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            known = col is not None and col in self.schema.fieldNames()
+            if known and type(f) in self._OPS:
+                # parameterized, never interpolated: the value crosses as
+                # a bind parameter so quoting/injection is a non-issue
+                self.where.append(f'"{col}" {self._OPS[type(f)]} ?')
+                self.params.append(f.value)
+            elif known and isinstance(f, IsNull):
+                self.where.append(f'"{col}" IS NULL')
+            elif known and isinstance(f, IsNotNull):
+                self.where.append(f'"{col}" IS NOT NULL')
+            else:
+                yield f  # Spark re-applies what the source can't handle
+
+    # -- partition planning (sqoop boundary-query analog) --------------
+    def partitions(self) -> Sequence[_Range]:
+        if self.n_parts <= 1:
+            return [_Range()]
+        con = _connect(self.path)
+        try:
+            lo, hi = con.execute(
+                f'SELECT MIN("{self.split_by}"), MAX("{self.split_by}") '
+                f"FROM {self.relation}"
+            ).fetchone()
+        finally:
+            con.close()
+        if lo is None or lo == hi:
+            return [_Range()]
+        # numeric stride over [lo, hi]; the last range is unbounded above
+        # so MAX itself (and any concurrent tail growth) is never dropped
+        span = (hi - lo) / self.n_parts
+        bounds = [lo + span * i for i in range(1, self.n_parts)]
+        if isinstance(lo, int):
+            bounds = sorted({int(b) for b in bounds})
+        ranges = []
+        prev = None
+        for b in bounds:
+            ranges.append(_Range(lo=prev, hi=b))
+            prev = b
+        ranges.append(_Range(lo=prev, hi=None))
+        return ranges
+
+    # -- per-task read ---------------------------------------------------
+    def read(self, partition: _Range):
+        where = list(self.where)
+        params = list(self.params)
+        if partition.lo is not None:
+            where.append(f'"{self.split_by}" >= ?')
+            params.append(partition.lo)
+        if partition.hi is not None:
+            where.append(f'"{self.split_by}" < ?')
+            params.append(partition.hi)
+        cols = ", ".join(f'"{c}"' for c in self.schema.fieldNames())
+        sql = f"SELECT {cols} FROM {self.relation}"
+        if where:
+            sql += " WHERE " + " AND ".join(where)
+        con = _connect(self.path)
+        try:
+            reader = con.execute(sql, params).fetch_record_batch(self.batch_rows)
+            while True:
+                try:
+                    yield reader.read_next_batch()
+                except StopIteration:
+                    break
+        finally:
+            con.close()
+
+
+def register_duckdb_source(spark) -> None:
+    """Register ``format("duckdb")`` on this session (idempotent)."""
+    # runtime conf (engine sessions set it at build; cover foreign sessions)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DuckDBDataSource)
