@@ -235,3 +235,32 @@ def register_duckdb_source(spark) -> None:
     # runtime conf (engine sessions set it at build; cover foreign sessions)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DuckDBDataSource)
+
+
+def extract_design(spark, design, path: str, use_sampling: bool = False,
+                   table_size_bytes: int | None = None):
+    """Design-driven extract through ``format("duckdb")``.
+
+    The same planning the JDBC path applies to a table design
+    (``sources/jdbc.plan_extract``: projection + per-column cast
+    expressions, WHERE condition, sampling key, split-by column and the
+    multiple-of-4 partition-count heuristic) executed against a DuckDB
+    upstream — one designs file drives either transport.  The split
+    column must be in the design's projection (it is, by construction:
+    ``find_partition_key`` picks from the design's own columns).
+    """
+    from .jdbc import FALLBACK_TABLE_SIZE, plan_extract
+
+    register_duckdb_source(spark)
+    plan = plan_extract(
+        design,
+        table_size_bytes=table_size_bytes or FALLBACK_TABLE_SIZE,
+        use_sampling=use_sampling,
+    )
+    r = spark.read.format("duckdb").option("path", path).option("query", plan.query)
+    if plan.partition_column and plan.num_partitions > 1:
+        r = (
+            r.option("partition_column", plan.partition_column)
+            .option("num_partitions", str(plan.num_partitions))
+        )
+    return r.load()

@@ -123,3 +123,40 @@ def test_option_validation(registered, duck_path):
         _read(registered, duck_path, table="orders", query="SELECT 1").count()
     with pytest.raises(Exception, match="partition_column"):
         _read(registered, duck_path, table="orders", num_partitions=4).count()
+
+
+def test_extract_design_drives_duckdb_transport(registered, duck_path):
+    """One table design drives the duckdb transport exactly like JDBC:
+    projection+casts, WHERE condition, split-by partitioning."""
+    from arthur_redshift_etl_spark.design import (
+        ColumnDefinition,
+        ExtractSettings,
+        TableDesign,
+    )
+    from arthur_redshift_etl_spark.sources.duckdb_source import extract_design
+
+    design = TableDesign(
+        name="dw.orders",
+        source_name="up.main.orders",
+        columns=[
+            ColumnDefinition("o_orderkey", "long", not_null=True),
+            ColumnDefinition("o_custkey", "long"),
+            ColumnDefinition("o_totalprice", "double"),
+        ],
+        constraints=[{"primary_key": ["o_orderkey"]}],
+        extract_settings=ExtractSettings(
+            condition="o_totalprice > 50000", num_partitions=4
+        ),
+    )
+    got = extract_design(registered, design, duck_path)
+    assert got.columns == ["o_orderkey", "o_custkey", "o_totalprice"]
+    assert got.rdd.getNumPartitions() == 4
+    ref = (
+        registered.read.parquet(f"{SF}/orders.parquet")
+        .filter("o_totalprice > 50000")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    assert ref.count() > 0
+    assert {tuple(map(str, r)) for r in got.collect()} == {
+        tuple(map(str, r)) for r in ref.collect()
+    }
