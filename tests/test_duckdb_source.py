@@ -160,3 +160,66 @@ def test_extract_design_drives_duckdb_transport(registered, duck_path):
     assert {tuple(map(str, r)) for r in got.collect()} == {
         tuple(map(str, r)) for r in ref.collect()
     }
+
+
+def test_change_feed_streams_appends_exactly_once(registered, tmp_path):
+    """readStream over a duckdb table: cursor offsets in the checkpoint,
+    upstream appends picked up by the next run, no row lost or repeated."""
+    feed = str(tmp_path / "feed.duckdb")
+    con = duckdb.connect(feed)
+    con.execute(
+        "CREATE TABLE changes AS "
+        "SELECT range AS change_id, 'v' || range::VARCHAR AS payload "
+        "FROM range(0, 100)"
+    )
+    con.close()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            registered.readStream.format("duckdb")
+            .option("path", feed)
+            .option("table", "changes")
+            .option("cursor_column", "change_id")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = registered.read.parquet(out)
+    assert got1.count() == 100
+
+    con = duckdb.connect(feed)
+    con.execute(
+        "INSERT INTO changes "
+        "SELECT range AS change_id, 'v' || range::VARCHAR FROM range(100, 150)"
+    )
+    con.close()
+    run_once()
+    got2 = registered.read.parquet(out)
+    assert got2.count() == 150  # +50 appended, 0-99 NOT re-emitted
+    ids = sorted(r.change_id for r in got2.collect())
+    assert ids == list(range(150))
+
+
+def test_change_feed_requires_cursor_column(registered, tmp_path):
+    feed = str(tmp_path / "nocursor.duckdb")
+    con = duckdb.connect(feed)
+    con.execute("CREATE TABLE t AS SELECT 1 AS a")
+    con.close()
+    with pytest.raises(Exception, match="cursor_column"):
+        (
+            registered.readStream.format("duckdb")
+            .option("path", feed).option("table", "t").load()
+            .writeStream.format("noop").trigger(availableNow=True).start()
+            .awaitTermination(60)
+        )
