@@ -41,6 +41,8 @@ Usage::
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass
 from typing import Iterator, List, Sequence
 
@@ -54,9 +56,11 @@ from pyspark.sql.datasource import (
     InputPartition,
     IsNotNull,
     IsNull,
+    DataSourceArrowWriter,
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -102,6 +106,27 @@ class _Range(InputPartition):
     hi: object = None
 
 
+def _key_ranges(lo, hi, n_parts: int):
+    """[lo, hi] -> n contiguous half-open ranges; first lo / last hi are
+    unbounded so boundary rows and concurrent tail growth are never lost.
+    Integer keys dedupe collapsed bounds (narrow spans yield fewer ranges,
+    never an empty one). Property-tested in tests/test_duckdb_source.py."""
+    if lo is None or hi is None or lo == hi or n_parts <= 1:
+        return [_Range()]
+    span = (hi - lo) / n_parts
+    bounds = [lo + span * i for i in range(1, n_parts)]
+    if isinstance(lo, int):
+        bounds = sorted({int(b) for b in bounds})
+    bounds = [b for b in bounds if lo < b <= hi]
+    ranges = []
+    prev = None
+    for b in bounds:
+        ranges.append(_Range(lo=prev, hi=b))
+        prev = b
+    ranges.append(_Range(lo=prev, hi=None))
+    return ranges
+
+
 class DuckDBDataSource(DataSource):
     """``format("duckdb")`` — see module docstring."""
 
@@ -137,6 +162,9 @@ class DuckDBDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> "DuckDBChangeFeedReader":
         return DuckDBChangeFeedReader(dict(self.options), self._relation_sql(), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "DuckDBWriter":
+        return DuckDBWriter(dict(self.options), schema, overwrite)
 
 
 class DuckDBReader(DataSourceReader):
@@ -192,21 +220,7 @@ class DuckDBReader(DataSourceReader):
             ).fetchone()
         finally:
             con.close()
-        if lo is None or lo == hi:
-            return [_Range()]
-        # numeric stride over [lo, hi]; the last range is unbounded above
-        # so MAX itself (and any concurrent tail growth) is never dropped
-        span = (hi - lo) / self.n_parts
-        bounds = [lo + span * i for i in range(1, self.n_parts)]
-        if isinstance(lo, int):
-            bounds = sorted({int(b) for b in bounds})
-        ranges = []
-        prev = None
-        for b in bounds:
-            ranges.append(_Range(lo=prev, hi=b))
-            prev = b
-        ranges.append(_Range(lo=prev, hi=None))
-        return ranges
+        return _key_ranges(lo, hi, self.n_parts)
 
     # -- per-task read ---------------------------------------------------
     def read(self, partition: _Range):
@@ -355,3 +369,98 @@ class DuckDBChangeFeedReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing retained reader-side; the upstream keeps its rows
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    path: str = ""
+    rows: int = 0
+
+
+class DuckDBWriter(DataSourceArrowWriter):
+    """Two-phase-commit write INTO a DuckDB table (the mart-load analog
+    of the reference's UNLOAD-then-COPY round trip, collapsed to one verb:
+    ``df.write.format("duckdb").mode(...).save()``).
+
+    DuckDB is single-writer, so executors never touch the database:
+
+    - ``write()`` (per task) streams its Arrow batches to ONE staged
+      parquet file named by (task, attempt) — retried/speculative
+      attempts stage distinct files and only the attempt Spark reports
+      as successful contributes its commit message;
+    - ``commit()`` (driver, once, only if every task succeeded) loads
+      exactly the staged files named in the commit messages inside a
+      single DuckDB transaction — append or atomic replace;
+    - ``abort()`` removes the staging directory, leaving the table
+      untouched.
+
+    That makes the write exactly-once end to end: a half-failed job
+    changes nothing, a retried task cannot double-load.
+    """
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.db_path = options["path"]
+        self.table = options.get("table")
+        if not self.table:
+            raise ValueError("writing requires table= (query= is read-only)")
+        self.overwrite = overwrite
+        base = options.get("staging_dir") or (self.db_path + ".staging")
+        import uuid
+
+        self.staging = os.path.join(base, uuid.uuid4().hex)
+
+    def write(self, iterator) -> _StagedFile:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        os.makedirs(self.staging, exist_ok=True)
+        path = os.path.join(
+            self.staging, f"part-{tc.partitionId()}-attempt-{tc.taskAttemptId()}.parquet"
+        )
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(path, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+            if writer is None:  # empty partition: stage an empty marker-free file?
+                return _StagedFile(path="", rows=0)
+        finally:
+            if writer is not None:
+                writer.close()
+        return _StagedFile(path=path, rows=rows)
+
+    def commit(self, messages) -> None:
+        import duckdb
+
+        files = [m.path for m in messages if m is not None and m.path]
+        con = duckdb.connect(self.db_path)
+        try:
+            con.execute("BEGIN")
+            if self.overwrite:
+                con.execute(f'DROP TABLE IF EXISTS "{self.table}"')
+            if files:
+                src = "read_parquet([" + ", ".join(f"'{f}'" for f in files) + "])"
+                exists = con.execute(
+                    "SELECT COUNT(*) FROM information_schema.tables "
+                    "WHERE table_name = ?",
+                    [self.table],
+                ).fetchone()[0]
+                if exists:
+                    con.execute(f'INSERT INTO "{self.table}" SELECT * FROM {src}')
+                else:
+                    con.execute(f'CREATE TABLE "{self.table}" AS SELECT * FROM {src}')
+            con.execute("COMMIT")
+        except Exception:
+            con.execute("ROLLBACK")
+            raise
+        finally:
+            con.close()
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)

@@ -223,3 +223,100 @@ def test_change_feed_requires_cursor_column(registered, tmp_path):
             .writeStream.format("noop").trigger(availableNow=True).start()
             .awaitTermination(60)
         )
+
+
+def test_writer_overwrite_and_append_round_trip(registered, tmp_path):
+    db = str(tmp_path / "mart.duckdb")
+    src = registered.read.parquet(f"{SF}/nation.parquet")
+    src.write.format("duckdb").option("path", db).option("table", "nation").mode(
+        "overwrite"
+    ).save()
+    con = duckdb.connect(db)
+    n1 = con.execute('SELECT COUNT(*) FROM "nation"').fetchone()[0]
+    names = {r[0] for r in con.execute("SELECT n_name FROM nation").fetchall()}
+    con.close()
+    assert n1 == src.count()
+    assert names == {r.n_name for r in src.collect()}
+    # append doubles; overwrite replaces atomically
+    src.write.format("duckdb").option("path", db).option("table", "nation").mode(
+        "append"
+    ).save()
+    src.write.format("duckdb").option("path", db).option("table", "nation2").mode(
+        "append"
+    ).save()  # append to a missing table creates it
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM nation").fetchone()[0] == 2 * n1
+    assert con.execute("SELECT COUNT(*) FROM nation2").fetchone()[0] == n1
+    con.close()
+    src.limit(3).write.format("duckdb").option("path", db).option(
+        "table", "nation"
+    ).mode("overwrite").save()
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM nation").fetchone()[0] == 3
+    con.close()
+
+
+def test_writer_aborts_leave_table_untouched(registered, tmp_path):
+    import os as _os
+
+    db = str(tmp_path / "abort.duckdb")
+    src = registered.read.parquet(f"{SF}/nation.parquet")
+    src.write.format("duckdb").option("path", db).option("table", "t").mode(
+        "overwrite"
+    ).save()
+
+    def poison(batches):
+        from pyspark import TaskContext
+
+        for pdf in batches:
+            if TaskContext.get().partitionId() == 1:
+                raise RuntimeError("injected write-side failure")
+            yield pdf
+
+    bad = src.repartition(4).mapInPandas(poison, src.schema)
+    with pytest.raises(Exception):
+        bad.write.format("duckdb").option("path", db).option("table", "t").mode(
+            "overwrite"
+        ).save()
+    # overwrite never happened: table intact, staging cleaned
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM t").fetchone()[0] == src.count()
+    con.close()
+    staging = db + ".staging"
+    assert not _os.path.isdir(staging) or not any(
+        _os.scandir(staging)
+    ), "staging files must be cleaned on abort"
+
+
+def test_key_ranges_partition_the_keyspace():
+    """Property: for any [lo, hi] and n, the ranges tile the whole key
+    space — first lo and last hi unbounded, adjacent bounds equal, bounds
+    strictly increasing, never an empty range."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis unavailable")
+    from arthur_redshift_etl_spark.sources.duckdb_source import _key_ranges
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        lo=st.integers(-10**9, 10**9),
+        span=st.integers(0, 10**9),
+        n=st.integers(1, 64),
+    )
+    def check(lo, span, n):
+        hi = lo + span
+        ranges = _key_ranges(lo, hi, n)
+        assert ranges[0].lo is None
+        assert ranges[-1].hi is None
+        assert 1 <= len(ranges) <= n
+        for a, b in zip(ranges, ranges[1:]):
+            assert a.hi == b.lo  # contiguous: no gap, no overlap
+            assert a.hi is not None
+        inner = [r.hi for r in ranges[:-1]]
+        assert inner == sorted(set(inner))  # strictly increasing
+        for b in inner:
+            assert lo < b <= hi  # every bound splits the actual key span
+
+    check()
