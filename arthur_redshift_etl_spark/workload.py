@@ -10169,3 +10169,82 @@ def minhash_lsh_recall_eval(spark, sf_dir):
             "precision"
         ),
     )
+
+
+def _duckdb_mirror(sf_dir: str) -> str:
+    """One-time DuckDB mirror of the orders table for the given sf_dir.
+
+    Stands in for a non-JDBC upstream so the Python DataSource extract
+    path runs under the driver's oracle gate with the same inputs as
+    every other entry.  Built once per (sf_dir, pid-independent) cache
+    key; concurrent builders stage to a unique temp name and rename
+    (atomic on the same filesystem), so a half-written mirror is never
+    read.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    import duckdb
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_upstream_{key}.duckdb")
+    if not os.path.exists(path):
+        fd, tmp = tempfile.mkstemp(suffix=".duckdb", dir=tempfile.gettempdir())
+        os.close(fd)
+        os.unlink(tmp)  # duckdb wants to create the file itself
+        con = duckdb.connect(tmp)
+        con.execute(
+            "CREATE TABLE orders AS SELECT * FROM read_parquet(?)",
+            [f"{sf_dir}/orders.parquet"],
+        )
+        con.close()
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            os.unlink(tmp)  # another builder won the race
+    return path
+
+
+@query(
+    "duckdb_source_orders_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS total_price
+    FROM orders
+    WHERE o_totalprice > 1000
+    GROUP BY o_orderstatus
+    """,
+    description=(
+        "Python DataSource extract (format('duckdb'), "
+        "sources/duckdb_source.py) under the oracle gate: a DuckDB "
+        "mirror of orders stands in for a non-JDBC upstream; the read "
+        "plans 4 boundary-query key ranges (one task each, edges "
+        "unbounded), pushes the price predicate into upstream SQL as a "
+        "bind parameter (optimized plan is Filter-free), and streams "
+        "Arrow record batches — the aggregation then runs in Spark.  "
+        "At 100 TB the same shape holds: the upstream prunes and "
+        "partitions, Spark owns the shuffle."
+    ),
+)
+def duckdb_source_orders_by_status(spark, sf_dir):
+    from .sources.duckdb_source import register_duckdb_source
+
+    register_duckdb_source(spark)
+    df = (
+        spark.read.format("duckdb")
+        .option("path", _duckdb_mirror(sf_dir))
+        .option("table", "orders")
+        .option("partition_column", "o_orderkey")
+        .option("num_partitions", "4")
+        .load()
+    )
+    return (
+        df.filter(F.col("o_totalprice") > 1000)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+        )
+    )
