@@ -245,8 +245,21 @@ def cmd_scrub(args) -> int:
 
 
 def cmd_extract(args) -> int:
-    """Print the JDBC extract plan per source relation (no upstream here)."""
+    """Print the extract plan per source relation — or, with
+    --duckdb-path, RUN it against a DuckDB upstream and land parquet
+    under --output-dir/<schema>/<table> (the reference's `arthur.py
+    extract` writ small: plan, pull partition-parallel, write)."""
     from .sources.jdbc import plan_extract
+
+    spark = None
+    if getattr(args, "duckdb_path", None):
+        if not getattr(args, "output_dir", None):
+            print("error: --duckdb-path requires --output-dir", file=sys.stderr)
+            return 2
+        from .sources.duckdb_source import register_duckdb_source
+
+        spark = _spark(args)
+        register_duckdb_source(spark)
 
     for rel in _relations(args, args.patterns):
         if not rel.is_source_relation:
@@ -298,16 +311,32 @@ def cmd_extract(args) -> int:
             )
         else:
             plan = plan_extract(rel.design, use_sampling=args.use_sampling)
-        print(
-            json.dumps(
-                {
-                    "relation": rel.identifier,
-                    "query": plan.query,
-                    "partition_column": plan.partition_column,
-                    "num_partitions": plan.num_partitions,
-                    "boundary_query": plan.boundary_query,
-                }
+        row = {
+            "relation": rel.identifier,
+            "query": plan.query,
+            "partition_column": plan.partition_column,
+            "num_partitions": plan.num_partitions,
+            "boundary_query": plan.boundary_query,
+        }
+        if spark is not None:
+            reader = (
+                spark.read.format("duckdb")
+                .option("path", args.duckdb_path)
+                .option("query", plan.query)
             )
+            if plan.partition_column and plan.num_partitions > 1:
+                reader = reader.option(
+                    "partition_column", plan.partition_column
+                ).option("num_partitions", str(plan.num_partitions))
+            target = os.path.join(
+                args.output_dir, *rel.identifier.split(".", 1)
+            )
+            df = reader.load()
+            df.write.mode("overwrite").parquet(target)
+            row["output"] = target
+            row["rows"] = spark.read.parquet(target).count()
+        print(
+            json.dumps(row)
         )
     return 0
 
@@ -1107,6 +1136,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="how to interpret --last-seen; 'string' stops "
                          "numeric-looking varchar marks ('0050', '1e5') "
                          "being coerced to numbers")
+    sp.add_argument("--duckdb-path",
+                    help="RUN the extract against this DuckDB upstream "
+                         "instead of only printing the plan")
+    sp.add_argument("--output-dir",
+                    help="lake directory for --duckdb-path extracts "
+                         "(<dir>/<schema>/<table> parquet per relation)")
     sp = add("unload", cmd_unload)
     sp.add_argument("--force", action="store_true")
     sp = add("run_query", cmd_run_query, patterns=False)

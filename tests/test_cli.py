@@ -233,3 +233,37 @@ def test_compact_skips_unloaded(design_repo, capsys):
     assert main(["--repo", design_repo, "compact"]) == 0
     out = capsys.readouterr().out
     assert "skipped" in out and "processed" in out
+
+
+def test_extract_runs_against_duckdb_upstream(design_repo, tmp_path, capsys, spark):
+    """extract --duckdb-path: plan, pull partition-parallel, land parquet."""
+    import duckdb
+
+    db = str(tmp_path / "up.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE SCHEMA public")
+    con.execute(
+        "CREATE TABLE public.orders AS "
+        "SELECT * FROM read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    )
+    n_src = con.execute("SELECT COUNT(*) FROM public.orders").fetchone()[0]
+    con.close()
+    outdir = str(tmp_path / "lake")
+    assert main([
+        "--repo", design_repo, "extract",
+        "--duckdb-path", db, "--output-dir", outdir,
+    ]) == 0
+    row = json.loads(
+        next(l for l in capsys.readouterr().out.splitlines() if l.startswith("{"))
+    )
+    assert row["rows"] == n_src
+    assert row["output"] == os.path.join(outdir, "src", "orders")
+    landed = spark.read.parquet(row["output"])
+    assert landed.columns == ["o_orderkey", "o_totalprice"]  # design projection
+    assert landed.count() == n_src
+    assert landed.rdd.getNumPartitions() == 4  # split_by/num_partitions honored
+
+
+def test_extract_duckdb_requires_output_dir(design_repo, capsys):
+    assert main(["--repo", design_repo, "extract", "--duckdb-path", "/nope.db"]) == 2
+    assert "--output-dir" in capsys.readouterr().err
