@@ -2,7 +2,7 @@
 
 Reference parity: ``python/etl/commands.py:340-390`` registers 44
 subcommands; the data-path set reproduced here (SURVEY §2.12):
-initialize, bootstrap_sources/transformations, sync, extract (plan), load,
+initialize, bootstrap_sources/transformations, sync, extract (plan, or run vs a DuckDB upstream), replicate, load,
 upgrade, update, unload, validate, run_query, check_constraints, diff,
 explain,
 show_ddl, show_downstream_dependents, show_upstream_dependencies,
@@ -338,6 +338,51 @@ def cmd_extract(args) -> int:
         print(
             json.dumps(row)
         )
+    return 0
+
+
+def cmd_replicate(args) -> int:
+    """Incrementally replicate an upstream DuckDB table into the lake.
+
+    Cursor-offset change feed (``sources/duckdb_source.py``) ->
+    checkpointed parquet appends: each invocation picks up exactly the
+    rows past the checkpointed cursor and exits (availableNow), so a
+    cron'd `replicate` is an incremental, exactly-once sync — the
+    standing replacement for re-running a full extract per schedule
+    (reference: full Sqoop re-extract per pipeline run).
+    """
+    from .sources.duckdb_source import register_duckdb_source
+
+    spark = _spark(args)
+    register_duckdb_source(spark)
+    stream = (
+        spark.readStream.format("duckdb")
+        .option("path", args.duckdb_path)
+        .option("table", args.table)
+        .option("cursor_column", args.cursor_column)
+        .load()
+    )
+    ckpt = args.checkpoint_dir or (args.target_dir.rstrip("/") + "_checkpoint")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", args.target_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    appended = sum(p.numInputRows for p in q.recentProgress)
+    print(
+        json.dumps(
+            {
+                "table": args.table,
+                "target": args.target_dir,
+                "checkpoint": ckpt,
+                "rows_appended": appended,
+            }
+        )
+    )
     return 0
 
 
@@ -1142,6 +1187,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--output-dir",
                     help="lake directory for --duckdb-path extracts "
                          "(<dir>/<schema>/<table> parquet per relation)")
+    sp = add("replicate", cmd_replicate, patterns=False)
+    sp.add_argument("--duckdb-path", required=True)
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--cursor-column", required=True,
+                    help="strictly-increasing id/event-time column; the "
+                         "checkpoint stores it as the stream offset")
+    sp.add_argument("--target-dir", required=True)
+    sp.add_argument("--checkpoint-dir",
+                    help="default: <target-dir>_checkpoint")
     sp = add("unload", cmd_unload)
     sp.add_argument("--force", action="store_true")
     sp = add("run_query", cmd_run_query, patterns=False)

@@ -267,3 +267,29 @@ def test_extract_runs_against_duckdb_upstream(design_repo, tmp_path, capsys, spa
 def test_extract_duckdb_requires_output_dir(design_repo, capsys):
     assert main(["--repo", design_repo, "extract", "--duckdb-path", "/nope.db"]) == 2
     assert "--output-dir" in capsys.readouterr().err
+
+
+def test_replicate_is_incremental_and_exactly_once(tmp_path, capsys, spark):
+    import duckdb
+
+    db = str(tmp_path / "rep.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE audit AS SELECT range AS seq, 'e' || range::VARCHAR AS msg "
+        "FROM range(0, 40)"
+    )
+    con.close()
+    target = str(tmp_path / "lake" / "audit")
+    argv = ["replicate", "--duckdb-path", db, "--table", "audit",
+            "--cursor-column", "seq", "--target-dir", target]
+    assert main(argv) == 0
+    first = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert first["rows_appended"] == 40
+    con = duckdb.connect(db)
+    con.execute("INSERT INTO audit SELECT range, 'e' || range::VARCHAR FROM range(40, 55)")
+    con.close()
+    assert main(argv) == 0
+    second = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert second["rows_appended"] == 15  # only the delta, never a re-copy
+    landed = spark.read.parquet(target)
+    assert sorted(r.seq for r in landed.collect()) == list(range(55))
