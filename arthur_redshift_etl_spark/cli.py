@@ -319,20 +319,14 @@ def cmd_extract(args) -> int:
             "boundary_query": plan.boundary_query,
         }
         if spark is not None:
-            reader = (
-                spark.read.format("duckdb")
-                .option("path", args.duckdb_path)
-                .option("query", plan.query)
-            )
-            if plan.partition_column and plan.num_partitions > 1:
-                reader = reader.option(
-                    "partition_column", plan.partition_column
-                ).option("num_partitions", str(plan.num_partitions))
+            from .sources.duckdb_source import read_plan
+
             target = os.path.join(
                 args.output_dir, *rel.identifier.split(".", 1)
             )
-            df = reader.load()
-            df.write.mode("overwrite").parquet(target)
+            read_plan(spark, args.duckdb_path, plan).write.mode(
+                "overwrite"
+            ).parquet(target)
             row["output"] = target
             row["rows"] = spark.read.parquet(target).count()
         print(

@@ -255,6 +255,27 @@ def register_duckdb_source(spark) -> None:
     spark.dataSource.register(DuckDBDataSource)
 
 
+def read_plan(spark, path: str, plan):
+    """Execute a ``JdbcExtractPlan`` through ``format("duckdb")``.
+
+    The single plan→reader translation used by both :func:`extract_design`
+    and the CLI's ``extract --duckdb-path``.  Expression split keys (the
+    temporal-PK case: ``find_partition_key`` wraps date/timestamp keys in
+    a Spark-only ``CAST(unix_timestamp(...))``) can't be quoted as an
+    upstream column, so those plans fall back to a single-range read —
+    the same ``"(" not in key`` guard the sampling planner applies.
+    """
+    register_duckdb_source(spark)
+    r = spark.read.format("duckdb").option("path", path).option("query", plan.query)
+    key = plan.partition_column
+    if key and "(" not in key and plan.num_partitions > 1:
+        r = (
+            r.option("partition_column", key)
+            .option("num_partitions", str(plan.num_partitions))
+        )
+    return r.load()
+
+
 def extract_design(spark, design, path: str, use_sampling: bool = False,
                    table_size_bytes: int | None = None):
     """Design-driven extract through ``format("duckdb")``.
@@ -263,25 +284,16 @@ def extract_design(spark, design, path: str, use_sampling: bool = False,
     (``sources/jdbc.plan_extract``: projection + per-column cast
     expressions, WHERE condition, sampling key, split-by column and the
     multiple-of-4 partition-count heuristic) executed against a DuckDB
-    upstream — one designs file drives either transport.  The split
-    column must be in the design's projection (it is, by construction:
-    ``find_partition_key`` picks from the design's own columns).
+    upstream — one designs file drives either transport.
     """
     from .jdbc import FALLBACK_TABLE_SIZE, plan_extract
 
-    register_duckdb_source(spark)
     plan = plan_extract(
         design,
         table_size_bytes=table_size_bytes or FALLBACK_TABLE_SIZE,
         use_sampling=use_sampling,
     )
-    r = spark.read.format("duckdb").option("path", path).option("query", plan.query)
-    if plan.partition_column and plan.num_partitions > 1:
-        r = (
-            r.option("partition_column", plan.partition_column)
-            .option("num_partitions", str(plan.num_partitions))
-        )
-    return r.load()
+    return read_plan(spark, path, plan)
 
 
 class DuckDBChangeFeedReader(SimpleDataSourceStreamReader):
@@ -352,12 +364,23 @@ class DuckDBChangeFeedReader(SimpleDataSourceStreamReader):
         lo = start["cursor"]
         con = _connect(self.path)
         try:
-            (hi,) = con.execute(
-                f'SELECT MAX("{self.cursor}") FROM {self.relation}'
-            ).fetchone()
+            # typed comparison in SQL (not str() compare in Python): when
+            # the table's MAX is at or below the consumed cursor — e.g. a
+            # start_cursor set past current data — the offset must NOT
+            # move backwards, or "skipped history" arriving later leaks out
+            if lo:
+                (hi,) = con.execute(
+                    f'SELECT MAX("{self.cursor}") FROM {self.relation} '
+                    f'WHERE "{self.cursor}" > ?{self._cast}',
+                    [lo],
+                ).fetchone()
+            else:
+                (hi,) = con.execute(
+                    f'SELECT MAX("{self.cursor}") FROM {self.relation}'
+                ).fetchone()
         finally:
             con.close()
-        if hi is None or (lo and str(hi) == lo):
+        if hi is None:
             return iter(()), start
         rows = self._fetch(lo, str(hi))
         return iter(rows), {"cursor": str(hi)}
@@ -400,6 +423,7 @@ class DuckDBWriter(DataSourceArrowWriter):
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         self.db_path = options["path"]
+        self.schema = schema
         self.table = options.get("table")
         if not self.table:
             raise ValueError("writing requires table= (query= is read-only)")
@@ -427,8 +451,16 @@ class DuckDBWriter(DataSourceArrowWriter):
                     writer = pq.ParquetWriter(path, batch.schema)
                 writer.write_batch(batch)
                 rows += batch.num_rows
-            if writer is None:  # empty partition: stage an empty marker-free file?
-                return _StagedFile(path="", rows=0)
+            if writer is None:
+                # empty partition: stage a zero-row file carrying the
+                # schema, so an overwrite of an empty DataFrame still
+                # CREATEs an empty table (Spark overwrite semantics)
+                # instead of dropping the target and loading nothing
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                arrow_schema = to_arrow_schema(self.schema)
+                pq.write_table(arrow_schema.empty_table(), path)
+                return _StagedFile(path=path, rows=0)
         finally:
             if writer is not None:
                 writer.close()
@@ -445,9 +477,12 @@ class DuckDBWriter(DataSourceArrowWriter):
                 con.execute(f'DROP TABLE IF EXISTS "{self.table}"')
             if files:
                 src = "read_parquet([" + ", ".join(f"'{f}'" for f in files) + "])"
+                # scope to the schema unqualified names resolve in — a
+                # same-named table in another schema must not divert the
+                # append into an INSERT against a non-existent main.<table>
                 exists = con.execute(
                     "SELECT COUNT(*) FROM information_schema.tables "
-                    "WHERE table_name = ?",
+                    "WHERE table_name = ? AND table_schema = current_schema()",
                     [self.table],
                 ).fetchone()[0]
                 if exists:
@@ -463,4 +498,17 @@ class DuckDBWriter(DataSourceArrowWriter):
         shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages) -> None:
+        # in-flight sibling tasks may land a staged file AFTER the first
+        # rmtree (Spark calls abort while zombie tasks can still be
+        # draining) — poll until the directory stays gone for one grace
+        # interval so the abandoned write leaves no litter behind
+        import time
+
+        deadline = time.time() + 10
+        while True:
+            shutil.rmtree(self.staging, ignore_errors=True)
+            time.sleep(0.2)
+            gone = not os.path.isdir(self.staging) or not os.listdir(self.staging)
+            if gone or time.time() > deadline:
+                break
         shutil.rmtree(self.staging, ignore_errors=True)

@@ -83,6 +83,11 @@ def interval_join_streams(
             f"(got {left_ts!r} twice) — rename one side first"
         )
     keys = [on] if isinstance(on, str) else list(on)
+    if right_ts in left.columns:
+        raise ValueError(
+            f"right_ts {right_ts!r} also names a left column — the output "
+            "would carry two identically-named timestamps; rename one side"
+        )
 
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -109,8 +114,17 @@ def interval_join_streams(
     cond = time_cond if cond is None else (cond & time_cond)
 
     joined = l.join(r, cond, how)
-    # drop the duplicated key columns from the right side
-    out_cols = [F.col(f"l.{c}") for c in lw.columns]
+    # one copy of each join key in the output: for modes where the LEFT
+    # side can be the null-padded one, coalesce so an unmatched right
+    # row still carries its key (otherwise the consumer can't tell which
+    # key the event belonged to)
+    right_padded_modes = {"rightOuter", "fullOuter"}
+    out_cols = []
+    for c in lw.columns:
+        if c in keys and how in right_padded_modes:
+            out_cols.append(F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")).alias(c))
+        else:
+            out_cols.append(F.col(f"l.{c}"))
     out_cols += [F.col(f"r.{c}") for c in rw.columns if c not in keys]
     return joined.select(*out_cols)
 

@@ -217,12 +217,15 @@ def main() -> int:
         # stream-stream interval join: BOTH sides buffered in state for
         # watermark+horizon (~40s x rate rows per side here).  2M users
         # bounds the match fan-out to ~1 per touch so the measurement is
-        # join/state cost, not output amplification.
+        # join/state cost, not output amplification.  user_id derives from
+        # event_id // 2 so the adjacent view/purchase pair shares a user —
+        # a plain modulo of the even/odd-split id would give the two event
+        # types disjoint user sets and the join would never emit a row.
         "interval_join": (
             "append",
             lambda ev: attribution_join_stream(
                 ev.withColumn(
-                    "user_id", F.col("event_id") % 2_000_000
+                    "user_id", (F.col("event_id") / 2).cast("long") % 2_000_000
                 ).withColumn(
                     "event_type",
                     F.when(F.col("event_id") % 2 == 0, F.lit("view")).otherwise(

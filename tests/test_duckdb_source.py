@@ -320,3 +320,105 @@ def test_key_ranges_partition_the_keyspace():
             assert lo < b <= hi  # every bound splits the actual key span
 
     check()
+
+
+def test_writer_overwrite_with_empty_dataframe_keeps_empty_table(registered, tmp_path):
+    db = str(tmp_path / "empty.duckdb")
+    src = registered.read.parquet(f"{SF}/nation.parquet")
+    src.write.format("duckdb").option("path", db).option("table", "t").mode(
+        "overwrite"
+    ).save()
+    # overwrite with 0 rows must leave an EMPTY table with the schema,
+    # not silently drop the target
+    src.filter("1 = 0").write.format("duckdb").option("path", db).option(
+        "table", "t"
+    ).mode("overwrite").save()
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM t").fetchone()[0] == 0
+    cols = [r[0] for r in con.execute("DESCRIBE t").fetchall()]
+    con.close()
+    assert cols == src.columns
+
+
+def test_writer_append_unqualified_ignores_other_schemas(registered, tmp_path):
+    db = str(tmp_path / "schemas.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE SCHEMA s")
+    con.execute("CREATE TABLE s.nation AS SELECT 1 AS x")  # decoy
+    con.close()
+    src = registered.read.parquet(f"{SF}/nation.parquet")
+    src.write.format("duckdb").option("path", db).option("table", "nation").mode(
+        "append"
+    ).save()
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM main.nation").fetchone()[0] == src.count()
+    assert con.execute("SELECT COUNT(*) FROM s.nation").fetchone()[0] == 1
+    con.close()
+
+
+def test_change_feed_start_cursor_never_rewinds(registered, tmp_path):
+    """start_cursor past current data: the offset must hold, and rows
+    arriving BELOW it later must stay skipped."""
+    feed = str(tmp_path / "skip.duckdb")
+    con = duckdb.connect(feed)
+    con.execute(
+        "CREATE TABLE changes AS SELECT range AS change_id, 'v' AS payload "
+        "FROM range(0, 500)"
+    )
+    con.close()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            registered.readStream.format("duckdb")
+            .option("path", feed)
+            .option("table", "changes")
+            .option("cursor_column", "change_id")
+            .option("start_cursor", "1000")  # beyond current max (499)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # nothing past 1000 yet -> no output, offset must NOT drop to 499
+    con = duckdb.connect(feed)
+    con.execute("INSERT INTO changes SELECT range, 'v' FROM range(500, 1200)")
+    con.close()
+    run_once()
+    import os as _os
+
+    landed = (
+        registered.read.parquet(out)
+        if _os.path.isdir(out) and any(f.endswith(".parquet") for _, _, fs in _os.walk(out) for f in fs)
+        else None
+    )
+    assert landed is not None, "rows past start_cursor must be emitted"
+    ids = sorted(r.change_id for r in landed.collect())
+    assert ids == list(range(1001, 1200))  # skipped history stays skipped
+
+
+def test_read_plan_expression_split_key_falls_back_single_range(registered, duck_path):
+    """A temporal PK makes find_partition_key return a Spark-only CAST
+    expression; the duckdb transport must fall back to one range instead
+    of quoting the expression as an upstream column."""
+    from arthur_redshift_etl_spark.sources.jdbc import JdbcExtractPlan
+    from arthur_redshift_etl_spark.sources.duckdb_source import read_plan
+
+    plan = JdbcExtractPlan(
+        query="SELECT o_orderkey, o_totalprice FROM orders",
+        partition_column="CAST(unix_timestamp(o_orderdate) AS BIGINT)",
+        num_partitions=4,
+        boundary_query=None,
+    )
+    df = read_plan(registered, duck_path, plan)
+    assert df.rdd.getNumPartitions() == 1  # safe fallback, no binder error
+    ref = registered.read.parquet(f"{SF}/orders.parquet")
+    assert df.count() == ref.count()

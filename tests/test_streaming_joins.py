@@ -260,3 +260,49 @@ def test_interval_join_prefixes_colliding_columns(spark, stream_dir):
         watermark="40 days", upper=f"{HORIZON}",
     )
     assert out.columns == ["user_id", "touch_ts", "value", "convert_ts", "r_value"]
+
+
+def test_right_outer_keeps_keys_of_unmatched_right_rows(spark, ordered_stream_dir):
+    # ordered files + sentinel advancers let the watermark pass every real
+    # conversion so unmatched right rows actually flush (same mechanics as
+    # the leftOuter test)
+    stream = read_event_stream(spark, ordered_stream_dir, max_files_per_trigger=1)
+    out = attribution_join_stream(
+        stream, horizon=HORIZON, watermark="1 hour", how="rightOuter"
+    )
+    q = run_to_memory(out, "attr_router_sink", "append")
+    q.awaitTermination(240)
+    got = spark.table("attr_router_sink").filter(
+        "user_id >= 0 OR user_id IS NULL"
+    )
+    # the key-coalesce fix: every conversion row carries its user_id even
+    # when no touch matched (pre-fix: unmatched rows had user_id NULL)
+    assert got.filter("user_id IS NULL").count() == 0
+    got = got.filter("user_id >= 0")
+    unmatched = got.filter("touch_event_id IS NULL")
+    assert unmatched.count() > 0
+    matched_converts = (
+        _batch_attribution(_events(spark), "inner")
+        .select("convert_event_id").distinct()
+    )
+    all_converts = (
+        _events(spark).filter("event_type = 'purchase'")
+        .select(F.col("event_id").alias("convert_event_id"))
+    )
+    expect_n = all_converts.join(
+        matched_converts, "convert_event_id", "left_anti"
+    ).count()
+    assert unmatched.count() == expect_n
+
+
+def test_right_ts_colliding_with_left_column_rejected(spark):
+    left = spark.range(1).select(
+        F.col("id").alias("k"),
+        F.current_timestamp().alias("l_ts"),
+        F.current_timestamp().alias("r_ts"),  # collides with right's ts name
+    )
+    right = spark.range(1).select(
+        F.col("id").alias("k"), F.current_timestamp().alias("r_ts")
+    )
+    with pytest.raises(ValueError, match="also names a left column"):
+        interval_join_streams(left, right, on="k", left_ts="l_ts", right_ts="r_ts")
