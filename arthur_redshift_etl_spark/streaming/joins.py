@@ -107,8 +107,9 @@ def interval_join_streams(
     for k in keys:
         eq = F.col(f"l.{k}") == F.col(f"r.{k}")
         cond = eq if cond is None else (cond & eq)
-    lo = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {_iv(lower)}")
-    hi = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {_iv(upper)}")
+    # SQL interval syntax accepts a signed magnitude ("INTERVAL -5 minutes")
+    lo = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower.strip()}")
+    hi = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper.strip()}")
     rts = F.col(f"r.{right_ts}")
     time_cond = (rts >= lo) & (rts <= hi)
     cond = time_cond if cond is None else (cond & time_cond)
@@ -127,15 +128,6 @@ def interval_join_streams(
             out_cols.append(F.col(f"l.{c}"))
     out_cols += [F.col(f"r.{c}") for c in rw.columns if c not in keys]
     return joined.select(*out_cols)
-
-
-def _iv(spec: str) -> str:
-    """'30 minutes' -> '30 minutes' usable inside INTERVAL (strip sign fix).
-
-    Accepts a leading '-' on the magnitude ("-5 minutes") which SQL
-    INTERVAL syntax handles as ``INTERVAL -5 minutes``.
-    """
-    return spec.strip()
 
 
 def attribution_join_stream(
