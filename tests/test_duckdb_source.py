@@ -422,3 +422,65 @@ def test_read_plan_expression_split_key_falls_back_single_range(registered, duck
     assert df.rdd.getNumPartitions() == 1  # safe fallback, no binder error
     ref = registered.read.parquet(f"{SF}/orders.parquet")
     assert df.count() == ref.count()
+
+
+def test_change_feed_protocol_property_no_loss_no_dup(tmp_path):
+    """Drive the reader protocol directly (no Spark): random interleavings
+    of upstream appends and read() calls must deliver every row exactly
+    once, with offsets that never move backwards."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis unavailable")
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from arthur_redshift_etl_spark.sources.duckdb_source import (
+        DuckDBChangeFeedReader,
+    )
+
+    schema = StructType(
+        [StructField("seq", LongType()), StructField("msg", StringType())]
+    )
+    counter = iter(range(10**6))
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        batches=st.lists(st.integers(0, 20), min_size=1, max_size=8),
+        reads_between=st.lists(st.booleans(), min_size=1, max_size=8),
+    )
+    def check(batches, reads_between):
+        db = str(tmp_path / f"prop-{next(counter)}.duckdb")
+        con = duckdb.connect(db)
+        con.execute("CREATE TABLE t (seq BIGINT, msg VARCHAR)")
+        con.close()
+        reader = DuckDBChangeFeedReader(
+            {"path": db, "cursor_column": "seq"}, "t", schema
+        )
+        offset = reader.initialOffset()
+        seen, appended = [], 0
+        for i, n in enumerate(batches):
+            con = duckdb.connect(db)
+            con.execute(
+                "INSERT INTO t SELECT range, 'm' FROM range(?, ?)",
+                [appended, appended + n],
+            )
+            con.close()
+            appended += n
+            do_read = reads_between[i % len(reads_between)]
+            if do_read:
+                rows, new_offset = reader.read(offset)
+                rows = list(rows)
+                # offset never rewinds (string-encoded ints compare by value)
+                if offset["cursor"] and new_offset["cursor"]:
+                    assert int(new_offset["cursor"]) >= int(offset["cursor"])
+                # replay determinism: same bounds -> same rows
+                replay = list(reader.readBetweenOffsets(offset, new_offset))
+                assert sorted(r[0] for r in replay) == sorted(r[0] for r in rows)
+                seen.extend(r[0] for r in rows)
+                offset = new_offset
+        rows, offset = reader.read(offset)  # final drain
+        seen.extend(r[0] for r in rows)
+        assert sorted(seen) == list(range(appended))  # exactly once, no gaps
+
+    check()
