@@ -228,6 +228,80 @@ def global_running_sum(
     return out, acc
 
 
+def global_running_max(
+    df: DataFrame,
+    order_by: Sequence[str],
+    value_col: str,
+    max_column: str = "__gmax",
+    exclusive: bool = False,
+) -> DataFrame:
+    """Exact global running max of ``value_col`` over ``order_by`` — no
+    single-task window.
+
+    Same two-phase shape as :func:`global_running_sum` (max is associative,
+    so the driver-side prefix combine over per-partition TOTALS — K numbers,
+    never row data — is exact): range-repartition for a globally ordered
+    layout, per-partition prefix max via a window keyed by partition id,
+    then lift with the greatest of all earlier partitions' maxes.
+
+    ``exclusive=True`` yields the strict-prefix max (all rows BEFORE the
+    current one in ``order_by`` order); the first global row gets NULL.
+    That is the skyline/Pareto primitive: a point is dominated exactly when
+    the exclusive prefix max over the other dimension reaches it.
+
+    Integer values only (NULL-free long column; the driver combine uses
+    Python ints).  Same cross-job hazard as :func:`global_row_number`: the
+    per-partition offsets are baked constants, so the layout is pinned with
+    an eager ``localCheckpoint`` before the totals job.
+    """
+    keys = [F.col(c) for c in order_by]
+    ordered = (
+        df.repartitionByRange(*keys)
+        .sortWithinPartitions(*keys)
+        .localCheckpoint(eager=True)
+    )
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    totals = {
+        r["__pid"]: r["m"]
+        for r in with_pid.groupBy("__pid")
+        .agg(F.max(value_col).cast("long").alias("m"))
+        .collect()
+    }
+    if not totals:
+        return df.withColumn(max_column, F.lit(None).cast("long"))
+    offsets: dict = {}
+    running: Optional[int] = None
+    for pid in sorted(totals):
+        offsets[pid] = running  # max over all EARLIER partitions
+        if totals[pid] is not None:
+            running = totals[pid] if running is None else max(running, totals[pid])
+    offset_col = F.create_map(
+        *[
+            item
+            for pid, off in offsets.items()
+            for item in (F.lit(pid), F.lit(off).cast("long"))
+        ]
+    )
+    end = -1 if exclusive else Window.currentRow
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    out = (
+        with_pid.withColumn("__lmax", F.max(value_col).over(w))
+        .withColumn(
+            max_column,
+            F.greatest(
+                offset_col[F.col("__pid")],
+                F.col("__lmax").cast("long"),
+            ),
+        )
+        .drop("__pid", "__lmax")
+    )
+    return out
+
+
 def with_identity(
     df: DataFrame,
     identity_column: str,

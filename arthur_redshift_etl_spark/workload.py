@@ -10248,3 +10248,240 @@ def duckdb_source_orders_by_status(spark, sf_dir):
             F.sum("o_totalprice").cast("decimal(18,2)").alias("total_price"),
         )
     )
+
+
+# Packed event-sweep base: start counts ride the high bits, end counts the
+# low bits of one int64 running sum.  Needs n_intervals < PEAK_PACK_BASE
+# (2^31 user-day intervals ~ 2.1e9); a sizing count switches to the exact
+# two-pass fallback beyond it.  Module-level so tests can shrink it.
+PEAK_PACK_BASE = 1 << 31
+
+
+@query(
+    "peak_concurrent_sessions",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(ts) AS s, MAX(ts) AS e
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    d AS (
+      SELECT ts, CAST(SUM(ds) AS BIGINT) AS s_here,
+             CAST(SUM(de) AS BIGINT) AS e_here
+      FROM (
+        SELECT s AS ts, 1 AS ds, 0 AS de FROM iv
+        UNION ALL
+        SELECT e AS ts, 0 AS ds, 1 AS de FROM iv
+      ) GROUP BY ts
+    ),
+    cum AS (
+      SELECT ts, e_here,
+             SUM(s_here) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING)
+               AS cum_s,
+             SUM(e_here) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING)
+               AS cum_e
+      FROM d
+    ),
+    conc AS (
+      SELECT ts, CAST(cum_s - cum_e + e_here AS BIGINT) AS c FROM cum
+    )
+    SELECT CAST((SELECT COUNT(*) FROM iv) AS BIGINT) AS n_intervals,
+           CAST(MAX(c) AS BIGINT) AS peak_concurrency,
+           MIN(ts) FILTER (WHERE c = (SELECT MAX(c) FROM conc))
+             AS peak_at
+    FROM conc
+    """,
+    description=(
+        "peak concurrency over user-day activity intervals (events -> "
+        "[first ts, last ts] per user per day; max number of intervals "
+        "covering any instant, END-INCLUSIVE) — the capacity-planning / "
+        "connection-pool-sizing sweep-line.  The classic SQL shape is a "
+        "global window over the event sweep (one-task sort at scale); "
+        "here the +1/-1 deltas are grouped per distinct timestamp, the "
+        "start and end counts PACK into one int64 (s*2^31+e — running "
+        "sums distribute over the packing, same trick as the KS entry), "
+        "and ONE pass of the pinned distributed running sum yields both "
+        "CDFs; end-inclusive concurrency at t is cum_s - cum_e + "
+        "ends_at(t), all integer-exact.  Peak + EARLIEST instant at the "
+        "peak come from a single struct-max aggregate (no second sort). "
+        "Sizing: packed path needs < 2^31 intervals; the driver-side "
+        "interval count (already needed for the output) switches to an "
+        "exact two-pass fallback (one running sum per delta kind) "
+        "beyond that.  Plan: one agg to intervals, one agg to distinct "
+        "sweep instants, the checkpointed range running sum, a 1-row "
+        "max — no single-task window anywhere"
+    ),
+)
+def peak_concurrent_sessions(spark, sf_dir):
+    from .operators.identity import global_running_sum
+
+    ev = t(spark, sf_dir, "events")
+    iv = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    deltas = iv.select(
+        F.col("s").alias("ts"), F.lit(1).alias("ds"), F.lit(0).alias("de")
+    ).unionAll(
+        iv.select(
+            F.col("e").alias("ts"), F.lit(0).alias("ds"), F.lit(1).alias("de")
+        )
+    )
+    d = deltas.groupBy("ts").agg(
+        F.sum("ds").cast("long").alias("s_here"),
+        F.sum("de").cast("long").alias("e_here"),
+    )
+    # sizing count (also the output's n_intervals): picks packed vs two-pass
+    n_intervals = iv.count()
+    if n_intervals < PEAK_PACK_BASE:
+        packed = d.withColumn(
+            "packed",
+            F.col("s_here") * F.lit(PEAK_PACK_BASE).cast("long")
+            + F.col("e_here"),
+        )
+        cum, _ = global_running_sum(packed, ["ts"], "packed", "cum_packed")
+        cum = cum.select(
+            "ts",
+            "e_here",
+            F.expr(f"cum_packed div {PEAK_PACK_BASE}").cast("long").alias(
+                "cum_s"
+            ),
+            (F.col("cum_packed") % F.lit(PEAK_PACK_BASE))
+            .cast("long")
+            .alias("cum_e"),
+        )
+    else:  # pragma: no cover - exercised by the shrunk-base unit test
+        cum1, _ = global_running_sum(d, ["ts"], "s_here", "cum_s")
+        cum, _ = global_running_sum(cum1, ["ts"], "e_here", "cum_e")
+    conc = cum.withColumn(
+        "c", (F.col("cum_s") - F.col("cum_e") + F.col("e_here")).cast("long")
+    )
+    # struct-MIN picks the max concurrency (negated count leads the
+    # struct), then — ties — the EARLIEST instant; the timestamp rides the
+    # struct unconverted, so the output type matches the source column
+    best = F.min(F.struct((-F.col("c")).alias("negc"), F.col("ts")))
+    return conc.agg(
+        F.lit(n_intervals).cast("long").alias("n_intervals"),
+        (-best.getField("negc")).cast("long").alias("peak_concurrency"),
+        best.getField("ts").alias("peak_at"),
+    )
+
+
+@query(
+    "pareto_frontier_docs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      FROM documents
+    ),
+    g AS (SELECT n_chars, MAX(tokens) AS tmax FROM d GROUP BY n_chars),
+    r AS (
+      SELECT n_chars, tmax,
+             MAX(tmax) OVER (ORDER BY n_chars ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS m
+      FROM g
+    )
+    SELECT a.doc_id, a.n_chars, a.tokens
+    FROM d a JOIN r ON a.n_chars = r.n_chars AND a.tokens = r.tmax
+    WHERE r.m IS NULL OR r.tmax > r.m
+    """,
+    description=(
+        "Pareto frontier (skyline) of documents MINIMIZING length "
+        "(n_chars) while MAXIMIZING token count — the token-density "
+        "data-selection shape ('no other doc is at most as long AND at "
+        "least as token-rich, strictly better in one') behind "
+        "quality-vs-cost corpus curation; the anti-correlated objective "
+        "pair yields a real multi-point frontier.  The "
+        "naive skyline is an all-pairs dominance anti-join (corpus^2); "
+        "this is the sort-based O(n log n) reduction: group to per-"
+        "n_chars max tokens, one EXCLUSIVE running max over n_chars "
+        "ascending (the pinned two-phase range machinery — "
+        "global_running_max, no single-task window), and a point "
+        "survives iff its tokens exceed every strictly-shorter group's "
+        "best (ties at the same (n_chars, tokens) all survive: identical "
+        "points do not dominate each other).  Equivalence to the "
+        "dominance definition is case-split in the oracle comment; the "
+        "frontier-groups table (<= distinct n_chars rows) broadcasts "
+        "back onto the doc scan, so the only data-scaled shuffles are "
+        "one partial agg and the range repartition of the GROUPED table "
+        "(distinct n_chars, not docs)"
+    ),
+)
+def pareto_frontier_docs(spark, sf_dir):
+    from .operators.identity import global_running_max
+    from .plans.broadcast import broadcast_within_budget
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("tokens"),
+    )
+    g = docs.groupBy("n_chars").agg(F.max("tokens").alias("tmax"))
+    # ascending n_chars: the exclusive prefix covers STRICTLY SHORTER
+    # groups only, so a point survives iff no shorter-or-equal doc has
+    # at least its tokens (equal-length handled by the per-group max)
+    r = global_running_max(g, ["n_chars"], "tmax", "m", exclusive=True)
+    frontier_groups = (
+        r.filter(F.col("m").isNull() | (F.col("tmax") > F.col("m")))
+        .select(
+            F.col("n_chars").alias("__f_chars"), F.col("tmax").alias("__f_tmax")
+        )
+    )
+    n_groups = frontier_groups.count()
+    return docs.join(
+        broadcast_within_budget(frontier_groups, n_groups),
+        (F.col("n_chars") == F.col("__f_chars"))
+        & (F.col("tokens") == F.col("__f_tmax")),
+    ).select("doc_id", "n_chars", "tokens")
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH v AS (
+      SELECT l_extendedprice AS val,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_extendedprice
+    ),
+    c AS (
+      SELECT val,
+             SUM(w) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cumw
+      FROM v
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM v)
+    SELECT MIN(CASE WHEN 2 * cumw >= tot.wtot THEN val END)
+             AS weighted_median,
+           tot.wtot AS total_weight
+    FROM c CROSS JOIN tot GROUP BY tot.wtot
+    """,
+    description=(
+        "quantity-weighted median of the line-item price (lower weighted "
+        "median: smallest value whose cumulative weight reaches half the "
+        "total) — the robust center for 'price per unit actually sold' "
+        "that the unweighted median and the mean both misstate.  Exact "
+        "and engine-independent: weights are integral quantities summed "
+        "as BIGINT per distinct price, ONE pass of the pinned "
+        "distributed running sum (range repartition of the GROUPED "
+        "value table, per-partition prefix + driver metadata prefix — "
+        "no single-task window) gives the cumulative weights, and the "
+        "crossing rule 2*cumw >= W never leaves integers; the median "
+        "itself is an actual data value (PERCENTILE_DISC convention), "
+        "so no float interpolation exists to disagree on.  Generalizes "
+        "to any weighted quantile by replacing the factor 2"
+    ),
+)
+def weighted_median_price(spark, sf_dir):
+    from .operators.identity import global_running_sum
+
+    li = t(spark, sf_dir, "lineitem")
+    v = li.groupBy(F.col("l_extendedprice").alias("val")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w")
+    )
+    cum, wtot = global_running_sum(v, ["val"], "w", "cumw")
+    return cum.agg(
+        F.min(
+            F.when(F.lit(2) * F.col("cumw") >= F.lit(wtot), F.col("val"))
+        ).alias("weighted_median"),
+        F.lit(wtot).cast("long").alias("total_weight"),
+    )

@@ -323,3 +323,132 @@ def test_global_running_sum_matches_naive(spark):
     empty = spark.createDataFrame([], "k long, v long")
     out_e, total_e = global_running_sum(empty, ["k"], "v")
     assert total_e == 0 and out_e.count() == 0
+
+
+def test_global_running_max_matches_naive(spark):
+    import random
+
+    from arthur_redshift_etl_spark.operators.identity import global_running_max
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(-40, 40)) for i in range(400)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long").repartition(8)
+
+    out = global_running_max(df, ["k"], "v", max_column="rm")
+    got = {r["k"]: r["rm"] for r in out.collect()}
+    best = None
+    for k, v in sorted(rows):
+        best = v if best is None else max(best, v)
+        assert got[k] == best, (k, got[k], best)
+
+    out_x = global_running_max(df, ["k"], "v", max_column="rm", exclusive=True)
+    got_x = {r["k"]: r["rm"] for r in out_x.collect()}
+    best = None
+    for k, v in sorted(rows):
+        assert got_x[k] == best, (k, got_x[k], best)  # first row: NULL
+        best = v if best is None else max(best, v)
+
+    empty = spark.createDataFrame([], "k long, v long")
+    assert global_running_max(empty, ["k"], "v").count() == 0
+
+
+def test_pareto_frontier_equals_bruteforce_dominance(spark):
+    """The sort-based skyline must equal the all-pairs dominance definition
+    (minimize n_chars, maximize tokens; strict in at least one dim)."""
+    import random
+
+    from arthur_redshift_etl_spark.operators.identity import global_running_max
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    pts = [
+        (i, rng.randint(1, 30), rng.randint(1, 30)) for i in range(300)
+    ]  # (id, n_chars, tokens) with many ties
+    df = spark.createDataFrame(pts, "doc_id long, n_chars long, tokens long")
+    g = df.groupBy("n_chars").agg(F.max("tokens").alias("tmax"))
+    r = global_running_max(g, ["n_chars"], "tmax", "m", exclusive=True)
+    fr = r.filter(F.col("m").isNull() | (F.col("tmax") > F.col("m"))).select(
+        F.col("n_chars").alias("fc"), F.col("tmax").alias("ft")
+    )
+    got = {
+        r["doc_id"]
+        for r in df.join(
+            fr,
+            (F.col("n_chars") == F.col("fc")) & (F.col("tokens") == F.col("ft")),
+        ).collect()
+    }
+    want = {
+        i
+        for (i, c, t) in pts
+        if not any(
+            c2 <= c and t2 >= t and (c2 < c or t2 > t) for (_, c2, t2) in pts
+        )
+    }
+    assert got == want
+
+
+def test_peak_concurrency_two_pass_fallback_matches_packed(spark, monkeypatch):
+    """Shrinking PEAK_PACK_BASE forces the two-running-sum fallback; both
+    paths must agree with each other (and the packed path with a naive
+    sweep) on the same data."""
+    from arthur_redshift_etl_spark import workload
+
+    sf = "/root/testdata/sf0.001"
+    packed = workload.peak_concurrent_sessions(spark, sf).collect()[0]
+
+    monkeypatch.setattr(workload, "PEAK_PACK_BASE", 1)
+    fallback = workload.peak_concurrent_sessions(spark, sf).collect()[0]
+    assert packed == fallback
+
+    # naive sweep on the driver (sf0.001 is tiny)
+    ev = workload.t(spark, sf, "events").select("user_id", "ts").collect()
+    iv = {}
+    for r in ev:
+        key = (r["user_id"], r["ts"].date())
+        s, e = iv.get(key, (r["ts"], r["ts"]))
+        iv[key] = (min(s, r["ts"]), max(e, r["ts"]))
+    deltas = {}
+    for s, e in iv.values():
+        a, b = deltas.get(s, (0, 0)); deltas[s] = (a + 1, b)
+        a, b = deltas.get(e, (0, 0)); deltas[e] = (a, b + 1)
+    cum_s = cum_e = 0
+    best = (-1, None)
+    for ts in sorted(deltas):
+        s_here, e_here = deltas[ts]
+        cum_s += s_here
+        cum_e += e_here
+        c = cum_s - cum_e + e_here
+        if c > best[0]:
+            best = (c, ts)
+    assert packed["n_intervals"] == len(iv)
+    assert packed["peak_concurrency"] == best[0]
+    assert packed["peak_at"] == best[1]
+
+
+def test_weighted_median_known_answer(spark, monkeypatch):
+    """Hand-checkable weighted median: values 1..4 with weights 1,1,1,7 ->
+    total 10, first value whose 2*cum >= 10 is 4."""
+    from arthur_redshift_etl_spark.operators.identity import global_running_sum
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 1), (4.0, 7)], "val double, w long"
+    )
+    cum, wtot = global_running_sum(df, ["val"], "w", "cumw")
+    row = cum.agg(
+        F.min(F.when(F.lit(2) * F.col("cumw") >= F.lit(wtot), F.col("val"))).alias(
+            "m"
+        )
+    ).collect()[0]
+    assert wtot == 10 and row["m"] == 4.0
+
+    # balanced case: 2*cum hits W exactly at the lower median
+    df2 = spark.createDataFrame([(1.0, 5), (9.0, 5)], "val double, w long")
+    cum2, w2 = global_running_sum(df2, ["val"], "w", "cumw")
+    row2 = cum2.agg(
+        F.min(F.when(F.lit(2) * F.col("cumw") >= F.lit(w2), F.col("val"))).alias(
+            "m"
+        )
+    ).collect()[0]
+    assert row2["m"] == 1.0
