@@ -10485,3 +10485,125 @@ def weighted_median_price(spark, sf_dir):
         ).alias("weighted_median"),
         F.lit(wtot).cast("long").alias("total_weight"),
     )
+
+
+@query(
+    "rolling_7d_distinct_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    expl AS (
+      SELECT user_id, day + CAST(i AS INTEGER) AS wday
+      FROM ud, (SELECT unnest(range(0, 7)) AS i)
+    )
+    SELECT d.day AS day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users_7d
+    FROM days d JOIN expl e ON e.wday = d.day
+    GROUP BY d.day
+    """,
+    description=(
+        "EXACT trailing-7-day distinct active users per day (the DAU/WAU "
+        "family's 'rolling MAU' shape) via time decomposition: distinct "
+        "(user, day) pairs each FORWARD-explode to the <=7 window days "
+        "they contribute to, then one distinct-count per window day — a "
+        "bounded 7x row amplification of the DEDUPLICATED activity "
+        "table, NOT a range self-join (quadratic in window width x "
+        "activity) and NOT a per-day re-scan (7 scans).  Output days "
+        "are restricted to days with actual activity.  "
+        "COUNT(DISTINCT) runs as Spark's two-phase partial-distinct "
+        "aggregate, so nothing sorts or collects globally; at 100 TB "
+        "the same shape holds with the (user, day) dedup as the only "
+        "data-scaled shuffle.  The sketch alternative for wide windows "
+        "(90-day) is the per-day HLL register table merged across the "
+        "window (hll_daily_users) — this entry is the exact small-"
+        "window complement"
+    ),
+)
+def rolling_7d_distinct_users(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = ud.select(F.col("day").alias("active_day")).distinct()
+    expl = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("i")).alias("wday"))
+    return (
+        expl.join(days, expl.wday == days.active_day)
+        .groupBy(F.col("active_day").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("users_7d"))
+    )
+
+
+@query(
+    "winsorized_mean_price",
+    oracle="""
+    WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+    ranked AS (
+      SELECT o_totalprice AS val,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn
+      FROM orders
+    ),
+    cuts AS (
+      SELECT
+        (SELECT val FROM ranked, tot
+          WHERE rn = CAST(CEIL(0.05 * tot.n) AS BIGINT)) AS lo,
+        (SELECT val FROM ranked, tot
+          WHERE rn = CAST(CEIL(0.95 * tot.n) AS BIGINT)) AS hi
+    )
+    SELECT cuts.lo AS p05, cuts.hi AS p95, tot.n AS n_orders,
+           CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, cuts.lo), cuts.hi)
+                         AS DECIMAL(18,2))) / tot.n AS DOUBLE)
+             AS winsorized_mean
+    FROM orders o CROSS JOIN cuts CROSS JOIN tot
+    GROUP BY cuts.lo, cuts.hi, tot.n
+    """,
+    description=(
+        "5/95 winsorized mean of the order value — the outlier-robust "
+        "center that keeps every row (clamped), unlike trimming.  The "
+        "P05/P95 cut values are EXACT discrete percentiles "
+        "(PERCENTILE_DISC convention, value at rank ceil(q*N) of the "
+        "sorted multiset — deterministic regardless of tie order) "
+        "computed WITHOUT collecting values to one task: the pinned "
+        "two-phase distributed rank (global_row_number) + a 2-row "
+        "driver lookup, NOT the built-in percentile_disc aggregate "
+        "(which gathers the whole column into one reduce at global "
+        "grain — fine per-group, a scale-killer globally).  The clamped "
+        "mean is float-exact: 2-dp prices sum as DECIMAL(18,2), one "
+        "division at the end"
+    ),
+)
+def winsorized_mean_price(spark, sf_dir):
+    from .operators.identity import global_row_number
+
+    orders = t(spark, sf_dir, "orders")
+    vals = orders.select(F.col("o_totalprice").alias("val"))
+    ranked, n = global_row_number(vals, ["val"], row_number_column="rn")
+    import math
+
+    k_lo = math.ceil(0.05 * n)
+    k_hi = math.ceil(0.95 * n)
+    cuts = {
+        r["rn"]: r["val"]
+        for r in ranked.filter(F.col("rn").isin(k_lo, k_hi)).collect()
+    }
+    lo, hi = cuts[k_lo], cuts[k_hi]
+    return orders.agg(
+        F.lit(lo).alias("p05"),
+        F.lit(hi).alias("p95"),
+        F.lit(n).cast("long").alias("n_orders"),
+        (
+            F.sum(
+                F.least(
+                    F.greatest(F.col("o_totalprice"), F.lit(lo)), F.lit(hi)
+                ).cast("decimal(18,2)")
+            )
+            / F.lit(n)
+        )
+        .cast("double")
+        .alias("winsorized_mean"),
+    )
