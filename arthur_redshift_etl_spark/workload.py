@@ -10607,3 +10607,95 @@ def winsorized_mean_price(spark, sf_dir):
         .cast("double")
         .alias("winsorized_mean"),
     )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM first GROUP BY cohort_day
+    ),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(12,2))) AS v
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    grid AS (
+      SELECT f.cohort_day,
+             CAST(datediff('day', f.cohort_day, d.day) AS BIGINT) AS age,
+             SUM(d.v) AS value_day
+      FROM daily d JOIN first f ON d.user_id = f.user_id
+      GROUP BY f.cohort_day, datediff('day', f.cohort_day, d.day)
+    )
+    SELECT g.cohort_day, g.age, s.n_users,
+           CAST(SUM(g.value_day) OVER (PARTITION BY g.cohort_day
+                                       ORDER BY g.age
+                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS cum_value,
+           CAST(SUM(g.value_day) OVER (PARTITION BY g.cohort_day
+                                       ORDER BY g.age
+                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                / s.n_users AS ltv_per_user
+    FROM grid g JOIN sizes s ON g.cohort_day = s.cohort_day
+    """,
+    description=(
+        "cohort lifetime-value curve: users cohorted by first-activity "
+        "day, cumulative revenue per cohort by age (days since "
+        "cohorting), normalized per cohort member — the "
+        "payback/monetization curve behind every acquisition decision.  "
+        "Scale shape: per-user daily values and first-activity days "
+        "co-partition on user_id (one shuffle shared by both aggs), "
+        "the cohort x age GRID is calendar-bounded metadata "
+        "(cohorts * ages rows, independent of event volume), so the "
+        "cumulative window runs per-cohort over <= age-range rows — a "
+        "bounded-partition window, NOT a data-scaled sort; cohort "
+        "sizes broadcast back.  Exact: 2-dp values sum as "
+        "DECIMAL(12,2) through both aggregation levels AND the "
+        "cumulative window; the only doubles are the final casts "
+        "(cum exact-cast-once, per-user one exact division).  Ages "
+        "with zero cohort activity are absent from the grid (no row, "
+        "not zero) — same convention both engines"
+    ),
+)
+def cohort_ltv_curve(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(dec("value")).alias("v"))
+    grid = (
+        daily.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("age"),
+        )
+        .agg(F.sum("v").alias("value_day"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("value_day").over(w)
+    return (
+        grid.join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "age",
+            "n_users",
+            cum.cast("double").alias("cum_value"),
+            # divide AFTER the double cast: decimal division picks an
+            # engine-specific result scale, one float division does not
+            (cum.cast("double") / F.col("n_users")).alias("ltv_per_user"),
+        )
+    )
