@@ -453,3 +453,51 @@ def test_stratified_entries_have_no_full_stratum_window(spark):
                 r"row_number\(\) windowspecdefinition\(source#", tail
             )
             assert not banned, (name, tail)
+
+
+def test_peak_concurrency_windows_are_pid_partitioned(spark):
+    """The sweep-line's only window rides the two-phase running sum's
+    spark_partition_id clustering; the lone SinglePartition exchange is the
+    final 1-row aggregate, never the sweep itself."""
+    p = plan(spark, "peak_concurrent_sessions")
+    for m in re.finditer(r"windowspecdefinition\(", p):
+        tail = p[m.start() : m.start() + 200]
+        assert "__pid" in tail, tail
+    assert not re.search(r"Sort \[[^\]]*\], true", p), p
+
+
+def test_pareto_frontier_broadcasts_and_pid_windows(spark):
+    """The skyline joins frontier GROUPS (<= distinct n_chars rows) back to
+    docs via broadcast; the exclusive running max windows per __pid only."""
+    p = plan(spark, "pareto_frontier_docs")
+    assert "BroadcastExchange" in p, p
+    for m in re.finditer(r"windowspecdefinition\(", p):
+        tail = p[m.start() : m.start() + 200]
+        assert "__pid" in tail, tail
+
+
+def test_weighted_median_no_global_sort(spark):
+    p = plan(spark, "weighted_median_price")
+    for m in re.finditer(r"windowspecdefinition\(", p):
+        tail = p[m.start() : m.start() + 200]
+        assert "__pid" in tail, tail
+    assert not re.search(r"Sort \[[^\]]*\], true", p), p
+
+
+def test_rolling_distinct_partial_aggregates(spark):
+    """The 7x explode feeds a two-phase distinct count: partial aggregation
+    below the exchange, no SinglePartition funnel, no window at all."""
+    p = plan(spark, "rolling_7d_distinct_users")
+    assert "Exchange SinglePartition" not in p, p
+    assert "windowspecdefinition" not in p, p
+    assert "partial_count(distinct" in p or "HashAggregate" in p, p
+
+
+def test_cohort_ltv_window_is_cohort_partitioned(spark):
+    """The cumulative window partitions by cohort_day over the calendar-
+    bounded grid — bounded partitions, and never a global sort."""
+    p = plan(spark, "cohort_ltv_curve")
+    for m in re.finditer(r"windowspecdefinition\(", p):
+        tail = p[m.start() : m.start() + 260]
+        assert "cohort_day" in tail, tail
+    assert not re.search(r"Sort \[[^\]]*\], true", p), p
