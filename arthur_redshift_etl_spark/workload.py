@@ -10699,3 +10699,62 @@ def cohort_ltv_curve(spark, sf_dir):
             (cum.cast("double") / F.col("n_users")).alias("ltv_per_user"),
         )
     )
+
+
+@query(
+    "time_weighted_avg_value",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, value, ts,
+             LEAD(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts,
+                            event_id) AS next_ts
+      FROM events
+    ),
+    seg AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(12,2))
+               * CAST(datediff('second', ts, next_ts) AS BIGINT) AS vw,
+             CAST(datediff('second', ts, next_ts) AS BIGINT) AS dt
+      FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(SUM(vw) AS DOUBLE) / SUM(dt) AS twa_value,
+           CAST(SUM(dt) AS BIGINT) AS total_seconds,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM seg GROUP BY event_type
+    """,
+    description=(
+        "time-weighted average of the event value per event type (each "
+        "reading holds until the same user's next reading of that type; "
+        "the open-ended final segment is excluded — the standard TWAP "
+        "convention): the metric-averaging shape where arithmetic means "
+        "overweight chatty periods.  Exact: integer second durations "
+        "(LEAD over per-(user,event_type) partitions — bounded by one "
+        "user's activity, never data-scaled; event_id tiebreak makes "
+        "ordering deterministic) multiply DECIMAL(12,2) values, both "
+        "sums stay exact, ONE double division at the end.  Plan: one "
+        "shuffle to (user,event_type) clustering shared by the window "
+        "and reused by nothing downstream, then a partial-aggregated "
+        "groupBy on event_type"
+    ),
+)
+def time_weighted_avg_value(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("next_ts").isNotNull())
+    dt = (F.unix_timestamp("next_ts") - F.unix_timestamp("ts")).cast("long")
+    seg = seq.select(
+        "event_type",
+        (dec("value") * dt).alias("vw"),
+        dt.alias("dt"),
+    )
+    return seg.groupBy("event_type").agg(
+        (F.sum("vw").cast("double") / F.sum("dt")).alias("twa_value"),
+        F.sum("dt").cast("long").alias("total_seconds"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+    )

@@ -501,3 +501,14 @@ def test_cohort_ltv_window_is_cohort_partitioned(spark):
         tail = p[m.start() : m.start() + 260]
         assert "cohort_day" in tail, tail
     assert not re.search(r"Sort \[[^\]]*\], true", p), p
+
+
+def test_twap_single_user_shuffle_then_partial_agg(spark):
+    """TWAP's LEAD window partitions by (user_id, event_type) — bounded by
+    one user's activity — and the final rollup partial-aggregates; nothing
+    funnels through one task."""
+    p = plan(spark, "time_weighted_avg_value")
+    assert "Exchange SinglePartition" not in p, p
+    for m in re.finditer(r"windowspecdefinition\(", p):
+        tail = p[m.start() : m.start() + 260]
+        assert "user_id" in tail, tail
