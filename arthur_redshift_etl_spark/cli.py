@@ -14,7 +14,9 @@ show_value / show_vars / render_template (commands.py:1891-1944),
 run_sql_template (commands.py:775-820), list_tags (commands.py:1868-1885),
 disk_usage (templates/sql/disk_usage.sql analog over the lake + catalog),
 terminate_builds (TerminateSessionsCommand analog — job-group cancel of a
-running build, jobcontrol.py).  AWS-ops commands (EMR, Data Pipeline, IAM)
+running build, jobcontrol.py), show_versions / rollback (per-table N-deep
+time travel over the blue-green lake versions — the table-grain complement
+of restore_schemas).  AWS-ops commands (EMR, Data Pipeline, IAM)
 are out of scope for a Spark engine (stubbed with a clear message).
 
 Usage: ``python -m arthur_redshift_etl_spark.cli <command> [args]`` with
@@ -636,6 +638,49 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_show_versions(args) -> int:
+    """List each selected table's on-disk lake versions (etl_id, files,
+    bytes, current marker) — the inspection half of per-table rollback."""
+    from .loader import table_versions
+
+    spark = _spark(args)
+    ctx = _ctx(args, spark)
+    for rel in _relations(args, args.patterns):
+        versions = table_versions(ctx, rel)
+        if not versions:
+            print(f"{rel.identifier}: no lake versions on disk")
+            continue
+        for v in versions:
+            marker = " *current" if v["is_current"] else ""
+            print(
+                f"{rel.identifier}: etl_id={v['etl_id']} "
+                f"files={v['n_files']} bytes={v['bytes']}{marker}"
+            )
+    return 0
+
+
+def cmd_rollback(args) -> int:
+    """Re-point selected tables at an older lake version (metadata-only,
+    atomic; refuses schema drift and already-current targets).  Compose
+    with `vacuum` to collect the abandoned newer version afterwards."""
+    from .loader import rollback_table
+
+    spark = _spark(args)
+    ctx = _ctx(args, spark)
+    rc = 0
+    for rel in _relations(args, args.patterns):
+        try:
+            info = rollback_table(ctx, rel, args.to_etl_id)
+            print(
+                f"{rel.identifier}: rolled back to etl_id={info['etl_id']} "
+                f"({info['rows']} rows)"
+            )
+        except Exception as exc:  # noqa: BLE001 - per-relation error rows
+            print(f"{rel.identifier}: ERROR {exc}")
+            rc = 1
+    return rc
+
+
 def cmd_compact(args) -> int:
     """Rewrite selected tables' storage into ~target-size files (checksum-
     verified, atomic re-register) — the lake-maintenance pass for tables
@@ -1220,6 +1265,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("promote_schemas", cmd_promote_schemas)
     add("restore_schemas", cmd_restore_schemas)
     add("vacuum", cmd_vacuum, patterns=False)
+    add("show_versions", cmd_show_versions)
+    sp = add("rollback", cmd_rollback)
+    sp.add_argument("--to-etl-id", required=True,
+                    help="the lake version (etl_id) to make current")
     sp = add("compact", cmd_compact)
     sp.add_argument("--target-mb", type=int, default=128,
                     help="target file size in MiB (default 128)")

@@ -1309,6 +1309,149 @@ def vacuum_lake(spark: SparkSession, data_root: str) -> List[str]:
     return removed
 
 
+def table_versions(ctx: LoadContext, rel: Relation) -> List[dict]:
+    """List the on-disk lake versions of a relation, newest last.
+
+    The blue-green write path leaves one ``data_root/<etl_id>/<schema>/
+    <table>`` tree per build (``LoadContext.table_location``); versions
+    survive until :func:`vacuum_lake` collects the unreferenced ones.  This
+    is the inspection half of per-table time travel: each row carries the
+    etl_id, location, file count/bytes (storage listing, metadata only),
+    and whether the production registration currently points at it.
+
+    Reference analog: the reference's blue-green schema rename keeps ONE
+    backup generation (``restore_schemas``, commands.py:1461-1474); a lake
+    with per-build locations naturally keeps N, so the engine exposes them.
+    """
+    import os
+
+    tn = rel.table_name
+    current = None
+    full = f"{_quote(tn.schema)}.{_quote(tn.table)}"
+    if ctx.spark.catalog.tableExists(full):
+        loc_rows = (
+            ctx.spark.sql(f"DESCRIBE FORMATTED {full}")
+            .filter("col_name = 'Location'")
+            .collect()
+        )
+        if loc_rows:
+            current = loc_rows[0]["data_type"].replace("file:", "")
+    out: List[dict] = []
+    if not os.path.isdir(ctx.data_root):
+        return out
+    for etl_id in sorted(os.listdir(ctx.data_root)):
+        d = os.path.join(ctx.data_root, etl_id, tn.schema, tn.table)
+        if not os.path.isdir(d):
+            continue
+        n_files = 0
+        n_bytes = 0
+        mtime = 0.0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(root, f))
+                n_files += 1
+                n_bytes += st.st_size
+                mtime = max(mtime, st.st_mtime)
+        out.append(
+            {
+                "etl_id": etl_id,
+                "location": d,
+                "n_files": n_files,
+                "bytes": n_bytes,
+                "mtime": mtime,
+                "is_current": current is not None
+                and os.path.normpath(current) == os.path.normpath(d),
+            }
+        )
+    return out
+
+
+def rollback_table(ctx: LoadContext, rel: Relation, etl_id: str) -> dict:
+    """Re-point a production table at an older on-disk lake version.
+
+    The complement of :func:`restore_schemas` (which undoes the LAST
+    publish via the backup database, schema-at-a-time): rollback is
+    per-TABLE and N-deep — any version still on disk (i.e. not yet
+    vacuumed) can become current again.  Metadata-only: nothing is
+    copied or rewritten, the registration just moves, so rollback is as
+    atomic as the blue-green publish itself.
+
+    Guards:
+    - the target version must exist on disk and read as parquet (the
+      row-count audit doubles as the readability check);
+    - rolling back to the already-current version is refused (a no-op
+      hiding a user error);
+    - for design-declared layouts (partitioned/bucketed tables the
+      re-registration declares columns for), the target files' schema
+      must carry every design column — refused with the drift list
+      otherwise, because registering the CURRENT design over OLDER files
+      would produce a table that fails at read time.
+
+    After a rollback, :func:`vacuum_lake` keeps the rolled-back version
+    (it is referenced again) and the abandoned newer version becomes
+    collectible — the two verbs compose into undo + cleanup.
+    """
+    import os
+
+    versions = table_versions(ctx, rel)
+    target = next((v for v in versions if v["etl_id"] == etl_id), None)
+    if target is None:
+        have = ", ".join(v["etl_id"] for v in versions) or "none on disk"
+        raise ETLRuntimeError(
+            f"{rel.identifier}: no lake version for etl_id={etl_id} "
+            f"(available: {have} — vacuumed versions cannot be rolled "
+            "back to)"
+        )
+    if target["is_current"]:
+        raise ETLRuntimeError(
+            f"{rel.identifier}: etl_id={etl_id} is already the current "
+            "version"
+        )
+    location = target["location"]
+    df = ctx.spark.read.parquet(location)
+    n_rows = df.count()  # readability + the post-rollback audit number
+    tn = rel.table_name
+    declares_columns = bool(
+        _bucket_spec(rel.design) or rel.design.attributes.get("partition_by")
+    )
+    if declares_columns:
+        have_cols = set(df.columns)
+        part_cols = list(rel.design.attributes.get("partition_by") or [])
+        # partition columns live in directory names, not the files
+        missing = [
+            c.name
+            for c in rel.design.columns
+            if not c.skipped and c.name not in have_cols and c.name not in part_cols
+        ]
+        if missing:
+            raise ETLRuntimeError(
+                f"{rel.identifier}: cannot roll back to etl_id={etl_id} — "
+                f"design columns {missing} absent from the version's files "
+                "(schema drift; the current design no longer matches)"
+            )
+    _drop_relation(ctx, tn.schema, tn.table)
+    if _bucket_spec(rel.design):
+        _register_bucketed_table(ctx, tn.schema, rel, location)
+    elif rel.design.attributes.get("partition_by"):
+        _register_partitioned_table(ctx, tn.schema, rel, location)
+    else:
+        _register_external_table(ctx, tn.schema, tn.table, location)
+    _analyze_relation(ctx, tn.schema, tn.table, rel.design)
+    with Monitor(
+        ctx.store, rel.identifier, STEP_MAINTAIN, etl_id=ctx.etl_id
+    ) as mon:
+        mon.rowcount = n_rows
+        mon.extra = {"rollback_to": etl_id, "location": location}
+    return {
+        "identifier": rel.identifier,
+        "etl_id": etl_id,
+        "location": location,
+        "rows": n_rows,
+    }
+
+
 def _build_with_heap_check(ctx: LoadContext, rel: Relation, staging_ids) -> int:
     """Percolator build unit: heap hygiene (single-flight — the pool's
     threads share one driver heap) then the staged build."""

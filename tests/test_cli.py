@@ -293,3 +293,66 @@ def test_replicate_is_incremental_and_exactly_once(tmp_path, capsys, spark):
     assert second["rows_appended"] == 15  # only the delta, never a re-copy
     landed = spark.read.parquet(target)
     assert sorted(r.seq for r in landed.collect()) == list(range(55))
+
+
+def test_show_versions_and_rollback_verbs(design_repo, tmp_path, capsys, spark):
+    """CLI time travel: two loads leave two lake versions; show_versions
+    lists them with the current marker, rollback re-points at the first
+    (verified by row count), and bad targets produce error rows + rc 1."""
+    from arthur_redshift_etl_spark.loader import LoadContext, load_warehouse
+    from arthur_redshift_etl_spark.monitor import EventStore
+    from arthur_redshift_etl_spark.repo import find_file_sets
+    from arthur_redshift_etl_spark.names import TableSelector
+
+    # materialize a source file for src.orders, then load twice with
+    # different slices so the versions are distinguishable
+    data_dir = str(tmp_path / "repo" / "data" / "src.orders")
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lake = os.path.join(design_repo, "lake")
+    etl_ids = []
+    counts = []
+    for limit in (100, 50):
+        src.limit(limit).write.mode("overwrite").parquet(data_dir)
+        rels = [
+            r
+            for r in find_file_sets(design_repo, TableSelector(["src.orders"]))
+            if r.is_source_relation
+        ]
+        for r in rels:
+            r.data_location = data_dir
+        ctx = LoadContext(
+            spark=spark,
+            data_root=lake,
+            store=EventStore(os.path.join(design_repo, "events.jsonl")),
+        )
+        load_warehouse(ctx, rels)
+        etl_ids.append(ctx.etl_id)
+        counts.append(spark.table("src.orders").count())
+    assert counts == [100, 50]
+
+    assert main(["--repo", design_repo, "show_versions", "src.orders"]) == 0
+    out = capsys.readouterr().out
+    for etl_id in etl_ids:
+        assert etl_id in out
+    assert out.count("*current") == 1
+    assert f"etl_id={etl_ids[1]}" in [
+        l for l in out.splitlines() if "*current" in l
+    ][0]
+
+    rc = main([
+        "--repo", design_repo, "rollback", "src.orders",
+        "--to-etl-id", etl_ids[0],
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "rolled back" in out and "(100 rows)" in out
+    assert spark.table("src.orders").count() == 100
+
+    # unknown version: per-relation error row, rc 1
+    rc = main([
+        "--repo", design_repo, "rollback", "src.orders",
+        "--to-etl-id", "nope",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 1 and "ERROR" in out and "no lake version" in out

@@ -1070,3 +1070,115 @@ def test_bloom_filter_columns_written_and_preserved(spark, tmp_path, clean_dbs):
     )
     offs2 = _bloom_offsets(spark, new_loc)
     assert offs2["n_nationkey"] is True, offs2
+
+
+def test_table_versions_and_rollback(spark, tmp_path, clean_dbs):
+    """Per-table time travel over the blue-green lake: three builds leave
+    three versions; rollback re-points at version 1 (metadata-only, row
+    counts prove it), refuses the already-current target, and a
+    subsequent vacuum keeps the rolled-back version while collecting the
+    abandoned newer ones."""
+    from arthur_redshift_etl_spark.errors import ETLRuntimeError
+    from arthur_redshift_etl_spark.loader import (
+        rollback_table,
+        table_versions,
+        vacuum_lake,
+    )
+
+    lake = str(tmp_path / "lake")
+    ctxs = []
+    counts = []
+    for i in range(3):
+        rels = [source_rel(spark, tmp_path, "rbsrc.nation", "nation")]
+        if i > 0:
+            # shrink the source so each version has a distinct row count
+            d = str(tmp_path / "data" / "rbsrc.nation")
+            spark.read.parquet(f"{SF_DIR}/nation.parquet").limit(
+                25 - i * 5
+            ).write.mode("overwrite").parquet(d)
+        ctx = LoadContext(spark=spark, data_root=lake, store=EventStore())
+        load_warehouse(ctx, rels)
+        ctxs.append(ctx)
+        counts.append(spark.table("rbsrc.nation").count())
+    rel = source_rel(spark, tmp_path, "rbsrc.nation", "nation")
+
+    versions = table_versions(ctxs[-1], rel)
+    assert [v["etl_id"] for v in versions] == sorted(c.etl_id for c in ctxs)
+    current = [v for v in versions if v["is_current"]]
+    assert len(current) == 1 and current[0]["etl_id"] == ctxs[-1].etl_id
+    assert all(v["n_files"] > 0 and v["bytes"] > 0 for v in versions)
+
+    # refuse the no-op
+    with pytest.raises(ETLRuntimeError, match="already the current"):
+        rollback_table(ctxs[-1], rel, ctxs[-1].etl_id)
+    # refuse a vacuumed/unknown version
+    with pytest.raises(ETLRuntimeError, match="no lake version"):
+        rollback_table(ctxs[-1], rel, "nonexistent")
+
+    info = rollback_table(ctxs[-1], rel, ctxs[0].etl_id)
+    assert info["rows"] == counts[0]
+    assert spark.table("rbsrc.nation").count() == counts[0]
+    versions = table_versions(ctxs[-1], rel)
+    assert [v["etl_id"] for v in versions if v["is_current"]] == [ctxs[0].etl_id]
+
+    # vacuum composes: the rolled-back version is referenced (kept), the
+    # abandoned 3rd version is collectible (the 2nd is the publish backup)
+    removed = vacuum_lake(spark, lake)
+    assert os.path.join(lake, ctxs[-1].etl_id) in removed
+    assert spark.table("rbsrc.nation").count() == counts[0]
+
+
+def test_rollback_refuses_schema_drift_for_declared_layouts(
+    spark, tmp_path, clean_dbs
+):
+    """A partitioned table's re-registration declares the CURRENT design's
+    columns; rolling back to files missing one must refuse with the drift
+    list instead of registering a table that breaks at read time."""
+    from arthur_redshift_etl_spark.errors import ETLRuntimeError
+    from arthur_redshift_etl_spark.loader import rollback_table, table_versions
+
+    lake = str(tmp_path / "lake")
+
+    def rel_with_cols(cols):
+        d = str(tmp_path / "data" / "drift.nation")
+        return Relation(
+            design=TableDesign(
+                name="drift.nation",
+                source_name="up.public.nation",
+                columns=cols,
+                attributes={"partition_by": ["n_regionkey"]},
+            ),
+            data_location=d,
+        )
+
+    base_cols = [
+        ColumnDefinition("n_nationkey", "int", not_null=True),
+        ColumnDefinition("n_name", "string"),
+        ColumnDefinition("n_regionkey", "int"),
+    ]
+    d = str(tmp_path / "data" / "drift.nation")
+    src = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    # version 1: no n_comment column in the files
+    src.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).parquet(d)
+    ctx1 = LoadContext(spark=spark, data_root=lake, store=EventStore())
+    load_warehouse(ctx1, [rel_with_cols(base_cols)])
+    # version 2: files carry the new column the design now declares
+    from pyspark.sql import functions as F
+
+    src.select("n_nationkey", "n_name", "n_regionkey").withColumn(
+        "n_comment", F.concat(F.lit("c-"), F.col("n_name"))
+    ).write.mode("overwrite").parquet(d)
+    new_cols = base_cols + [ColumnDefinition("n_comment", "string")]
+    ctx2 = LoadContext(spark=spark, data_root=lake, store=EventStore())
+    load_warehouse(ctx2, [rel_with_cols(new_cols)])
+
+    rel_now = rel_with_cols(new_cols)
+    assert len(table_versions(ctx2, rel_now)) == 2
+    with pytest.raises(ETLRuntimeError, match="n_comment"):
+        rollback_table(ctx2, rel_now, ctx1.etl_id)
+    # with the matching (old) design the same rollback succeeds, and the
+    # partition column still prunes (registered PARTITIONED BY)
+    info = rollback_table(ctx2, rel_with_cols(base_cols), ctx1.etl_id)
+    assert info["rows"] == spark.table("drift.nation").count()
