@@ -378,13 +378,12 @@ def main() -> None:
             warm_total += warm
             print(f"# {name}: warm {warm:.3f}s", file=sys.stderr)
 
-    # Key ORDER is load-bearing: the driver truncates the recorded line to
-    # its tail (BENCH_r05 lost the first ~10 cold per-query values), so the
-    # expendable detail (warm per-query) leads and the data that matters —
-    # contention evidence, cold per-query, fresh-JVM rechecks, totals —
-    # sits at the END where truncation cannot reach it.  The complete
-    # artifact (incl. full per-query planning) also lands in
-    # bench_full.json next to this script.
+    # The parent's stdout line is COMPACTED before printing (see
+    # compact_stdout_result — the driver's 2000-char tail window truncated
+    # the full dict mid-object in rounds 4/5/8).  This dict is the full
+    # artifact, written to bench_full.json; key order still keeps the
+    # totals last so the recheck CHILD's (short, uncompacted) line reads
+    # naturally in the driver tail.
     result = {
         "metric": "workload_total_wall",
         "unit": "sec",
