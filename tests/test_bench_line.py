@@ -104,3 +104,61 @@ def test_r08_regression_shape_now_parses(bench):
     assert compact["value"] == result["value"]
     assert compact["value_warm"] == result["value_warm"]
     assert compact["queries"] == result["queries"]
+
+
+def test_budget_holds_under_randomized_shapes(bench):
+    """Property: for ANY mix of query-name lengths, counts, and optional
+    blocks, the compacted line parses and fits the budget."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:  # pragma: no cover - environment gate
+        pytest.skip("hypothesis unavailable")
+
+    names = st.lists(
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz_",
+            min_size=1,
+            max_size=48,
+        ),
+        min_size=1,
+        max_size=80,
+        unique=True,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        names=names,
+        with_warm=st.booleans(),
+        with_fresh=st.booleans(),
+        value=st.floats(0, 1e6, allow_nan=False),
+    )
+    def check(names, with_warm, with_fresh, value):
+        queries = {n: 123.4567 for n in names}
+        result = {
+            "metric": "workload_total_wall",
+            "unit": "sec",
+            "sf": 0.1,
+            "queries": queries,
+            "value": round(value, 4),
+            "host": {"load1_pre": 1.0, "steal_cores": 0.1, "other_cores": 0.2,
+                     "spin_ms_post": 400.0},
+        }
+        if with_warm:
+            result["value_warm"] = round(value * 0.8, 4)
+            result["queries_warm"] = dict(queries)
+        if with_fresh:
+            result["queries_cold_fresh"] = {n: 1.0 for n in names[:3]}
+            result["value_cold_best"] = round(value, 4)
+        compact = bench.compact_stdout_result(result)
+        line = json.dumps(compact)
+        assert len(line) <= bench.LINE_BUDGET
+        parsed = json.loads(line)
+        for key in ("metric", "value", "unit", "queries", "sf"):
+            assert key in parsed
+        assert (
+            len(parsed["queries"]) + parsed.get("queries_omitted", 0)
+            == len(queries)
+        )
+
+    check()
