@@ -10349,7 +10349,7 @@ def peak_concurrent_sessions(spark, sf_dir):
             .cast("long")
             .alias("cum_e"),
         )
-    else:  # pragma: no cover - exercised by the shrunk-base unit test
+    else:  # two-pass fallback; tests force it by shrinking PEAK_PACK_BASE
         cum1, _ = global_running_sum(d, ["ts"], "s_here", "cum_s")
         cum, _ = global_running_sum(cum1, ["ts"], "e_here", "cum_e")
     conc = cum.withColumn(
