@@ -16,7 +16,8 @@ disk_usage (templates/sql/disk_usage.sql analog over the lake + catalog),
 terminate_builds (TerminateSessionsCommand analog — job-group cancel of a
 running build, jobcontrol.py), show_versions / rollback (per-table N-deep
 time travel over the blue-green lake versions — the table-grain complement
-of restore_schemas).  AWS-ops commands (EMR, Data Pipeline, IAM)
+of restore_schemas), serve_events (the reference's in-memory HTTP monitor
+dashboard, monitor.py:433-575 — HTML + JSON over the event store).  AWS-ops commands (EMR, Data Pipeline, IAM)
 are out of scope for a Spark engine (stubbed with a clear message).
 
 Usage: ``python -m arthur_redshift_etl_spark.cli <command> [args]`` with
@@ -635,6 +636,27 @@ def cmd_vacuum(args) -> int:
     spark = _spark(args)
     removed = vacuum_lake(spark, os.path.join(args.repo, "lake"))
     print(f"vacuum: removed {len(removed)} unreferenced lake version(s)")
+    return 0
+
+
+def cmd_serve_events(args) -> int:
+    """Serve the live event-monitor dashboard over HTTP (reference
+    monitor.py:433-575): HTML summary+tail at /, JSON at /api/events,
+    /api/summary, /api/tail.  Blocks until Ctrl-C."""
+    from .monitor import EventStore, serve_events
+
+    store = EventStore(os.path.join(args.repo, "events.jsonl"))
+    server = serve_events(store, host=args.host, port=args.port)
+    host, port = server.server_address
+    print(f"monitor: serving events at http://{host}:{port}/ (Ctrl-C stops)")
+    try:
+        import threading
+
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
     return 0
 
 
@@ -1266,6 +1288,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("restore_schemas", cmd_restore_schemas)
     add("vacuum", cmd_vacuum, patterns=False)
     add("show_versions", cmd_show_versions)
+    sp = add("serve_events", cmd_serve_events, patterns=False)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8086)
     sp = add("rollback", cmd_rollback)
     sp.add_argument("--to-etl-id", required=True,
                     help="the lake version (etl_id) to make current")

@@ -243,3 +243,137 @@ class Monitor:
             **{k: v for k, v in kw.items() if v is not None},
         }
         self.store.append(doc)
+
+
+# ---------------------------------------------------------------------------
+# HTTP monitor (reference monitor.py:433-575 — the in-memory dashboard the
+# `--keep-going` ETL serves during a run; here a stdlib ThreadingHTTPServer
+# over the jsonl store, so `query_events`/`summarize_events` get a live
+# browser/curl surface without any external dependency)
+# ---------------------------------------------------------------------------
+
+_DASH_HTML = """<!doctype html>
+<html><head><meta charset="utf-8">
+<meta http-equiv="refresh" content="5">
+<title>ETL events</title>
+<style>
+ body {{ font-family: monospace; margin: 2em; }}
+ table {{ border-collapse: collapse; }}
+ td, th {{ border: 1px solid #999; padding: 4px 10px; text-align: left; }}
+ .fail {{ color: #b00; font-weight: bold; }}
+</style></head>
+<body>
+<h2>ETL events</h2>
+<p>{n_events} event(s) &middot; auto-refresh 5s &middot;
+   JSON: <a href="/api/events">/api/events</a>,
+   <a href="/api/summary">/api/summary</a>, <a href="/api/tail">/api/tail</a></p>
+<h3>Summary (step &times; event)</h3>
+<table><tr><th>step</th><th>event</th><th>count</th><th>elapsed s</th>
+<th>rows</th></tr>{summary_rows}</table>
+<h3>Last {n_tail} events</h3>
+<table><tr><th>ts</th><th>target</th><th>step</th><th>event</th>
+<th>elapsed s</th><th>rows</th></tr>{tail_rows}</table>
+</body></html>
+"""
+
+
+def serve_events(
+    store: EventStore, host: str = "127.0.0.1", port: int = 8086
+):
+    """Start the HTTP monitor; returns the (already serving) server object.
+
+    Endpoints:
+    - ``/``             HTML dashboard (summary + tail, 5 s auto-refresh)
+    - ``/api/events``   JSON rows; filters ``?target=&step=&etl_id=``
+    - ``/api/summary``  JSON of :meth:`EventStore.summarize`
+    - ``/api/tail``     JSON of the last ``?n=`` events (default 20)
+
+    Read-only over the append-only store (each request re-reads the jsonl,
+    so a dashboard watching a live `load` sees events as they land —
+    the reference's in-memory page did the same against its queue).  The
+    caller owns shutdown: ``server.shutdown()``.  Port 0 picks a free
+    port (tests); the bound address is ``server.server_address``.
+    """
+    import html as html_mod
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet: the event store IS the log
+            pass
+
+        def _send(self, body: bytes, content_type: str, status: int = 200):
+            self.send_response(status)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, obj, status: int = 200):
+            self._send(
+                json.dumps(obj).encode("utf-8"),
+                "application/json; charset=utf-8",
+                status,
+            )
+
+        def do_GET(self):  # noqa: N802 - http.server API
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            if u.path == "/api/events":
+                self._json(
+                    store.query(
+                        target=q.get("target"),
+                        step=q.get("step"),
+                        etl_id=q.get("etl_id"),
+                    )
+                )
+            elif u.path == "/api/summary":
+                self._json(store.summarize(etl_id=q.get("etl_id")))
+            elif u.path == "/api/tail":
+                self._json(store.tail(int(q.get("n", "20"))))
+            elif u.path == "/":
+                summary = store.summarize()
+                tail = store.tail(20)
+
+                def esc(v):
+                    return html_mod.escape(str("" if v is None else v))
+
+                srows = "".join(
+                    "<tr><td>{}</td><td{}>{}</td><td>{}</td><td>{:.1f}</td>"
+                    "<td>{}</td></tr>".format(
+                        esc(b["step"]),
+                        ' class="fail"' if b["event"] == EVENT_FAIL else "",
+                        esc(b["event"]),
+                        b["count"],
+                        b["elapsed"],
+                        b["rows"],
+                    )
+                    for b in summary
+                )
+                trows = "".join(
+                    "<tr><td>{}</td><td>{}</td><td>{}</td><td{}>{}</td>"
+                    "<td>{}</td><td>{}</td></tr>".format(
+                        esc(e.get("ts")),
+                        esc(e.get("target")),
+                        esc(e.get("step")),
+                        ' class="fail"' if e.get("event") == EVENT_FAIL else "",
+                        esc(e.get("event")),
+                        esc(round(e["elapsed"], 2) if e.get("elapsed") else ""),
+                        esc(e.get("rowcount") or ""),
+                    )
+                    for e in reversed(tail)
+                )
+                page = _DASH_HTML.format(
+                    n_events=len(store.events()),
+                    summary_rows=srows,
+                    tail_rows=trows,
+                    n_tail=len(tail),
+                )
+                self._send(page.encode("utf-8"), "text/html; charset=utf-8")
+            else:
+                self._json({"error": "not found"}, status=404)
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server
