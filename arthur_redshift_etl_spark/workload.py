@@ -10758,3 +10758,147 @@ def time_weighted_avg_value(spark, sf_dir):
         F.sum("dt").cast("long").alias("total_seconds"),
         F.count(F.lit(1)).cast("long").alias("n_segments"),
     )
+
+
+# PQ layout: M subspaces x SUB dims (64-dim embeddings), K centroids per
+# subspace; codebook = the first K vectors' subvectors (deterministic
+# init-only codebook — the operator shape, not codebook quality, is what
+# the oracle verifies).  All arithmetic in micro-unit int64: FLOOR(x*1e6)
+# per component, squared-distance sums bounded by 16 * (4e6)^2 ~ 2.6e14.
+PQ_M = 4
+PQ_SUB = 16
+PQ_K = 8
+PQ_QUERY_ID = 42
+
+
+@query(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, t.i - 1 AS dim0,
+             CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xm
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cb AS (SELECT vec_id AS cid, dim0, xm AS cm FROM ex WHERE vec_id < {PQ_K}),
+    dist AS (
+      SELECT e.vec_id, e.dim0 // {PQ_SUB} AS m, c.cid,
+             SUM((e.xm - c.cm) * (e.xm - c.cm)) AS d
+      FROM ex e JOIN cb c ON e.dim0 = c.dim0
+      GROUP BY e.vec_id, e.dim0 // {PQ_SUB}, c.cid
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid)
+                 AS rk
+        FROM dist
+      ) WHERE rk = 1
+    ),
+    lut AS (SELECT m, cid, d AS qd FROM dist WHERE vec_id = {PQ_QUERY_ID}),
+    adc AS (
+      SELECT c.vec_id, CAST(SUM(l.qd) AS BIGINT) AS adc_dist
+      FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+    description=(
+        "product-quantization ANN search (the IVF-PQ memory half): "
+        "4x16-dim subspaces, 8-centroid codebook per subspace (init-only "
+        "deterministic codebook — first K vectors), asymmetric-distance "
+        "(ADC) top-10 for a fixed query.  INTEGER-exact end to end "
+        "(micro-unit components, squared-distance int64 sums), so the "
+        "oracle verifies codes AND distances bit-for-bit.  The Spark "
+        "plan is the PQ scale story itself: the codebook and the "
+        "query's 32-entry LUT are LITERALS baked into row-local "
+        "expressions (zip_with/aggregate over array slices, argmin as "
+        "array_min over (d, cid) structs — ties to the lowest centroid "
+        "like the rank formulation), so encoding + ADC scoring is a "
+        "pure map over the corpus with ZERO data-scaled shuffles; the "
+        "only gather is the top-k's TakeOrderedAndProject.  At 100 TB "
+        "each vector costs M*K integer dot-sums in-scan and ships only "
+        "its 4-byte code row — the same reason PQ is the standard "
+        "billion-vector layout"
+    ),
+)
+def pq_adc_topk(spark, sf_dir):
+    import math
+
+    emb = t(spark, sf_dir, "embeddings")
+
+    def micro(vals):
+        return [int(math.floor(float(x) * 1000000)) for x in vals]
+
+    first = {
+        r["vec_id"]: micro(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    query = micro(
+        emb.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0]["embedding"]
+    )
+    xm = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+    )
+    base = emb.select("vec_id", xm.alias("xm"))
+
+    def sub_dist(m: int, cvec) -> F.Column:
+        lits = F.array(
+            *[F.lit(c).cast("long") for c in cvec[m * PQ_SUB : (m + 1) * PQ_SUB]]
+        )
+        diffs = F.zip_with(
+            F.slice(F.col("xm"), m * PQ_SUB + 1, PQ_SUB),
+            lits,
+            lambda a, b: (a - b) * (a - b),
+        )
+        return F.aggregate(
+            diffs, F.lit(0).cast("long"), lambda acc, v: acc + v
+        )
+
+    # per-subspace argmin over the K centroids: lexicographic min of
+    # (distance, centroid_id) structs == rank-1 of ORDER BY d, cid
+    code_cols = []
+    for m in range(PQ_M):
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        sub_dist(m, first[cid]).alias("d"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid in sorted(first)
+                ]
+            )
+        )
+        code_cols.append(best.getField("cid").alias(f"code{m}"))
+    coded = base.select("vec_id", *code_cols)
+
+    # the query's LUT: exact integer distances computed in plain Python
+    # (identical micro-unit arithmetic), baked in as one map literal per
+    # subspace — ADC scoring never joins
+    def py_sub_dist(m: int, cvec) -> int:
+        return sum(
+            (query[i] - cvec[i]) ** 2
+            for i in range(m * PQ_SUB, (m + 1) * PQ_SUB)
+        )
+
+    adc = None
+    for m in range(PQ_M):
+        lut_m = F.create_map(
+            *[
+                item
+                for cid in sorted(first)
+                for item in (
+                    F.lit(cid),
+                    F.lit(py_sub_dist(m, first[cid])).cast("long"),
+                )
+            ]
+        )
+        term = lut_m[F.col(f"code{m}")]
+        adc = term if adc is None else adc + term
+    return (
+        coded.select("vec_id", adc.cast("long").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )

@@ -512,3 +512,14 @@ def test_twap_single_user_shuffle_then_partial_agg(spark):
     for m in re.finditer(r"windowspecdefinition\(", p):
         tail = p[m.start() : m.start() + 260]
         assert "user_id" in tail, tail
+
+
+def test_pq_adc_is_map_only_plus_take_ordered(spark):
+    """PQ encode + ADC score must be a pure map over the corpus: the
+    codebook and LUT are literals, so the ONLY gather is the top-k's
+    TakeOrderedAndProject — no hash/range exchange, no join, no window."""
+    p = plan(spark, "pq_adc_topk")
+    assert "TakeOrderedAndProject" in p, p
+    assert "windowspecdefinition" not in p, p
+    assert not re.search(r"Exchange (hash|range)partitioning", p), p
+    assert "Join" not in p, p
