@@ -10902,3 +10902,90 @@ def pq_adc_topk(spark, sf_dir):
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "pq_recall_eval",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, t.i - 1 AS dim0,
+             CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xm
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    q AS (SELECT dim0, xm AS qm FROM ex WHERE vec_id = {PQ_QUERY_ID}),
+    exact AS (
+      SELECT e.vec_id, SUM((e.xm - q.qm) * (e.xm - q.qm)) AS d
+      FROM ex e JOIN q ON e.dim0 = q.dim0
+      GROUP BY e.vec_id
+      ORDER BY d, vec_id LIMIT 10
+    ),
+    cb AS (SELECT vec_id AS cid, dim0, xm AS cm FROM ex WHERE vec_id < {PQ_K}),
+    dist AS (
+      SELECT e.vec_id, e.dim0 // {PQ_SUB} AS m, c.cid,
+             SUM((e.xm - c.cm) * (e.xm - c.cm)) AS d
+      FROM ex e JOIN cb c ON e.dim0 = c.dim0
+      GROUP BY e.vec_id, e.dim0 // {PQ_SUB}, c.cid
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid)
+                 AS rk
+        FROM dist
+      ) WHERE rk = 1
+    ),
+    lut AS (SELECT m, cid, d AS qd FROM dist WHERE vec_id = {PQ_QUERY_ID}),
+    adc AS (
+      SELECT c.vec_id, CAST(SUM(l.qd) AS BIGINT) AS adc_dist
+      FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
+      GROUP BY c.vec_id
+      ORDER BY adc_dist, vec_id LIMIT 10
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
+    FROM adc JOIN exact ON adc.vec_id = exact.vec_id
+    """,
+    description=(
+        "recall@10 of the PQ/ADC search against the exact micro-unit L2 "
+        "top-10 (same query, same integer arithmetic) — the index-"
+        "quality loop that decides M/K/codebook refresh, mirroring "
+        "ann_ivf_recall_eval for the IVF half.  Both rankings are "
+        "integer-exact with vec_id tiebreaks, so the overlap count is "
+        "deterministic; the exact side is itself map-only (query "
+        "literal in a zip_with) + TakeOrdered, the ADC side is the "
+        "pq_adc_topk plan, and the final overlap joins two 10-row sets"
+    ),
+)
+def pq_recall_eval(spark, sf_dir):
+    import math
+
+    emb = t(spark, sf_dir, "embeddings")
+    query = [
+        int(math.floor(float(x) * 1000000))
+        for x in emb.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0][
+            "embedding"
+        ]
+    ]
+    xm = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+    )
+    qlits = F.array(*[F.lit(c).cast("long") for c in query])
+    exact_d = F.aggregate(
+        F.zip_with(xm, qlits, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    exact = (
+        emb.select("vec_id", exact_d.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    approx = pq_adc_topk(spark, sf_dir).select("vec_id")
+    n = F.count(F.lit(1)).cast("long")
+    return approx.join(exact, "vec_id").agg(
+        n.alias("n_overlap"),
+        (n.cast("double") / F.lit(10)).alias("recall_at_10"),
+    )
