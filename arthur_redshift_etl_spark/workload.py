@@ -10989,3 +10989,120 @@ def pq_recall_eval(spark, sf_dir):
         n.alias("n_overlap"),
         (n.cast("double") / F.lit(10)).alias("recall_at_10"),
     )
+
+
+@query(
+    "pq_train_codebooks",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, t.i - 1 AS dim0,
+             CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xm
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cb AS (SELECT vec_id AS cid, dim0, xm AS cm FROM ex WHERE vec_id < {PQ_K}),
+    dist AS (
+      SELECT e.vec_id, e.dim0 // {PQ_SUB} AS m, c.cid,
+             SUM((e.xm - c.cm) * (e.xm - c.cm)) AS d
+      FROM ex e JOIN cb c ON e.dim0 = c.dim0
+      GROUP BY e.vec_id, e.dim0 // {PQ_SUB}, c.cid
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid)
+                 AS rk
+        FROM dist
+      ) WHERE rk = 1
+    )
+    SELECT c.m, c.code, e.dim0,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(e.xm) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid
+    FROM codes c
+    JOIN ex e ON e.vec_id = c.vec_id AND e.dim0 // {PQ_SUB} = c.m
+    GROUP BY c.m, c.code, e.dim0
+    """,
+    description=(
+        "ONE Lloyd step of per-subspace PQ codebook training: assign "
+        "every subvector to its nearest current centroid (the same "
+        "integer-exact argmin as pq_adc_topk), then the element-wise "
+        "mean of each (subspace, code) cell's members — micro-unit "
+        "sums stay integer, one division per output cell.  This is the "
+        "quality lever the ADC entries deliberately hold fixed: "
+        "iterate it to convergence and the recall measured by "
+        "pq_recall_eval rises.  Scale shape mirrors "
+        "kmeans_single_iteration at subspace grain: assignment is a "
+        "map over the corpus (literal codebook), the mean aggregation "
+        "shuffles one row per (vector, subspace, dim) partial-combined "
+        "down to M*K*SUB output cells — bounded output regardless of "
+        "corpus size"
+    ),
+)
+def pq_train_codebooks(spark, sf_dir):
+    import math
+
+    emb = t(spark, sf_dir, "embeddings")
+    first = {
+        r["vec_id"]: [
+            int(math.floor(float(x) * 1000000)) for x in r["embedding"]
+        ]
+        for r in emb.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    xm = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+    )
+    base = emb.select("vec_id", xm.alias("xm"))
+
+    def sub_dist(m, cvec):
+        lits = F.array(
+            *[F.lit(c).cast("long") for c in cvec[m * PQ_SUB : (m + 1) * PQ_SUB]]
+        )
+        diffs = F.zip_with(
+            F.slice(F.col("xm"), m * PQ_SUB + 1, PQ_SUB),
+            lits,
+            lambda a, b: (a - b) * (a - b),
+        )
+        return F.aggregate(diffs, F.lit(0).cast("long"), lambda a, v: a + v)
+
+    # one output row per (subspace, dim) per vector, tagged with the
+    # vector's code in that subspace: posexplode the subvector so the mean
+    # aggregation is a single partial-combined groupBy
+    per_m = []
+    for m in range(PQ_M):
+        code = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        sub_dist(m, first[cid]).alias("d"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid in sorted(first)
+                ]
+            )
+        ).getField("cid")
+        per_m.append(
+            base.select(
+                F.lit(m).cast("long").alias("m"),
+                code.cast("long").alias("code"),
+                F.slice(F.col("xm"), m * PQ_SUB + 1, PQ_SUB).alias("sub"),
+            )
+            .select(
+                "m", "code", F.posexplode(F.col("sub")).alias("sub_dim", "x")
+            )
+            .select(
+                "m",
+                "code",
+                (F.col("sub_dim") + m * PQ_SUB).cast("long").alias("dim0"),
+                "x",
+            )
+        )
+    ex = per_m[0]
+    for df in per_m[1:]:
+        ex = ex.unionAll(df)
+    return ex.groupBy("m", "code", "dim0").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum("x").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0)
+        ).alias("centroid"),
+    )
