@@ -523,3 +523,15 @@ def test_pq_adc_is_map_only_plus_take_ordered(spark):
     assert "windowspecdefinition" not in p, p
     assert not re.search(r"Exchange (hash|range)partitioning", p), p
     assert "Join" not in p, p
+
+
+def test_grouped_weighted_median_no_stratum_window(spark):
+    """The grouped weighted median must ride the GLOBAL running sum (pid
+    windows only) + broadcast offsets — never PARTITION BY flag over the
+    value table (the banned stratum-window shape)."""
+    p = plan(spark, "weighted_median_by_flag")
+    for m in re.finditer(r"windowspecdefinition\(", p):
+        tail = p[m.start() : m.start() + 200]
+        assert "__pid" in tail, tail
+    assert "BroadcastExchange" in p, p
+    assert not re.search(r"Sort \[[^\]]*\], true", p), p
