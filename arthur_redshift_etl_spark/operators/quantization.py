@@ -113,3 +113,113 @@ def quantized_knn(
         .filter(F.col("knn_rank") <= k)
         .select("query_id", "neighbor_id", "knn_rank", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the OTHER memory lever: M subspace codes per vector
+# instead of one scalar scale — the billion-vector IVF-PQ layout).  All
+# arithmetic is micro-unit int64 (floor(x*1e6) per component), so codes,
+# LUTs, and ADC scores are bit-identical across engines, retries and
+# partitionings; the workload entries pq_adc_topk / pq_recall_eval /
+# pq_train_codebooks oracle-verify these helpers end to end.
+# ---------------------------------------------------------------------------
+
+MICRO = 1_000_000
+
+
+def micro_components(col=None):
+    """array<long> of micro-unit components: floor(x * 1e6) per element."""
+    col = F.col("embedding") if col is None else col
+    return F.transform(col, lambda x: F.floor(x.cast("double") * MICRO).cast("long"))
+
+
+def micro_list(vals) -> list:
+    """Driver-side twin of :func:`micro_components` (identical IEEE ops)."""
+    import math
+
+    return [int(math.floor(float(x) * MICRO)) for x in vals]
+
+
+def pq_subspace_distance(xm_col, codebook_vec: list, m: int, sub: int):
+    """Exact int64 squared L2 between a row's m-th subvector (of ``xm_col``,
+    a micro-unit array column) and a literal codebook subvector."""
+    lits = F.array(
+        *[F.lit(c).cast("long") for c in codebook_vec[m * sub : (m + 1) * sub]]
+    )
+    diffs = F.zip_with(
+        F.slice(xm_col, m * sub + 1, sub), lits, lambda a, b: (a - b) * (a - b)
+    )
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def pq_code(xm_col, codebooks: dict, m: int, sub: int):
+    """The m-th PQ code for a row: argmin centroid by exact distance, ties
+    to the lowest centroid id (lexicographic min of (d, cid) structs — no
+    window, no shuffle; the codebook is a baked literal)."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    pq_subspace_distance(xm_col, codebooks[cid], m, sub).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid in sorted(codebooks)
+            ]
+        )
+    )
+    return best.getField("cid")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: dict,
+    n_subspaces: int,
+    sub_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code0..code{M-1}) — a pure map over the corpus (plan-pinned in
+    test_plan_quality: no exchange, no join, no window)."""
+    base = df.select(F.col(id_col), micro_components(F.col(vec_col)).alias("xm"))
+    return base.select(
+        id_col,
+        *[
+            pq_code(F.col("xm"), codebooks, m, sub_dims).alias(f"code{m}")
+            for m in range(n_subspaces)
+        ],
+    )
+
+
+def pq_adc_lut(query_micro: list, codebooks: dict, n_subspaces: int, sub_dims: int):
+    """{(m, cid): exact int distance} computed driver-side in plain Python —
+    the 32-entry table ADC scoring bakes in as map literals."""
+    def d(m, cvec):
+        return sum(
+            (query_micro[i] - cvec[i]) ** 2
+            for i in range(m * sub_dims, (m + 1) * sub_dims)
+        )
+
+    return {
+        (m, cid): d(m, codebooks[cid])
+        for m in range(n_subspaces)
+        for cid in sorted(codebooks)
+    }
+
+
+def pq_adc_score(lut: dict, n_subspaces: int):
+    """Column: asymmetric distance of an ENCODED row to the LUT's query —
+    one map-literal lookup per subspace, summed.  Apply over the output of
+    :func:`pq_encode`."""
+    total = None
+    for m in range(n_subspaces):
+        lut_m = F.create_map(
+            *[
+                item
+                for (mm, cid), dist in sorted(lut.items())
+                if mm == m
+                for item in (F.lit(cid), F.lit(dist).cast("long"))
+            ]
+        )
+        term = lut_m[F.col(f"code{m}").cast("int")]
+        total = term if total is None else total + term
+    return total.cast("long")

@@ -10823,82 +10823,22 @@ PQ_QUERY_ID = 42
     ),
 )
 def pq_adc_topk(spark, sf_dir):
-    import math
+    from .operators import quantization as qz
 
     emb = t(spark, sf_dir, "embeddings")
-
-    def micro(vals):
-        return [int(math.floor(float(x) * 1000000)) for x in vals]
-
-    first = {
-        r["vec_id"]: micro(r["embedding"])
+    codebooks = {
+        r["vec_id"]: qz.micro_list(r["embedding"])
         for r in emb.filter(F.col("vec_id") < PQ_K).collect()
     }
-    query = micro(
+    query = qz.micro_list(
         emb.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0]["embedding"]
     )
-    xm = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
-    )
-    base = emb.select("vec_id", xm.alias("xm"))
-
-    def sub_dist(m: int, cvec) -> F.Column:
-        lits = F.array(
-            *[F.lit(c).cast("long") for c in cvec[m * PQ_SUB : (m + 1) * PQ_SUB]]
-        )
-        diffs = F.zip_with(
-            F.slice(F.col("xm"), m * PQ_SUB + 1, PQ_SUB),
-            lits,
-            lambda a, b: (a - b) * (a - b),
-        )
-        return F.aggregate(
-            diffs, F.lit(0).cast("long"), lambda acc, v: acc + v
-        )
-
-    # per-subspace argmin over the K centroids: lexicographic min of
-    # (distance, centroid_id) structs == rank-1 of ORDER BY d, cid
-    code_cols = []
-    for m in range(PQ_M):
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        sub_dist(m, first[cid]).alias("d"),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for cid in sorted(first)
-                ]
-            )
-        )
-        code_cols.append(best.getField("cid").alias(f"code{m}"))
-    coded = base.select("vec_id", *code_cols)
-
-    # the query's LUT: exact integer distances computed in plain Python
-    # (identical micro-unit arithmetic), baked in as one map literal per
-    # subspace — ADC scoring never joins
-    def py_sub_dist(m: int, cvec) -> int:
-        return sum(
-            (query[i] - cvec[i]) ** 2
-            for i in range(m * PQ_SUB, (m + 1) * PQ_SUB)
-        )
-
-    adc = None
-    for m in range(PQ_M):
-        lut_m = F.create_map(
-            *[
-                item
-                for cid in sorted(first)
-                for item in (
-                    F.lit(cid),
-                    F.lit(py_sub_dist(m, first[cid])).cast("long"),
-                )
-            ]
-        )
-        term = lut_m[F.col(f"code{m}")]
-        adc = term if adc is None else adc + term
+    coded = qz.pq_encode(emb, codebooks, PQ_M, PQ_SUB)
+    lut = qz.pq_adc_lut(query, codebooks, PQ_M, PQ_SUB)
     return (
-        coded.select("vec_id", adc.cast("long").alias("adc_dist"))
+        coded.select(
+            "vec_id", qz.pq_adc_score(lut, PQ_M).alias("adc_dist")
+        )
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
@@ -10958,19 +10898,13 @@ def pq_adc_topk(spark, sf_dir):
     ),
 )
 def pq_recall_eval(spark, sf_dir):
-    import math
+    from .operators import quantization as qz
 
     emb = t(spark, sf_dir, "embeddings")
-    query = [
-        int(math.floor(float(x) * 1000000))
-        for x in emb.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0][
-            "embedding"
-        ]
-    ]
-    xm = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+    query = qz.micro_list(
+        emb.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0]["embedding"]
     )
+    xm = qz.micro_components()
     qlits = F.array(*[F.lit(c).cast("long") for c in query])
     exact_d = F.aggregate(
         F.zip_with(xm, qlits, lambda a, b: (a - b) * (a - b)),
@@ -11039,48 +10973,21 @@ def pq_recall_eval(spark, sf_dir):
     ),
 )
 def pq_train_codebooks(spark, sf_dir):
-    import math
+    from .operators import quantization as qz
 
     emb = t(spark, sf_dir, "embeddings")
     first = {
-        r["vec_id"]: [
-            int(math.floor(float(x) * 1000000)) for x in r["embedding"]
-        ]
+        r["vec_id"]: qz.micro_list(r["embedding"])
         for r in emb.filter(F.col("vec_id") < PQ_K).collect()
     }
-    xm = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
-    )
-    base = emb.select("vec_id", xm.alias("xm"))
-
-    def sub_dist(m, cvec):
-        lits = F.array(
-            *[F.lit(c).cast("long") for c in cvec[m * PQ_SUB : (m + 1) * PQ_SUB]]
-        )
-        diffs = F.zip_with(
-            F.slice(F.col("xm"), m * PQ_SUB + 1, PQ_SUB),
-            lits,
-            lambda a, b: (a - b) * (a - b),
-        )
-        return F.aggregate(diffs, F.lit(0).cast("long"), lambda a, v: a + v)
+    base = emb.select("vec_id", qz.micro_components().alias("xm"))
 
     # one output row per (subspace, dim) per vector, tagged with the
     # vector's code in that subspace: posexplode the subvector so the mean
     # aggregation is a single partial-combined groupBy
     per_m = []
     for m in range(PQ_M):
-        code = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        sub_dist(m, first[cid]).alias("d"),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for cid in sorted(first)
-                ]
-            )
-        ).getField("cid")
+        code = qz.pq_code(F.col("xm"), first, m, PQ_SUB)
         per_m.append(
             base.select(
                 F.lit(m).cast("long").alias("m"),

@@ -22,7 +22,6 @@ Run ALONE:
 """
 
 import json
-import math
 import os
 import sys
 import tempfile
@@ -33,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from arthur_redshift_etl_spark import workload  # noqa: E402
+from arthur_redshift_etl_spark.operators import quantization as qz  # noqa: E402
 from arthur_redshift_etl_spark.session import build_session  # noqa: E402
 
 COPIES = int(os.environ.get("SPARK_GRAFT_PQ_COPIES", "320"))
@@ -43,10 +43,6 @@ M, SUB, K, QUERY_ID = (
     workload.PQ_K,
     workload.PQ_QUERY_ID,
 )
-
-
-def micro(vals):
-    return [int(math.floor(float(x) * 1000000)) for x in vals]
 
 
 def dir_bytes(d):
@@ -80,16 +76,13 @@ def main() -> None:
     n = vectors.count()
 
     first = {
-        r["vec_id"]: micro(r["embedding"])
+        r["vec_id"]: qz.micro_list(r["embedding"])
         for r in emb.filter(F.col("vec_id") < K).collect()
     }
-    query = micro(
+    query = qz.micro_list(
         emb.filter(F.col("vec_id") == QUERY_ID).collect()[0]["embedding"]
     )
-    xm = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
-    )
+    xm = qz.micro_components()
 
     # -- exact scan --------------------------------------------------------
     qlits = F.array(*[F.lit(c).cast("long") for c in query])
@@ -107,48 +100,19 @@ def main() -> None:
     exact_wall = time.perf_counter() - t0
 
     # -- encode (one-time) -------------------------------------------------
-    def sub_dist(m, cvec):
-        lits = F.array(
-            *[F.lit(c).cast("long") for c in cvec[m * SUB : (m + 1) * SUB]]
-        )
-        diffs = F.zip_with(
-            F.slice(F.col("xm"), m * SUB + 1, SUB), lits,
-            lambda a, b: (a - b) * (a - b),
-        )
-        return F.aggregate(diffs, F.lit(0).cast("long"), lambda a, v: a + v)
-
-    code_cols = []
-    for m in range(M):
-        best = F.array_min(F.array(*[
-            F.struct(sub_dist(m, first[cid]).alias("d"), F.lit(cid).alias("cid"))
-            for cid in sorted(first)
-        ]))
-        code_cols.append(best.getField("cid").cast("byte").alias(f"code{m}"))
     codes_dir = os.path.join(work, "codes")
     t1 = time.perf_counter()
-    vectors.select("vec_id", xm.alias("xm")).select(
-        "vec_id", *code_cols
+    qz.pq_encode(vectors, first, M, SUB).select(
+        "vec_id", *[F.col(f"code{m}").cast("byte").alias(f"code{m}") for m in range(M)]
     ).write.mode("overwrite").parquet(codes_dir)
     encode_wall = time.perf_counter() - t1
     codes = spark.read.parquet(codes_dir)
 
     # -- ADC scan over codes ----------------------------------------------
-    def py_sub_dist(m, cvec):
-        return sum(
-            (query[i] - cvec[i]) ** 2 for i in range(m * SUB, (m + 1) * SUB)
-        )
-
-    adc = None
-    for m in range(M):
-        lut = F.create_map(*[
-            item for cid in sorted(first)
-            for item in (F.lit(cid), F.lit(py_sub_dist(m, first[cid])).cast("long"))
-        ])
-        term = lut[F.col(f"code{m}").cast("int")]
-        adc = term if adc is None else adc + term
-    adc_expr = codes.select("vec_id", adc.alias("d")).orderBy(
-        "d", "vec_id"
-    ).limit(10)
+    lut = qz.pq_adc_lut(query, first, M, SUB)
+    adc_expr = codes.select(
+        "vec_id", qz.pq_adc_score(lut, M).alias("d")
+    ).orderBy("d", "vec_id").limit(10)
     adc_expr.collect()  # codegen warm
     t2 = time.perf_counter()
     adc_top = [r["vec_id"] for r in adc_expr.collect()]

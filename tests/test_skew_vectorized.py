@@ -452,3 +452,73 @@ def test_weighted_median_known_answer(spark, monkeypatch):
         )
     ).collect()[0]
     assert row2["m"] == 1.0
+
+
+def test_peak_concurrency_property_random_intervals(spark, tmp_path):
+    """Property: the distributed sweep equals a naive Python sweep on
+    arbitrary event sets — coincident starts/ends, single-event intervals
+    (start == end), and multi-day users included."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:  # pragma: no cover - environment gate
+        pytest.skip("hypothesis unavailable")
+
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from arthur_redshift_etl_spark import workload
+
+    base = datetime.datetime(2024, 3, 1)
+    events_strategy = st.lists(
+        st.tuples(
+            st.integers(0, 5),    # user
+            st.integers(0, 2),    # day
+            st.integers(0, 20),   # coarse hour-slot -> many exact ties
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    case_no = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(evs=events_strategy)
+    def check(evs):
+        case_no[0] += 1
+        rows = [
+            (i, base + datetime.timedelta(days=d, hours=h), u, "e", 0.0, "{}")
+            for i, (u, d, h) in enumerate(evs)
+        ]
+        d = str(tmp_path / f"case{case_no[0]}")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = workload.peak_concurrent_sessions(spark, d).collect()[0]
+
+        iv = {}
+        for _, ts, u, *_ in rows:
+            key = (u, ts.date())
+            s, e = iv.get(key, (ts, ts))
+            iv[key] = (min(s, ts), max(e, ts))
+        deltas = {}
+        for s, e in iv.values():
+            a, b = deltas.get(s, (0, 0)); deltas[s] = (a + 1, b)
+            a, b = deltas.get(e, (0, 0)); deltas[e] = (a, b + 1)
+        cum_s = cum_e = 0
+        best = (-1, None)
+        for ts in sorted(deltas):
+            sh, eh = deltas[ts]
+            cum_s += sh
+            cum_e += eh
+            c = cum_s - cum_e + eh
+            if c > best[0]:
+                best = (c, ts)
+        assert got["n_intervals"] == len(iv), evs
+        assert got["peak_concurrency"] == best[0], evs
+        assert got["peak_at"] == best[1], evs
+
+    check()
