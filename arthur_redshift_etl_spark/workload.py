@@ -11087,3 +11087,90 @@ def weighted_median_by_flag(spark, sf_dir):
         .agg(F.min("val").alias("weighted_median"))
         .select("flag", "weighted_median", F.col("wg").alias("total_weight"))
     )
+
+
+@query(
+    "ivfpq_search",
+    oracle=_IVF_ASSIGN_CTE
+    + f"""
+    , qbucket AS (
+      SELECT centroid_id FROM assign WHERE vec_id = {PQ_QUERY_ID}
+    ),
+    cand AS (
+      SELECT a.vec_id FROM assign a JOIN qbucket q
+        ON a.centroid_id = q.centroid_id
+    ),
+    ex AS (
+      SELECT vec_id, t.i - 1 AS dim0,
+             CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xm
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cb AS (SELECT vec_id AS cid, dim0, xm AS cm FROM ex WHERE vec_id < {PQ_K}),
+    dist AS (
+      SELECT e.vec_id, e.dim0 // {PQ_SUB} AS m, c.cid,
+             SUM((e.xm - c.cm) * (e.xm - c.cm)) AS d
+      FROM ex e JOIN cb c ON e.dim0 = c.dim0
+      WHERE e.vec_id IN (SELECT vec_id FROM cand)
+         OR e.vec_id = {PQ_QUERY_ID}
+      GROUP BY e.vec_id, e.dim0 // {PQ_SUB}, c.cid
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid)
+                 AS rk
+        FROM dist WHERE vec_id IN (SELECT vec_id FROM cand)
+      ) WHERE rk = 1
+    ),
+    lut AS (SELECT m, cid, d AS qd FROM dist WHERE vec_id = {PQ_QUERY_ID}),
+    adc AS (
+      SELECT c.vec_id, CAST(SUM(l.qd) AS BIGINT) AS adc_dist
+      FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 5
+    """,
+    description=(
+        "IVF-PQ search — the composed billion-vector architecture: the "
+        "coarse IVF quantizer (cosine nearest-centroid, the proven "
+        "ann_ivf_* assignment) prunes the corpus to the query's bucket, "
+        "and PQ/ADC (integer-exact codes + the baked query LUT) ranks "
+        "only those candidates; top-5 by ADC distance with vec_id "
+        "tiebreak.  The two prunes compose multiplicatively at scale: "
+        "IVF cuts candidates to ~1/nlist of the corpus (a "
+        "partition-pruned scan when the codes table is written "
+        "bucket-partitioned), ADC then reads 4 bytes per survivor "
+        "instead of the float vector.  Everything data-scaled is a map "
+        "or a broadcast-pruned scan; the only gather is the top-k"
+    ),
+)
+def ivfpq_search(spark, sf_dir):
+    from .operators import quantization as qz
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = sim.ivf_assign(emb, centroids)
+    qbucket = assign.filter(F.col("vec_id") == PQ_QUERY_ID).select(
+        F.col("centroid_id").alias("__qc")
+    )
+    cand_ids = assign.join(
+        F.broadcast(qbucket), F.col("centroid_id") == F.col("__qc")
+    ).select("vec_id")
+    cand = emb.join(cand_ids, "vec_id")
+    codebooks = {
+        r["vec_id"]: qz.micro_list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    query = qz.micro_list(
+        emb.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0]["embedding"]
+    )
+    coded = qz.pq_encode(cand, codebooks, PQ_M, PQ_SUB)
+    lut = qz.pq_adc_lut(query, codebooks, PQ_M, PQ_SUB)
+    return (
+        coded.select("vec_id", qz.pq_adc_score(lut, PQ_M).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(5)
+    )
