@@ -11153,12 +11153,13 @@ def ivfpq_search(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     assign = sim.ivf_assign(emb, centroids)
-    qbucket = assign.filter(F.col("vec_id") == PQ_QUERY_ID).select(
-        F.col("centroid_id").alias("__qc")
-    )
-    cand_ids = assign.join(
-        F.broadcast(qbucket), F.col("centroid_id") == F.col("__qc")
-    ).select("vec_id")
+    # the probe bucket is a 1-row driver lookup (same pattern as the
+    # winsorized-mean rank cuts), so the candidate filter is a literal —
+    # no broadcast of a fact-derived subtree, plain hash join on vec_id
+    qc = assign.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0][
+        "centroid_id"
+    ]
+    cand_ids = assign.filter(F.col("centroid_id") == qc).select("vec_id")
     cand = emb.join(cand_ids, "vec_id")
     codebooks = {
         r["vec_id"]: qz.micro_list(r["embedding"])

@@ -51,6 +51,7 @@ ALLOWED_NL_JOIN = {
     "q22_global_sales_opportunity": "1-row AVG aggregate broadcast (was a driver collect)",
     "embedding_int8_quantize": "1-row corpus-max scale aggregate broadcast",
     "ann_ivf_incremental_assign": "centroid set broadcast (k rows), old+new assignment",
+    "ivfpq_search": "centroid set broadcast (k rows) in the coarse IVF assignment",
     "hll_distinct_users": "1-row exact-distinct comparison aggregate broadcast",
     "hll_set_ops_events": "1-row sketch-estimate aggregates broadcast (a/b/union/exact)",
     "dq_expectations_orders": "1-row orphan-count aggregate broadcast into the report row",

@@ -44,6 +44,9 @@ ALLOWED_RAW_FACT_BCAST = {
     "contrastive_pair_mining": "anchor set = vec_id % 97 (corpus/97 rows; "
     "documented scored-scan design, same shape as knn_bruteforce)",
     "bitext_margin_mining": "anchor set = vec_id % 53 even-label slice",
+    "ivfpq_search": "centroid seeds = embeddings vec_id < 8 (K rows at any "
+    "SF) broadcast inside the coarse IVF assignment — same bound as the "
+    "ann_ivf_* family",
 }
 
 # The size check already skips subtrees containing a reducing node (their
