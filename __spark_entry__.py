@@ -166,14 +166,14 @@ _DRIVER_VERIFIED = (
 # Entries whose IMPLEMENTATION changed since their last green driver row:
 # force them into the first-50 sample until a post-change hash-verified
 # row exists (round 6 used this for the q21 rewrite; round 8 for the
-# stratum-window/128-bit-quota rewires — all re-recorded green in
-# CORRECTNESS_r08, so those left the block again).  Remaining: round 8
-# rewired tx.top_tokens / classify_by_token_profile through the shared
-# top_k_by_count idiom, and these two consumers were NOT in the r8 sample,
-# so their driver evidence still predates the change (ADVICE r8 #1).
+# stratum-window rewires; round 9 for the top_k_by_count consumers — all
+# re-recorded green, so those left the block again).  Remaining: round 10
+# fixed the duckdb entry's two latent defects (content-keyed mirror cache
+# + decimal-before-SUM float parity, VERDICT r9 #1); its r9 row was red so
+# the artifact rotation already fronts it, but the explicit pin documents
+# the pending re-green.
 _RESAMPLE_FIRST = (
-    "text_top_tokens",
-    "text_lang_profile_classify",
+    "duckdb_source_orders_by_status",
 )
 
 

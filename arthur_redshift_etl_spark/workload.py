@@ -10176,10 +10176,14 @@ def _duckdb_mirror(sf_dir: str) -> str:
 
     Stands in for a non-JDBC upstream so the Python DataSource extract
     path runs under the driver's oracle gate with the same inputs as
-    every other entry.  Built once per (sf_dir, pid-independent) cache
-    key; concurrent builders stage to a unique temp name and rename
-    (atomic on the same filesystem), so a half-written mirror is never
-    read.
+    every other entry.  Built once per content cache key; concurrent
+    builders stage to a unique temp name and rename (atomic on the same
+    filesystem), so a half-written mirror is never read.
+
+    The cache key folds in the source parquet's (mtime_ns, size) so a
+    persisted temp dir can never serve a stale mirror after the testdata
+    is regenerated — the Spark side and the oracle (which reads the
+    parquet directly) must always see the same rows.
     """
     import hashlib
     import os
@@ -10187,7 +10191,11 @@ def _duckdb_mirror(sf_dir: str) -> str:
 
     import duckdb
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_upstream_{key}.duckdb")
     if not os.path.exists(path):
         fd, tmp = tempfile.mkstemp(suffix=".duckdb", dir=tempfile.gettempdir())
@@ -10211,7 +10219,8 @@ def _duckdb_mirror(sf_dir: str) -> str:
     oracle="""
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS total_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS total_price
     FROM orders
     WHERE o_totalprice > 1000
     GROUP BY o_orderstatus
@@ -10245,7 +10254,12 @@ def duckdb_source_orders_by_status(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+            # Float-parity convention (see q01 etc.): cast to decimal
+            # BEFORE summing so the result is accumulation-order-free
+            # on both engines.
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_price"),
         )
     )
 

@@ -484,3 +484,40 @@ def test_change_feed_protocol_property_no_loss_no_dup(tmp_path):
         assert sorted(seen) == list(range(appended))  # exactly once, no gaps
 
     check()
+
+
+def test_mirror_cache_rebuilds_when_parquet_changes(tmp_path):
+    """Regression (r9 red driver row): the /tmp mirror cache must be
+    content-keyed — regenerating the source parquet in place must yield a
+    fresh mirror, never stale rows against a fresh oracle."""
+    import os
+    import shutil
+
+    from arthur_redshift_etl_spark.workload import _duckdb_mirror
+
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    dst = sf_dir / "orders.parquet"
+    shutil.copy(f"{SF}/orders.parquet", dst)
+
+    first = _duckdb_mirror(str(sf_dir))
+    con = duckdb.connect(first, read_only=True)
+    n_first = con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    con.close()
+    assert n_first > 0
+
+    # Regenerate the parquet in place with fewer rows (new mtime + size).
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{SF}/orders.parquet') LIMIT 10) "
+        f"TO '{dst}' (FORMAT PARQUET)"
+    )
+    con.close()
+    os.utime(dst)  # belt-and-braces: guarantee a distinct mtime_ns
+
+    second = _duckdb_mirror(str(sf_dir))
+    assert second != first  # content key changed -> new cache path
+    con = duckdb.connect(second, read_only=True)
+    n_second = con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    con.close()
+    assert n_second == 10
