@@ -8,6 +8,7 @@ query/summarize/tail commands (:656-973).
 
 from __future__ import annotations
 
+import datetime
 import json
 import logging
 import os
@@ -90,7 +91,8 @@ class EventStore:
         return [buckets[k] for k in sorted(buckets, key=lambda k: (str(k[0]), str(k[1])))]
 
     def tail(self, n: int = 10) -> List[Dict[str, Any]]:
-        return self.events()[-n:]
+        # n <= 0 is an empty window, not "everything" ([-0:] would be all)
+        return self.events()[-n:] if n > 0 else []
 
     def tail_at(self, offset: int, n: int = 10) -> List[Dict[str, Any]]:
         """Last ``n`` events at or before ``offset`` (from :meth:`offset`).
@@ -330,7 +332,12 @@ def serve_events(
             elif u.path == "/api/summary":
                 self._json(store.summarize(etl_id=q.get("etl_id")))
             elif u.path == "/api/tail":
-                self._json(store.tail(int(q.get("n", "20"))))
+                try:
+                    n = int(q.get("n", "20"))
+                except ValueError:
+                    self._json({"error": "n must be an integer"}, status=400)
+                    return
+                self._json(store.tail(max(0, n)))
             elif u.path == "/":
                 summary = store.summarize()
                 tail = store.tail(20)
@@ -350,10 +357,18 @@ def serve_events(
                     )
                     for b in summary
                 )
+                def fmt_ts(e):
+                    t = e.get("timestamp")
+                    if t is None:
+                        return ""
+                    return datetime.datetime.fromtimestamp(
+                        t, tz=datetime.timezone.utc
+                    ).strftime("%Y-%m-%d %H:%M:%S")
+
                 trows = "".join(
                     "<tr><td>{}</td><td>{}</td><td>{}</td><td{}>{}</td>"
                     "<td>{}</td><td>{}</td></tr>".format(
-                        esc(e.get("ts")),
+                        esc(fmt_ts(e)),
                         esc(e.get("target")),
                         esc(e.get("step")),
                         ' class="fail"' if e.get("event") == EVENT_FAIL else "",

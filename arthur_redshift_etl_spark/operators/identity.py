@@ -249,6 +249,13 @@ def global_running_max(
     That is the skyline/Pareto primitive: a point is dominated exactly when
     the exclusive prefix max over the other dimension reaches it.
 
+    **exclusive=True requires unique ``order_by`` keys.** The strict
+    prefix is computed with a ROWS frame, so duplicate keys make "before"
+    depend on the (nondeterministic) tie order within a partition —
+    pre-group to one row per key first, as the Pareto-frontier caller
+    does. Inclusive mode (the default) is tie-safe: equal keys see the
+    same running max regardless of order.
+
     Integer values only (NULL-free long column; the driver combine uses
     Python ints).  Same cross-job hazard as :func:`global_row_number`: the
     per-partition offsets are baked constants, so the layout is pinned with

@@ -1321,7 +1321,9 @@ def q13(spark, sf_dir):
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1'
       AND l_quantity < (
-        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        SELECT (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                / COUNT(*)) * 0.2
+        FROM lineitem l2
         WHERE l2.l_partkey = lineitem.l_partkey
       )
     """,
@@ -1330,8 +1332,13 @@ def q13(spark, sf_dir):
 def q17(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    # Float-parity: exact decimal sum then one float divide/multiply —
+    # identical IEEE op sequence to the oracle, order-free.
     avg_qty = li.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+        (
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+            * 0.2
+        ).alias("qty_threshold")
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -1420,7 +1427,9 @@ def q19(spark, sf_dir):
       SELECT c_nationkey % 5 AS nation_prefix, c_acctbal, c_custkey
       FROM customer
       WHERE c_acctbal > (
-        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer WHERE c_acctbal > 0
       )
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     ) hot
@@ -1435,8 +1444,12 @@ def q19(spark, sf_dir):
 def q22(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
-    avg_bal = (
-        cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg_bal"))
+    # Float-parity: exact decimal sum, one float division — the raw-double
+    # AVG threshold was accumulation-order dependent at the boundary.
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "__avg_bal"
+        )
     )
     hot = (
         cust.crossJoin(F.broadcast(avg_bal))
@@ -10571,7 +10584,7 @@ def rolling_7d_distinct_users(spark, sf_dir):
     )
     SELECT cuts.lo AS p05, cuts.hi AS p95, tot.n AS n_orders,
            CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, cuts.lo), cuts.hi)
-                         AS DECIMAL(18,2))) / tot.n AS DOUBLE)
+                         AS DECIMAL(18,2))) AS DOUBLE) / tot.n
              AS winsorized_mean
     FROM orders o CROSS JOIN cuts CROSS JOIN tot
     GROUP BY cuts.lo, cuts.hi, tot.n
@@ -10610,16 +10623,18 @@ def winsorized_mean_price(spark, sf_dir):
         F.lit(lo).alias("p05"),
         F.lit(hi).alias("p95"),
         F.lit(n).cast("long").alias("n_orders"),
+        # Cast the exact decimal sum to double BEFORE dividing: engines
+        # disagree on decimal-division scale/rounding (DuckDB's / is
+        # float division), so the division must happen in float on both
+        # sides (same convention as cohort_ltv_curve).
         (
             F.sum(
                 F.least(
                     F.greatest(F.col("o_totalprice"), F.lit(lo)), F.lit(hi)
                 ).cast("decimal(18,2)")
-            )
+            ).cast("double")
             / F.lit(n)
-        )
-        .cast("double")
-        .alias("winsorized_mean"),
+        ).alias("winsorized_mean"),
     )
 
 

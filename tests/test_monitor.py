@@ -45,6 +45,18 @@ def test_http_monitor_serves_summary_events_and_dashboard():
         assert len(tail) == 2
         html = urllib.request.urlopen(base + "/").read().decode()
         assert "dw.fact" in html and "src.orders" in html
+        # the tail table's ts column is populated (events store the time
+        # under "timestamp"; a regression rendered a missing "ts" key as
+        # an always-blank cell)
+        import re
+
+        assert re.search(r"<td>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}</td>", html)
+        # /api/tail rejects garbage n with a 400 instead of a stack trace,
+        # and clamps negative n to an empty window
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(base + "/api/tail?n=bogus")
+        assert exc.value.code == 400
+        assert get_json("/api/tail?n=-3") == []
         # a LIVE append is visible on the next request (re-read per hit)
         with Monitor(store, "dw.late", STEP_LOAD):
             pass
