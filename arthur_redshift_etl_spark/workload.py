@@ -11204,3 +11204,275 @@ def ivfpq_search(spark, sf_dir):
         .orderBy("adc_dist", "vec_id")
         .limit(5)
     )
+
+
+def _pq_probe_ids(emb, nprobe: int) -> list:
+    """Ordered list of the query's ``nprobe`` nearest IVF centroid ids
+    (cosine desc, centroid_id tiebreak) — the multiprobe schedule.
+
+    Computed with the SAME Spark expressions as the coarse assignment
+    (normalized + sequential dot), then collected: a bounded driver
+    lookup of at most ``nprobe`` ids (the probe schedule is per-query
+    metadata, like ivfpq_search's single bucket id — never data-scaled).
+    """
+    cent = sim.normalized(
+        emb.filter(F.col("vec_id") < PQ_K),
+        "vec_id",
+        "centroid_id",
+        "embedding",
+        "cv",
+    )
+    q = sim.normalized(
+        emb.filter(F.col("vec_id") == PQ_QUERY_ID),
+        "vec_id",
+        "query_id",
+        "embedding",
+        "qv",
+    )
+    rows = (
+        cent.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id", sim.dot(F.col("cv"), F.col("qv")).alias("s")
+        )
+        .orderBy(F.desc("s"), "centroid_id")
+        .limit(nprobe)
+        .collect()
+    )
+    return [r["centroid_id"] for r in rows]
+
+
+_IVFPQ_PROBE_CTE = f"""
+    , probe AS (
+      SELECT centroid_id, prk FROM (
+        SELECT cent.centroid_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY list_cosine_similarity(qv.vv, cent.cv) DESC,
+                          cent.centroid_id
+               ) AS prk
+        FROM cent, (SELECT vv FROM v WHERE vec_id = {PQ_QUERY_ID}) qv
+      ) WHERE prk <= 4
+    )
+"""
+
+_PQ_CODES_CTE = f"""
+    , ex AS (
+      SELECT vec_id, t.i - 1 AS dim0,
+             CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xm
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cb AS (SELECT vec_id AS cid, dim0, xm AS cm FROM ex WHERE vec_id < {PQ_K}),
+    dist AS (
+      SELECT e.vec_id, e.dim0 // {PQ_SUB} AS m, c.cid,
+             SUM((e.xm - c.cm) * (e.xm - c.cm)) AS d
+      FROM ex e JOIN cb c ON e.dim0 = c.dim0
+      GROUP BY e.vec_id, e.dim0 // {PQ_SUB}, c.cid
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid)
+                 AS rk
+        FROM dist
+      ) WHERE rk = 1
+    ),
+    lut AS (SELECT m, cid, d AS qd FROM dist WHERE vec_id = {PQ_QUERY_ID})
+"""
+
+
+@query(
+    "ivfpq_multiprobe",
+    oracle=_IVF_ASSIGN_CTE
+    + _IVFPQ_PROBE_CTE
+    + _PQ_CODES_CTE
+    + f"""
+    , cand AS (
+      SELECT a.vec_id FROM assign a
+      JOIN probe p ON a.centroid_id = p.centroid_id AND p.prk <= 2
+    ),
+    adc AS (
+      SELECT c.vec_id, CAST(SUM(l.qd) AS BIGINT) AS adc_dist
+      FROM cand cd
+      JOIN codes c ON c.vec_id = cd.vec_id
+      JOIN lut l ON c.m = l.m AND c.code = l.cid
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 5
+    """,
+    description=(
+        "IVF-PQ search probing the query's 2 nearest coarse buckets "
+        "(nprobe — the recall lever the single-bucket ivfpq_search "
+        "lacks, and the known recall cliff of one-probe IVF-PQ): the "
+        "probe schedule is the cosine-ranked top-nprobe centroid list "
+        "(bounded driver lookup, per-query metadata), candidates are "
+        "the union of the probed inverted lists (disjoint by "
+        "construction — each vector lives in exactly one bucket, no "
+        "dedup), and PQ/ADC ranks the survivors integer-exactly; "
+        "top-5 with vec_id tiebreak.  Cost scales as nprobe/nlist of "
+        "the corpus per query while the ADC read stays 4 bytes per "
+        "candidate — the standard recall/latency dial of the "
+        "billion-vector layout"
+    ),
+)
+def ivfpq_multiprobe(spark, sf_dir):
+    from .operators import quantization as qz
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = sim.ivf_assign(emb, centroids)
+    probe_ids = _pq_probe_ids(emb, 2)
+    cand_ids = assign.filter(F.col("centroid_id").isin(probe_ids)).select(
+        "vec_id"
+    )
+    cand = emb.join(cand_ids, "vec_id")
+    codebooks = {
+        r["vec_id"]: qz.micro_list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    query = qz.micro_list(
+        emb.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0]["embedding"]
+    )
+    coded = qz.pq_encode(cand, codebooks, PQ_M, PQ_SUB)
+    lut = qz.pq_adc_lut(query, codebooks, PQ_M, PQ_SUB)
+    return (
+        coded.select("vec_id", qz.pq_adc_score(lut, PQ_M).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(5)
+    )
+
+
+@query(
+    "ivfpq_recall_eval",
+    oracle=_IVF_ASSIGN_CTE
+    + _IVFPQ_PROBE_CTE
+    + _PQ_CODES_CTE
+    + f"""
+    , nps AS (SELECT * FROM (VALUES (1), (2), (4)) t(np)),
+    cand AS (
+      SELECT n.np, a.vec_id
+      FROM assign a
+      JOIN probe p ON a.centroid_id = p.centroid_id
+      JOIN nps n ON p.prk <= n.np
+    ),
+    adc AS (
+      SELECT cd.np, c.vec_id, CAST(SUM(l.qd) AS BIGINT) AS adc_dist
+      FROM cand cd
+      JOIN codes c ON c.vec_id = cd.vec_id
+      JOIN lut l ON c.m = l.m AND c.code = l.cid
+      GROUP BY cd.np, c.vec_id
+    ),
+    ranked AS (
+      SELECT np, vec_id FROM (
+        SELECT np, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY np ORDER BY adc_dist, vec_id)
+                 AS rk
+        FROM adc
+      ) WHERE rk <= 10
+    ),
+    q2 AS (SELECT dim0, xm AS qm FROM ex WHERE vec_id = {PQ_QUERY_ID}),
+    exact AS (
+      SELECT e.vec_id
+      FROM ex e JOIN q2 ON e.dim0 = q2.dim0
+      GROUP BY e.vec_id
+      ORDER BY SUM((e.xm - q2.qm) * (e.xm - q2.qm)), e.vec_id
+      LIMIT 10
+    )
+    SELECT CAST(r.np AS BIGINT) AS nprobe,
+           CAST(COUNT(e.vec_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(e.vec_id) AS DOUBLE) / 10 AS recall_at_10
+    FROM ranked r LEFT JOIN exact e ON r.vec_id = e.vec_id
+    GROUP BY r.np
+    """,
+    description=(
+        "recall@10 of the composed IVF-PQ index at nprobe 1/2/4 against "
+        "the exact micro-unit L2 top-10 — closes the quality loop on "
+        "the composed index the way ann_ivf_recall_eval and "
+        "pq_recall_eval do for its halves, and measures the nprobe "
+        "recall curve in one pass (candidate sets nest, so the corpus "
+        "is encoded ONCE for the widest probe schedule and each "
+        "narrower nprobe is a filter on the probe rank).  Integer-exact "
+        "ADC distances and vec_id tiebreaks keep every ranking "
+        "deterministic; recall is monotone in nprobe by construction "
+        "(supersets of candidates, pinned in tests).  The per-nprobe "
+        "top-10 window partitions on nprobe over probed candidates "
+        "only — bounded by |nps| x the probed lists, never the corpus"
+    ),
+)
+def ivfpq_recall_eval(spark, sf_dir):
+    from .operators import quantization as qz
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = sim.ivf_assign(emb, centroids)
+    probe_ids = _pq_probe_ids(emb, 4)
+    prk_map = F.create_map(
+        *[
+            item
+            for i, cid in enumerate(probe_ids)
+            for item in (F.lit(cid), F.lit(i + 1))
+        ]
+    )
+    cand = assign.filter(F.col("centroid_id").isin(probe_ids)).select(
+        "vec_id", prk_map[F.col("centroid_id")].alias("prk")
+    )
+    codebooks = {
+        r["vec_id"]: qz.micro_list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    query = qz.micro_list(
+        emb.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0]["embedding"]
+    )
+    coded = qz.pq_encode(
+        emb.join(cand.select("vec_id"), "vec_id"), codebooks, PQ_M, PQ_SUB
+    )
+    lut = qz.pq_adc_lut(query, codebooks, PQ_M, PQ_SUB)
+    scored = coded.select(
+        "vec_id", qz.pq_adc_score(lut, PQ_M).alias("adc_dist")
+    ).join(cand, "vec_id")
+    expanded = scored.select(
+        "vec_id",
+        "adc_dist",
+        "prk",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("np"),
+    ).filter(F.col("prk") <= F.col("np"))
+    w = Window.partitionBy("np").orderBy("adc_dist", "vec_id")
+    ranked = (
+        expanded.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("np", "vec_id")
+    )
+    xm = qz.micro_components()
+    qlits = F.array(*[F.lit(c).cast("long") for c in query])
+    exact_d = F.aggregate(
+        F.zip_with(xm, qlits, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    exact = (
+        emb.select("vec_id", exact_d.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("in_exact"))
+    )
+    return (
+        ranked.join(exact, "vec_id", "left")
+        .groupBy("np")
+        .agg(
+            F.sum(F.coalesce(F.col("in_exact"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlap"),
+            (
+                F.sum(F.coalesce(F.col("in_exact"), F.lit(0))).cast("double")
+                / F.lit(10)
+            ).alias("recall_at_10"),
+        )
+        .select(
+            F.col("np").cast("long").alias("nprobe"),
+            "n_overlap",
+            "recall_at_10",
+        )
+    )

@@ -52,6 +52,14 @@ ALLOWED_NL_JOIN = {
     "embedding_int8_quantize": "1-row corpus-max scale aggregate broadcast",
     "ann_ivf_incremental_assign": "centroid set broadcast (k rows), old+new assignment",
     "ivfpq_search": "centroid set broadcast (k rows) in the coarse IVF assignment",
+    "ivfpq_multiprobe": (
+        "centroid set broadcast (k rows) in the coarse IVF assignment + "
+        "1-row query broadcast for the probe schedule"
+    ),
+    "ivfpq_recall_eval": (
+        "centroid set broadcast (k rows) in the coarse IVF assignment + "
+        "1-row query broadcast for the probe schedule"
+    ),
     "hll_distinct_users": "1-row exact-distinct comparison aggregate broadcast",
     "hll_set_ops_events": "1-row sketch-estimate aggregates broadcast (a/b/union/exact)",
     "dq_expectations_orders": "1-row orphan-count aggregate broadcast into the report row",

@@ -47,6 +47,10 @@ ALLOWED_RAW_FACT_BCAST = {
     "ivfpq_search": "centroid seeds = embeddings vec_id < 8 (K rows at any "
     "SF) broadcast inside the coarse IVF assignment — same bound as the "
     "ann_ivf_* family",
+    "ivfpq_multiprobe": "centroid seeds vec_id < 8 + 1-row query "
+    "(vec_id = PQ_QUERY_ID) broadcast in the probe-schedule ranking",
+    "ivfpq_recall_eval": "centroid seeds vec_id < 8 + 1-row query "
+    "(vec_id = PQ_QUERY_ID) broadcast in the probe-schedule ranking",
 }
 
 # The size check already skips subtrees containing a reducing node (their

@@ -522,3 +522,21 @@ def test_peak_concurrency_property_random_intervals(spark, tmp_path):
         assert got["peak_at"] == best[1], evs
 
     check()
+
+
+def test_ivfpq_recall_monotone_in_nprobe(spark):
+    """The composed IVF-PQ recall curve must be non-decreasing in nprobe
+    (candidate sets nest), and every recall must be consistent with its
+    overlap count."""
+    from arthur_redshift_etl_spark.workload import ivfpq_recall_eval
+
+    rows = {
+        r["nprobe"]: r
+        for r in ivfpq_recall_eval(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    assert (
+        rows[1]["n_overlap"] <= rows[2]["n_overlap"] <= rows[4]["n_overlap"]
+    )
+    for r in rows.values():
+        assert r["recall_at_10"] == r["n_overlap"] / 10
