@@ -223,3 +223,67 @@ def pq_adc_score(lut: dict, n_subspaces: int):
         term = lut_m[F.col(f"code{m}").cast("int")]
         total = term if total is None else total + term
     return total.cast("long")
+
+
+def pq_train_iterations(
+    df: DataFrame,
+    codebooks: dict,
+    n_subspaces: int,
+    sub_dims: int,
+    n_iters: int,
+    vec_col: str = "embedding",
+) -> dict:
+    """``n_iters`` Lloyd steps of per-subspace PQ codebook training; returns
+    the refined codebooks dict (same keys, micro-unit int lists).
+
+    Each iteration is fully distributed: assignment is a pure map over the
+    corpus (current codebook baked as literals, the same argmin as
+    :func:`pq_code`), the centroid update is ONE partial-combined groupBy
+    producing M*K*SUB cells — output bounded by the codebook size
+    regardless of corpus size — and only those cells (a few hundred longs)
+    come back to the driver to bake the next iteration's literals.  The
+    per-iteration driver traffic is O(M*K*SUB), not O(corpus).
+
+    Centroid means are exact int64: SUM(xm) div n (truncating integer
+    division — DuckDB's ``//`` and Spark's ``div`` agree on negatives,
+    both toward zero), so iterated codebooks are bit-identical across
+    engines, retries, and partitionings.  An empty (subspace, code) cell
+    keeps its previous centroid (the standard Lloyd dead-centroid rule,
+    and what the unrolled SQL oracle's LEFT JOIN + COALESCE encodes).
+    """
+    base = df.select(micro_components(F.col(vec_col)).alias("xm"))
+    cb = {cid: list(vec) for cid, vec in codebooks.items()}
+    for _ in range(n_iters):
+        per_m = []
+        for m in range(n_subspaces):
+            code = pq_code(F.col("xm"), cb, m, sub_dims)
+            per_m.append(
+                base.select(
+                    F.lit(m).cast("long").alias("m"),
+                    code.cast("long").alias("code"),
+                    F.slice(F.col("xm"), m * sub_dims + 1, sub_dims).alias(
+                        "sub"
+                    ),
+                ).select(
+                    "m",
+                    "code",
+                    F.posexplode(F.col("sub")).alias("sub_dim", "x"),
+                )
+            )
+        ex = per_m[0]
+        for d in per_m[1:]:
+            ex = ex.unionAll(d)
+        cells = (
+            ex.groupBy("m", "code", "sub_dim")
+            .agg(
+                F.sum("x").cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .withColumn("cm", F.expr("s div n"))
+            .collect()
+        )
+        new = {cid: list(vec) for cid, vec in cb.items()}
+        for r in cells:
+            new[r["code"]][r["m"] * sub_dims + r["sub_dim"]] = r["cm"]
+        cb = new
+    return cb
