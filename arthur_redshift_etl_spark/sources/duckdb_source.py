@@ -15,10 +15,11 @@ DataSource hooks where Spark expects them:
 - ``partitions()``  — boundary query (MIN/MAX of the split column) then
   N half-open key ranges, one Spark task each (sqoop's ``--split-by`` /
   ``--num-mappers``);
-- ``pushFilters()`` — simple comparisons translate to parameterized SQL
-  in the per-partition query, so the upstream prunes before a byte
-  crosses into Spark (the reference pushes WHERE into sqoop's
-  ``--query``);
+- ``pushFilters()`` — comparisons, null checks, IN lists, and string
+  prefixes translate to parameterized SQL in the per-partition query, so
+  the upstream prunes before a byte crosses into Spark (the reference
+  pushes WHERE into sqoop's ``--query``); unsupported shapes are yielded
+  back and Spark re-applies them above the scan;
 - ``read()``        — each task opens its own read-only connection and
   streams Arrow record batches straight out of DuckDB (zero
   row-at-a-time Python conversion; Spark ingests the batches directly).
@@ -53,9 +54,11 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     IsNotNull,
     IsNull,
+    StringStartsWith,
     DataSourceArrowWriter,
     LessThan,
     LessThanOrEqual,
@@ -205,6 +208,18 @@ class DuckDBReader(DataSourceReader):
                 self.where.append(f'"{col}" IS NULL')
             elif known and isinstance(f, IsNotNull):
                 self.where.append(f'"{col}" IS NOT NULL')
+            elif known and isinstance(f, In) and len(f.value) > 0:
+                # point-lookup list: one bind slot per element (an empty
+                # IN () is invalid SQL — yielded back, Spark keeps it)
+                slots = ", ".join("?" for _ in f.value)
+                self.where.append(f'"{col}" IN ({slots})')
+                self.params.extend(f.value)
+            elif known and isinstance(f, StringStartsWith):
+                # starts_with() is a case-sensitive byte-prefix test in
+                # DuckDB, matching Spark's semantics — and sidesteps LIKE
+                # wildcard escaping since the prefix binds as a parameter
+                self.where.append(f'starts_with("{col}", ?)')
+                self.params.append(f.value)
             else:
                 yield f  # Spark re-applies what the source can't handle
 

@@ -521,3 +521,70 @@ def test_mirror_cache_rebuilds_when_parquet_changes(tmp_path):
     n_second = con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
     con.close()
     assert n_second == 10
+
+
+def test_in_list_pushdown_reaches_duckdb(registered, duck_path):
+    """IN lists (point lookups) push down: the plan is Filter-free and the
+    rows prove DuckDB applied the predicate."""
+    got = _read(registered, duck_path, table="orders").filter(
+        "o_orderstatus IN ('F', 'P')"
+    )
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan, plan
+    ref = (
+        registered.read.parquet(f"{SF}/orders.parquet")
+        .filter("o_orderstatus IN ('F', 'P')")
+        .collect()
+    )
+    assert len(ref) > 0
+    assert {tuple(map(str, r)) for r in got.collect()} == {
+        tuple(map(str, r)) for r in ref
+    }
+
+
+def test_string_prefix_pushdown_reaches_duckdb(registered, duck_path):
+    """LIKE 'lit%' (StringStartsWith) pushes down as starts_with() with the
+    prefix bound as a parameter — Filter-free plan, including a prefix
+    containing LIKE wildcards (no escaping hazard)."""
+    got = _read(registered, duck_path, table="orders").filter(
+        "o_orderpriority LIKE '1%'"
+    )
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan, plan
+    ref = (
+        registered.read.parquet(f"{SF}/orders.parquet")
+        .filter("o_orderpriority LIKE '1%'")
+        .collect()
+    )
+    assert len(ref) > 0
+    assert {tuple(map(str, r)) for r in got.collect()} == {
+        tuple(map(str, r)) for r in ref
+    }
+    # a prefix that is itself a LIKE wildcard must bind literally:
+    # starts_with('%') matches nothing here, while an unescaped
+    # interpolation into LIKE would match everything
+    wild = _read(registered, duck_path, table="orders").filter(
+        F.col("o_orderpriority").startswith("%")
+    )
+    assert wild.count() == 0
+
+
+def test_in_and_prefix_compose_with_partitioned_read(registered, duck_path):
+    """Pushed IN/prefix predicates AND the per-partition key ranges land in
+    the same upstream WHERE — split reads lose nothing."""
+    got = _read(
+        registered,
+        duck_path,
+        table="orders",
+        partition_column="o_orderkey",
+        num_partitions=4,
+    ).filter("o_orderstatus IN ('O') AND o_orderpriority LIKE '3%'")
+    ref = (
+        registered.read.parquet(f"{SF}/orders.parquet")
+        .filter("o_orderstatus IN ('O') AND o_orderpriority LIKE '3%'")
+        .collect()
+    )
+    assert len(ref) > 0
+    assert {tuple(map(str, r)) for r in got.collect()} == {
+        tuple(map(str, r)) for r in ref
+    }
