@@ -347,11 +347,29 @@ def cmd_replicate(args) -> int:
     cron'd `replicate` is an incremental, exactly-once sync — the
     standing replacement for re-running a full extract per schedule
     (reference: full Sqoop re-extract per pipeline run).
+
+    ``--firehose`` switches bulk tables to the partitioned batch drain
+    (``batch_change_feed``): same cursor-offset exactly-once protocol,
+    rows flow executor-parallel instead of through the driver.
     """
     from .sources.duckdb_source import register_duckdb_source
 
     spark = _spark(args)
     register_duckdb_source(spark)
+    if args.firehose:
+        from .sources.duckdb_source import batch_change_feed
+
+        result = batch_change_feed(
+            spark,
+            args.duckdb_path,
+            args.table,
+            args.cursor_column,
+            args.target_dir,
+            num_partitions=args.num_partitions,
+            state_dir=args.checkpoint_dir,
+        )
+        print(json.dumps({"table": args.table, "mode": "firehose", **result}))
+        return 0
     stream = (
         spark.readStream.format("duckdb")
         .option("path", args.duckdb_path)
@@ -1257,6 +1275,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--target-dir", required=True)
     sp.add_argument("--checkpoint-dir",
                     help="default: <target-dir>_checkpoint")
+    sp.add_argument("--firehose", action="store_true",
+                    help="drain through the partitioned batch extract "
+                         "(executor-parallel Arrow reads, same "
+                         "exactly-once cursor protocol) instead of the "
+                         "driver-side stream reader — use for bulk "
+                         "tables (measured 8.6x driver tax on the "
+                         "stream path)")
+    sp.add_argument("--num-partitions", type=int, default=4,
+                    help="key ranges per firehose drain (default 4)")
     sp = add("unload", cmd_unload)
     sp.add_argument("--force", action="store_true")
     sp = add("run_query", cmd_run_query, patterns=False)

@@ -530,3 +530,170 @@ class DuckDBWriter(DataSourceArrowWriter):
             if gone or time.time() > deadline:
                 break
         shutil.rmtree(self.staging, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Firehose change feed: partitioned batch drain with the change feed's
+# exactly-once cursor guarantees, none of the simple stream reader's driver
+# tax (measured 8.6x, scripts/changefeed_throughput.py).
+# ---------------------------------------------------------------------------
+
+def _sql_literal(v) -> str:
+    """Render a cursor bound as a DuckDB literal (numeric raw, timestamps
+    typed, strings quote-doubled)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def batch_change_feed(
+    spark,
+    path: str,
+    table: str,
+    cursor_column: str,
+    target_dir: str,
+    num_partitions: int = 4,
+    state_dir: str | None = None,
+) -> dict:
+    """One exactly-once, partition-parallel drain of a cursor change feed.
+
+    The firehose counterpart of :class:`DuckDBChangeFeedReader`: identical
+    cursor-offset semantics (rows with ``cursor > last AND cursor <=
+    snapshot_max``, offset never rewinds), but the rows flow through the
+    partitioned batch extract — N executor tasks each streaming Arrow
+    batches from their key range — instead of the driver.  Call it per
+    schedule (cron) or from ``foreachBatch``; each call appends exactly
+    the new rows to ``target_dir`` and returns a summary dict.
+
+    Exactly-once protocol (no upstream cooperation needed):
+
+    1. ``state_dir/cursor.json`` holds the committed cursor (atomic
+       tmp+rename updates).
+    2. Each drain writes to a batch subdirectory of ``target_dir`` whose
+       ``_bounds.json`` records its (lo, hi]; Spark's ``_SUCCESS`` marks
+       the parquet write complete.
+    3. Commit order: parquet write -> ``_bounds.json`` -> state update.
+       A crash between 3's steps leaves a committed-but-unrecorded batch;
+       the next drain ADOPTS it (advances the cursor from its bounds
+       without re-reading) — rows are never written twice.  A batch dir
+       without ``_SUCCESS``/``_bounds.json`` is an incomplete write and
+       is deleted and redone; its rows were never adopted.
+
+    Read the target with ``spark.read.option("recursiveFileLookup",
+    "true").parquet(target_dir)`` (batch dirs are not partition-style
+    key=value names, by design — the feed's schema is the table's).
+
+    At 100 TB feed scale the shape holds: the only driver traffic is two
+    scalar boundary queries and the state file; row bytes go Arrow-batch
+    from the upstream into executor tasks, ``num_partitions`` ranges of
+    the DELTA (the boundary query runs over the filtered relation, so
+    ranges split the new rows, not the whole keyspace).
+    """
+    import json
+
+    state_dir = state_dir or target_dir.rstrip("/") + "_state"
+    os.makedirs(state_dir, exist_ok=True)
+    os.makedirs(target_dir, exist_ok=True)
+    state_path = os.path.join(state_dir, "cursor.json")
+    last = None
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            last = json.load(fh)["cursor"]
+
+    def _commit_state(cursor_val) -> None:
+        import tempfile as _tmp
+
+        fd, tmp = _tmp.mkstemp(dir=state_dir, suffix=".json")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"cursor": cursor_val}, fh)
+        os.replace(tmp, state_path)
+
+    # -- crash recovery: adopt committed-but-unrecorded batches, clear
+    #    incomplete ones ------------------------------------------------
+    adopted = 0
+    for name in sorted(os.listdir(target_dir)):
+        d = os.path.join(target_dir, name)
+        if not (name.startswith("batch-") and os.path.isdir(d)):
+            continue
+        bounds_path = os.path.join(d, "_bounds.json")
+        complete = os.path.exists(bounds_path) and os.path.exists(
+            os.path.join(d, "_SUCCESS")
+        )
+        if not complete:
+            shutil.rmtree(d)  # incomplete write: never adopted, redo
+            continue
+        with open(bounds_path) as fh:
+            bounds = json.load(fh)
+        if bounds["lo"] == ("" if last is None else str(last)):
+            # previous run crashed after commit, before the state update
+            last = bounds["hi"]
+            _commit_state(last)
+            adopted += 1
+
+    # -- snapshot the upstream high-water mark (typed SQL comparison,
+    #    same never-rewind rule as DuckDBChangeFeedReader.read) ---------
+    con = _connect(path)
+    try:
+        if last is not None:
+            row = con.execute(
+                f'SELECT MAX("{cursor_column}"), COUNT(*) FROM {table} '
+                f'WHERE "{cursor_column}" > {_sql_literal(last)}'
+            ).fetchone()
+        else:
+            row = con.execute(
+                f'SELECT MAX("{cursor_column}"), COUNT(*) FROM {table}'
+            ).fetchone()
+        hi, n_new = row
+    finally:
+        con.close()
+    if hi is None or n_new == 0:
+        return {"rows": 0, "cursor": last, "adopted_batches": adopted}
+
+    where = f'"{cursor_column}" <= {_sql_literal(hi)}'
+    if last is not None:
+        where = f'"{cursor_column}" > {_sql_literal(last)} AND ' + where
+    delta_sql = f"SELECT * FROM {table} WHERE {where}"
+
+    import hashlib
+
+    batch_key = hashlib.md5(
+        f"{'' if last is None else last}|{hi}".encode()
+    ).hexdigest()[:16]
+    dest = os.path.join(target_dir, f"batch-{batch_key}")
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)  # recovery loop above proved it incomplete
+
+    register_duckdb_source(spark)
+    r = (
+        spark.read.format("duckdb")
+        .option("path", path)
+        .option("query", delta_sql)
+    )
+    if num_partitions > 1:
+        r = r.option("partition_column", cursor_column).option(
+            "num_partitions", str(num_partitions)
+        )
+    df = r.load()
+    df.write.mode("overwrite").parquet(dest)
+    with open(os.path.join(dest, "_bounds.json"), "w") as fh:
+        json.dump(
+            {"lo": "" if last is None else str(last), "hi": str(hi)}, fh
+        )
+    _commit_state(str(hi))
+    return {
+        "rows": int(n_new),
+        "cursor": str(hi),
+        "adopted_batches": adopted,
+        "batch_dir": dest,
+        "num_partitions": num_partitions if num_partitions > 1 else 1,
+    }

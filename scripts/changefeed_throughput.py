@@ -111,6 +111,33 @@ def main() -> int:
     batch_wall = time.perf_counter() - t0
     total = ROWS + 5 * delta
 
+    # firehose CHANGE FEED: batch_change_feed — the partitioned drain with
+    # the stream path's exactly-once cursor protocol.  Initial sync, then
+    # the same append→drain loop as the stream measurement.
+    from arthur_redshift_etl_spark.sources.duckdb_source import (
+        batch_change_feed,
+    )
+
+    fh_target = os.path.join(work, "fh_out")
+    t0 = time.perf_counter()
+    r = batch_change_feed(spark, db, "changes", "seq", fh_target,
+                          num_partitions=CPUS)
+    fh_initial = time.perf_counter() - t0
+    assert r["rows"] == total, r
+    fh_drains = []
+    for i in range(5, 10):
+        con = duckdb.connect(db)
+        con.execute(
+            "INSERT INTO changes SELECT range, 'p', 0.0 FROM range(?, ?)",
+            [ROWS + i * delta, ROWS + (i + 1) * delta],
+        )
+        con.close()
+        t0 = time.perf_counter()
+        r = batch_change_feed(spark, db, "changes", "seq", fh_target,
+                              num_partitions=CPUS)
+        assert r["rows"] == delta, r
+        fh_drains.append(time.perf_counter() - t0)
+
     report = {
         "rows_initial": ROWS,
         "feed_initial_rps": round(ROWS / feed_initial),
@@ -118,6 +145,9 @@ def main() -> int:
         "drain_walls_s": [round(w, 2) for w in drains],
         "batch_extract_rps": round(total / batch_wall),
         "driver_tax": round((total / batch_wall) / (ROWS / feed_initial), 1),
+        "firehose_initial_rps": round(total / fh_initial),
+        "firehose_drain_rps": round(delta / (sum(fh_drains) / len(fh_drains))),
+        "firehose_drain_walls_s": [round(w, 2) for w in fh_drains],
         "cpus": CPUS,
     }
     spark.stop()

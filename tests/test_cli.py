@@ -295,6 +295,35 @@ def test_replicate_is_incremental_and_exactly_once(tmp_path, capsys, spark):
     assert sorted(r.seq for r in landed.collect()) == list(range(55))
 
 
+def test_replicate_firehose_partitioned_exactly_once(tmp_path, capsys, spark):
+    """--firehose drains through the partitioned batch extract with the
+    same cursor exactly-once semantics as the stream path."""
+    import duckdb
+
+    db = str(tmp_path / "fire.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE audit AS SELECT range AS seq, 'e' || range::VARCHAR AS msg "
+        "FROM range(0, 40)"
+    )
+    con.close()
+    target = str(tmp_path / "lake" / "audit")
+    argv = ["replicate", "--duckdb-path", db, "--table", "audit",
+            "--cursor-column", "seq", "--target-dir", target, "--firehose",
+            "--num-partitions", "2"]
+    assert main(argv) == 0
+    first = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert first["mode"] == "firehose" and first["rows"] == 40
+    con = duckdb.connect(db)
+    con.execute("INSERT INTO audit SELECT range, 'e' || range::VARCHAR FROM range(40, 55)")
+    con.close()
+    assert main(argv) == 0
+    second = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert second["rows"] == 15
+    landed = spark.read.option("recursiveFileLookup", "true").parquet(target)
+    assert sorted(r.seq for r in landed.collect()) == list(range(55))
+
+
 def test_show_versions_and_rollback_verbs(design_repo, tmp_path, capsys, spark):
     """CLI time travel: two loads leave two lake versions; show_versions
     lists them with the current marker, rollback re-points at the first

@@ -588,3 +588,134 @@ def test_in_and_prefix_compose_with_partitioned_read(registered, duck_path):
     assert {tuple(map(str, r)) for r in got.collect()} == {
         tuple(map(str, r)) for r in ref
     }
+
+
+def _feed_db(tmp_path, n=100):
+    feed = str(tmp_path / "firehose.duckdb")
+    con = duckdb.connect(feed)
+    con.execute(
+        "CREATE TABLE changes AS "
+        "SELECT range AS change_id, 'v' || range::VARCHAR AS payload "
+        f"FROM range(0, {n})"
+    )
+    con.close()
+    return feed
+
+
+def _append(feed, lo, hi):
+    con = duckdb.connect(feed)
+    con.execute(
+        "INSERT INTO changes "
+        f"SELECT range, 'v' || range::VARCHAR FROM range({lo}, {hi})"
+    )
+    con.close()
+
+
+def _read_target(spark, target):
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(target)
+    )
+
+
+def test_batch_change_feed_parity_with_stream_semantics(registered, tmp_path):
+    """The partitioned firehose drain delivers exactly the rows the simple
+    stream reader would — incremental, no loss, no duplication — through
+    executor-parallel partitioned reads."""
+    from arthur_redshift_etl_spark.sources.duckdb_source import (
+        batch_change_feed,
+    )
+
+    feed = _feed_db(tmp_path, 100)
+    target = str(tmp_path / "out")
+    r1 = batch_change_feed(
+        registered, feed, "changes", "change_id", target, num_partitions=4
+    )
+    assert r1["rows"] == 100 and r1["num_partitions"] == 4
+    got1 = _read_target(registered, target)
+    assert got1.count() == 100
+    # the delta read really was split: 4 tasks over the NEW rows' range
+    assert (
+        registered.read.parquet(r1["batch_dir"]).rdd.getNumPartitions() == 4
+    )
+
+    _append(feed, 100, 150)
+    r2 = batch_change_feed(
+        registered, feed, "changes", "change_id", target, num_partitions=4
+    )
+    assert r2["rows"] == 50
+    ids = sorted(
+        r.change_id for r in _read_target(registered, target).collect()
+    )
+    assert ids == list(range(150))  # no loss, no duplication
+
+    # idle drain: cursor does not move, nothing written
+    r3 = batch_change_feed(
+        registered, feed, "changes", "change_id", target, num_partitions=4
+    )
+    assert r3["rows"] == 0 and r3["cursor"] == r2["cursor"]
+
+
+def test_batch_change_feed_restart_exactly_once(registered, tmp_path):
+    """Crash between the batch commit and the state update must NOT
+    duplicate rows: the next drain adopts the committed batch (advancing
+    the cursor from its recorded bounds) and reads only newer rows."""
+    import json as json_mod
+    import os
+
+    from arthur_redshift_etl_spark.sources.duckdb_source import (
+        batch_change_feed,
+    )
+
+    feed = _feed_db(tmp_path, 80)
+    target = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    batch_change_feed(
+        registered, feed, "changes", "change_id", target,
+        num_partitions=2, state_dir=state,
+    )
+    _append(feed, 80, 120)
+    r2 = batch_change_feed(
+        registered, feed, "changes", "change_id", target,
+        num_partitions=2, state_dir=state,
+    )
+    assert r2["rows"] == 40
+
+    # simulate the crash: roll the state file back to before batch 2 (the
+    # batch dir + _bounds.json survive — committed but unrecorded)
+    with open(os.path.join(state, "cursor.json"), "w") as fh:
+        json_mod.dump({"cursor": "79"}, fh)
+    _append(feed, 120, 130)
+    r3 = batch_change_feed(
+        registered, feed, "changes", "change_id", target,
+        num_partitions=2, state_dir=state,
+    )
+    assert r3["adopted_batches"] == 1  # batch 2 adopted, not re-read
+    assert r3["rows"] == 10  # only the post-crash appends
+    ids = sorted(
+        r.change_id for r in _read_target(registered, target).collect()
+    )
+    assert ids == list(range(130))  # exactly once end to end
+
+
+def test_batch_change_feed_incomplete_batch_redone(registered, tmp_path):
+    """A batch dir without _SUCCESS/_bounds.json (crash mid-write) is
+    cleared and redone — no partial rows leak into the target."""
+    import os
+
+    from arthur_redshift_etl_spark.sources.duckdb_source import (
+        batch_change_feed,
+    )
+
+    feed = _feed_db(tmp_path, 60)
+    target = str(tmp_path / "out")
+    os.makedirs(os.path.join(target, "batch-deadbeef"), exist_ok=True)
+    with open(
+        os.path.join(target, "batch-deadbeef", "part-zzz.parquet"), "wb"
+    ) as fh:
+        fh.write(b"not a parquet file")
+    r = batch_change_feed(
+        registered, feed, "changes", "change_id", target, num_partitions=2
+    )
+    assert r["rows"] == 60
+    assert not os.path.exists(os.path.join(target, "batch-deadbeef"))
+    assert _read_target(registered, target).count() == 60
