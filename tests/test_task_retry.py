@@ -105,3 +105,82 @@ def test_single_attempt_local_mode_fails_the_job(tmp_path):
     res = _run("nofail", tmp_path)
     assert not res["ok"], res
     assert res["injections"] >= 1
+
+WRITER_ABORT_SCRIPT = r"""
+import json, os, sys, time
+from pyspark.sql import SparkSession
+from pyspark import TaskContext
+
+db = sys.argv[1]
+
+import duckdb
+con = duckdb.connect(db)
+con.execute("CREATE TABLE t AS SELECT range AS id FROM range(0, 7)")
+con.close()
+
+spark = (
+    SparkSession.builder.master("local[2, 2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+sys.path.insert(0, os.getcwd())
+from arthur_redshift_etl_spark.sources.duckdb_source import register_duckdb_source
+register_duckdb_source(spark)
+
+def gen(batches):
+    tc = TaskContext.get()
+    for pdf in batches:
+        if tc.partitionId() == 1:
+            raise RuntimeError("injected failure (both attempts)")
+        # partition 0: the zombie — keep draining batches slowly so the
+        # driver's abort() races its staged writes
+        time.sleep(0.05)
+        yield pdf
+
+df = spark.range(0, 1000, 1, 2).mapInPandas(gen, "id long")
+ok = True
+try:
+    (df.write.format("duckdb").option("path", db).option("table", "t")
+       .mode("append").save())
+except Exception:
+    ok = False
+spark.stop()  # workers dead: no further staging writes possible
+
+staging_base = db + ".staging"
+litter = []
+if os.path.isdir(staging_base):
+    for root, dirs, files in os.walk(staging_base):
+        litter.extend(os.path.join(root, f) for f in files)
+con = duckdb.connect(db)
+n = con.execute("SELECT COUNT(*) FROM t").fetchone()[0]
+con.close()
+print("RESULT:" + json.dumps({
+    "write_failed": not ok, "litter": litter, "table_rows": n,
+}))
+"""
+
+
+@pytest.mark.slow
+def test_writer_abort_races_draining_zombie_task(tmp_path):
+    """DuckDBWriter.abort under a real draining zombie: one task fails
+    both attempts (job abort) while the other is mid-write — the
+    poll-until-gone abort must leave zero staging litter and the target
+    table byte-identical."""
+    db = str(tmp_path / "abortrace.duckdb")
+    proc = subprocess.run(
+        [sys.executable, "-c", WRITER_ABORT_SCRIPT, db],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    res = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT:"):
+            res = json.loads(line[len("RESULT:"):])
+    assert res is not None, (
+        f"no RESULT line\nstdout={proc.stdout}\nstderr={proc.stderr[-2000:]}"
+    )
+    assert res["write_failed"], res  # the job really aborted
+    assert res["litter"] == [], res  # no staged files survive the abort
+    assert res["table_rows"] == 7, res  # table untouched
