@@ -11651,3 +11651,94 @@ def pq_adc_topk_trained(spark, sf_dir):
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+RENDEZVOUS_SHARDS = 8
+
+
+def rendezvous_shard(id_col, n_shards: int):
+    """Rendezvous (highest-random-weight) shard id for a key column:
+    argmax over shards of the engine-portable md5(key || '|' || shard),
+    ties (md5 collisions, effectively never) to the lowest shard.
+
+    The consistent-sharding primitive a training pipeline needs for
+    stable work assignment: growing N -> N+1 shards moves only ~1/(N+1)
+    of keys, all of them TO the new shard (no reshuffle of survivors) —
+    property-tested.  The argmax is an array_min over (negated-order
+    struct) literals like pq_code: a pure row-local expression, no
+    shuffle, no UDF.
+    """
+    return (
+        F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.md5(
+                            F.concat(
+                                id_col.cast("string"), F.lit(f"|{s}")
+                            )
+                        ).alias("h"),
+                        F.lit(-s).alias("neg_s"),
+                    )
+                    for s in range(n_shards)
+                ]
+            )
+        )
+        .getField("neg_s")
+        .cast("long")
+        * -1
+    )
+
+
+@query(
+    "rendezvous_shard_counts",
+    oracle=f"""
+    WITH spine AS (SELECT UNNEST(range({RENDEZVOUS_SHARDS})) AS s),
+    scored AS (
+      SELECT d.doc_id, spine.s,
+             md5(CAST(d.doc_id AS VARCHAR) || '|' || CAST(spine.s AS VARCHAR))
+               AS h
+      FROM documents d CROSS JOIN spine
+    ),
+    assigned AS (
+      SELECT doc_id, s AS shard FROM (
+        SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, s)
+                 AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM assigned JOIN documents USING (doc_id)
+    GROUP BY shard
+    """,
+    description=(
+        "rendezvous-hashing (highest-random-weight) shard assignment of "
+        "the corpus to 8 shards, with per-shard doc and token totals — "
+        "the consistent-sharding primitive for stable distributed "
+        "tokenization/embedding work assignment: unlike doc_id % N, "
+        "growing to N+1 shards moves only ~1/(N+1) of docs, every one "
+        "of them TO the new shard (minimal-disruption property pinned "
+        "by test).  The per-doc argmax over md5(key || shard) is a pure "
+        "row-local array_max over structs (the pq_code idiom) — "
+        "map-only, engine-portable hash, the only shuffle is the 8-row "
+        "count aggregation"
+    ),
+)
+def rendezvous_shard_counts(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            rendezvous_shard(F.col("doc_id"), RENDEZVOUS_SHARDS).alias(
+                "shard"
+            ),
+            F.col("n_chars").cast("long").alias("chars"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("total_chars"),
+        )
+    )

@@ -535,3 +535,34 @@ def test_grouped_weighted_median_no_stratum_window(spark):
         assert "__pid" in tail, tail
     assert "BroadcastExchange" in p, p
     assert not re.search(r"Sort \[[^\]]*\], true", p), p
+
+
+def test_pq_adc_trained_keeps_map_only_search_plan(spark):
+    """Training must not change the SEARCH plan shape: with the trained
+    codebook baked as literals, encode + ADC score is still a pure map +
+    TakeOrderedAndProject — identical pins to the init-only entry."""
+    p = plan(spark, "pq_adc_topk_trained")
+    assert "TakeOrderedAndProject" in p, p
+    assert "windowspecdefinition" not in p, p
+    assert not re.search(r"Exchange (hash|range)partitioning", p), p
+    assert "Join" not in p, p
+
+
+def test_ivfpq_multiprobe_prunes_before_adc(spark):
+    """The multiprobe plan scores only probed-bucket candidates: the
+    bucket filter is a literal IN (driver probe schedule), ADC is
+    map-side, and the only gather is the top-k."""
+    p = plan(spark, "ivfpq_multiprobe")
+    assert "TakeOrderedAndProject" in p, p
+    assert "windowspecdefinition" not in p, p
+
+
+def test_ivfpq_recall_window_bounded_by_probe_set(spark):
+    """The per-nprobe top-10 window partitions on np over probed
+    candidates only — never an unpartitioned global window, never a
+    global sort."""
+    p = plan(spark, "ivfpq_recall_eval")
+    for m in re.finditer(r"windowspecdefinition\(", p):
+        tail = p[m.start() : m.start() + 200]
+        assert "np" in tail, tail
+    assert not re.search(r"Sort \[[^\]]*\], true", p), p

@@ -540,3 +540,37 @@ def test_ivfpq_recall_monotone_in_nprobe(spark):
     )
     for r in rows.values():
         assert r["recall_at_10"] == r["n_overlap"] / 10
+
+
+def test_rendezvous_sharding_minimal_disruption(spark):
+    """Growing N -> N+1 shards must move ~1/(N+1) of keys, every moved key
+    landing on the NEW shard (survivors never reshuffle among old shards);
+    assignments are deterministic across evaluations."""
+    from pyspark.sql import functions as F
+    from arthur_redshift_etl_spark.workload import rendezvous_shard, t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    n = 8
+    both = docs.select(
+        "doc_id",
+        rendezvous_shard(F.col("doc_id"), n).alias("s8"),
+        rendezvous_shard(F.col("doc_id"), n + 1).alias("s9"),
+    ).collect()
+    total = len(both)
+    moved = [r for r in both if r["s8"] != r["s9"]]
+    # every moved key went TO the new shard
+    assert all(r["s9"] == n for r in moved)
+    # moved fraction ~ 1/(N+1): binomial 5-sigma band around total/9
+    import math
+
+    exp = total / (n + 1)
+    sigma = math.sqrt(total * (1 / (n + 1)) * (n / (n + 1)))
+    assert abs(len(moved) - exp) < 5 * sigma, (len(moved), exp, sigma)
+    # deterministic: a second evaluation reproduces the assignment
+    again = {
+        r["doc_id"]: r["s8"]
+        for r in docs.select(
+            "doc_id", rendezvous_shard(F.col("doc_id"), n).alias("s8")
+        ).collect()
+    }
+    assert all(again[r["doc_id"]] == r["s8"] for r in both)
