@@ -456,3 +456,60 @@ def knn_merge_incremental(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def filtered_knn(
+    collection: DataFrame,
+    queries: DataFrame,
+    filter_col: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attribute-filtered exact top-k: neighbors must share the query's
+    ``filter_col`` value (filtered vector search — the metadata-constrained
+    retrieval shape: per-tenant, per-language, per-license search).
+
+    The filter joins INTO the candidate generation (pre-filter), not over
+    the result (post-filter): a post-filtered top-k returns FEWER than k
+    rows whenever the unfiltered top-k contains other-attribute vectors,
+    while the pre-filter ranks inside the constrained subset — exact
+    recall at k with cost |queries| x |matching slice| instead of
+    |queries| x |corpus|.  At scale the equality predicate is the shuffle
+    key: both sides hash-partition on ``filter_col`` so each task scores
+    one attribute slice; nothing data-scaled broadcasts.
+    """
+    q = normalized(queries, id_col, "query_id", vec_col, "qv").join(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(filter_col).alias("__qf"),
+        ),
+        "query_id",
+    )
+    c = normalized(collection, id_col, "neighbor_id", vec_col, "cv").join(
+        collection.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(filter_col).alias("__cf"),
+        ),
+        "neighbor_id",
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("__cf") == F.col("__qf"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "knn_rank")
+    )

@@ -11742,3 +11742,169 @@ def rendezvous_shard_counts(spark, sf_dir):
             F.sum("chars").cast("long").alias("total_chars"),
         )
     )
+
+
+@query(
+    "knn_filtered_by_label",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS qlabel, vv AS qv
+      FROM v WHERE vec_id < 5
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS knn_rank FROM (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.qv, c.vv) DESC, c.vec_id
+             ) AS rk
+      FROM q JOIN v c
+        ON c.label = q.qlabel AND c.vec_id != q.query_id
+    ) WHERE rk <= 3
+    """,
+    description=(
+        "attribute-FILTERED vector search (operators/similarity."
+        "filtered_knn): top-3 cosine neighbors constrained to the "
+        "query's label — the metadata-constrained retrieval shape "
+        "(per-tenant / per-language / per-license search).  The filter "
+        "is a PRE-filter joined into candidate generation, so ranking "
+        "happens inside the constrained slice (exact recall at k), "
+        "where a post-filtered top-k silently returns < k rows; cost "
+        "is |queries| x |matching slice|, and at scale the label "
+        "equality is the hash-partition key — each task scores one "
+        "attribute slice, nothing data-scaled broadcasts"
+    ),
+)
+def knn_filtered_by_label(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.filtered_knn(emb, queries, "label", k=3)
+
+
+RRF_K = 60
+RRF_POOL = 20
+RRF_QUERY_DOC = 0
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH qtok AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id = {RRF_QUERY_DOC}
+    ),
+    dtok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id != {RRF_QUERY_DOC}
+    ),
+    lex AS (
+      SELECT doc_id, rk AS lex_rank FROM (
+        SELECT d.doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY COUNT(*) DESC, d.doc_id
+               ) AS rk
+        FROM dtok d JOIN qtok USING (token)
+        GROUP BY d.doc_id
+      ) WHERE rk <= {RRF_POOL}
+    ),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ),
+    vec AS (
+      SELECT vec_id AS doc_id, rk AS vec_rank FROM (
+        SELECT c.vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY list_cosine_similarity(q.vv, c.vv) DESC, c.vec_id
+               ) AS rk
+        FROM v c, (SELECT vv FROM v WHERE vec_id = {RRF_QUERY_DOC}) q
+        WHERE c.vec_id != {RRF_QUERY_DOC}
+      ) WHERE rk <= {RRF_POOL}
+    )
+    SELECT doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank,
+           (COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
+            + COALESCE(1.0 / ({RRF_K} + vec_rank), 0.0)) AS rrf_score
+    FROM lex FULL OUTER JOIN vec USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+    description=(
+        "hybrid retrieval via reciprocal-rank fusion: a lexical ranking "
+        "(distinct shared tokens with the query document, integer "
+        "scores -> deterministic ranks) and a vector ranking (cosine "
+        "top-20, the ann family's proven rank parity) fuse as "
+        "sum(1/(60+rank)) over the union of both top-20 pools — "
+        "missing-from-one-list contributes 0 (standard RRF), top-10 by "
+        "fused score with doc_id tiebreak.  The modern "
+        "lexical+semantic retrieval shape: each ranking is its own "
+        "bounded top-k (lexical: token-join + count aggregation; "
+        "vector: map-only scored scan + TakeOrdered), the fusion joins "
+        "two 20-row sets — at corpus scale the fusion cost is "
+        "constant, the rankings are the engine's existing primitives"
+    ),
+)
+def hybrid_rrf_retrieval(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+
+    qtok = (
+        docs.filter(F.col("doc_id") == RRF_QUERY_DOC)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .distinct()
+    )
+    dtok = (
+        docs.filter(F.col("doc_id") != RRF_QUERY_DOC)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .distinct()
+    )
+    # top-POOL via TakeOrderedAndProject (never a corpus-wide global rank
+    # window); the rank number is then assigned over the bounded 20-row set
+    w_lex = Window.orderBy(F.col("n_shared").desc(), F.col("doc_id"))
+    lex = (
+        dtok.join(F.broadcast(qtok), "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(F.col("n_shared").desc(), "doc_id")
+        .limit(RRF_POOL)
+        .withColumn("lex_rank", F.row_number().over(w_lex).cast("long"))
+        .select("doc_id", "lex_rank")
+    )
+
+    qv = sim.normalized(
+        emb.filter(F.col("vec_id") == RRF_QUERY_DOC),
+        "vec_id",
+        "query_id",
+        "embedding",
+        "qv",
+    )
+    cv = sim.normalized(emb, "vec_id", "doc_id", "embedding", "cv")
+    w_vec = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    vec = (
+        cv.filter(F.col("doc_id") != RRF_QUERY_DOC)
+        .crossJoin(F.broadcast(qv.select("qv")))
+        .select("doc_id", sim.dot(F.col("qv"), F.col("cv")).alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(RRF_POOL)
+        .withColumn("vec_rank", F.row_number().over(w_vec).cast("long"))
+        .select("doc_id", "vec_rank")
+    )
+
+    rrf = (
+        F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+        )
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "vec_rank", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+    )

@@ -60,6 +60,10 @@ ALLOWED_NL_JOIN = {
         "centroid set broadcast (k rows) in the coarse IVF assignment + "
         "1-row query broadcast for the probe schedule"
     ),
+    "hybrid_rrf_retrieval": (
+        "1-row query-vector broadcast cross join into the scored scan "
+        "(the knn_bruteforce shape) feeding the bounded vector top-20"
+    ),
     "hll_distinct_users": "1-row exact-distinct comparison aggregate broadcast",
     "hll_set_ops_events": "1-row sketch-estimate aggregates broadcast (a/b/union/exact)",
     "dq_expectations_orders": "1-row orphan-count aggregate broadcast into the report row",

@@ -51,6 +51,10 @@ ALLOWED_RAW_FACT_BCAST = {
     "(vec_id = PQ_QUERY_ID) broadcast in the probe-schedule ranking",
     "ivfpq_recall_eval": "centroid seeds vec_id < 8 + 1-row query "
     "(vec_id = PQ_QUERY_ID) broadcast in the probe-schedule ranking",
+    "knn_filtered_by_label": "query set = embeddings vec_id < 5 (5 rows "
+    "at any SF) broadcast against the label-filtered corpus slice",
+    "hybrid_rrf_retrieval": "1-row query vector (vec_id = RRF_QUERY_DOC) "
+    "+ 1-doc distinct-token set broadcast into the two bounded rankings",
 }
 
 # The size check already skips subtrees containing a reducing node (their
@@ -62,6 +66,12 @@ ALLOWED_BIG_BROADCAST = {
     "ann_ivf_multiprobe": "probe expansion of the vec_id<10 query set "
     "joined to k centroids — rows = |queries| x nprobe, stat is the "
     "join-product worst case",
+    "knn_filtered_by_label": "query set = 5 rows (vec_id < 5) self-joined "
+    "to attach labels — true size 5 rows at any SF, stat is the "
+    "join-product worst case",
+    "hybrid_rrf_retrieval": "distinct tokens of ONE document (explode + "
+    "distinct of a 1-row slice) — bounded by a single doc's vocabulary, "
+    "stat is the post-explode worst case",
 }
 
 
