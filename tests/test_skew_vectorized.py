@@ -574,3 +574,40 @@ def test_rendezvous_sharding_minimal_disruption(spark):
         ).collect()
     }
     assert all(again[r["doc_id"]] == r["s8"] for r in both)
+
+
+def test_ivfpq_codes_table_partition_prunes(spark, tmp_path):
+    """Substantiates the ivfpq_search scale claim: a codes table written
+    bucket-partitioned (partitionBy centroid) turns the IVF prune into a
+    PARTITION-PRUNED scan — the probed bucket's filter reaches the file
+    listing (PartitionFilters), so unprobed buckets' files are never
+    opened, and the pruned read returns exactly the bucket's codes."""
+    from pyspark.sql import functions as F
+    from arthur_redshift_etl_spark.operators import quantization as qz
+    from arthur_redshift_etl_spark.operators import similarity as sim
+    from arthur_redshift_etl_spark.workload import PQ_K, PQ_M, PQ_SUB, t
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings")
+    centroids = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = sim.ivf_assign(emb, centroids)
+    codebooks = {
+        r["vec_id"]: qz.micro_list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    codes = qz.pq_encode(emb, codebooks, PQ_M, PQ_SUB).join(assign, "vec_id")
+    out = str(tmp_path / "codes")
+    codes.write.partitionBy("centroid_id").parquet(out)
+
+    qc = assign.filter(F.col("vec_id") == 42).collect()[0]["centroid_id"]
+    pruned = spark.read.parquet(out).filter(F.col("centroid_id") == qc)
+    text = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in text
+    assert "centroid_id" in text.split("PartitionFilters")[1][:200]
+    expected = {
+        r["vec_id"]
+        for r in assign.filter(F.col("centroid_id") == qc).collect()
+    }
+    got = {r["vec_id"] for r in pruned.collect()}
+    assert got == expected and len(got) > 0
