@@ -109,3 +109,63 @@ def test_no_order_dependent_double_aggregates():
             f"inside the aggregate (dec() helper) for order-free parity"
         )
     assert not offenders, "\n".join(offenders)
+
+
+def _sum_args(sql: str):
+    """Yield the argument substring of every SUM( / AVG( in a SQL string
+    (paren-matched, case-insensitive)."""
+    import re
+
+    for m in re.finditer(r"\b(SUM|AVG)\s*\(", sql, re.IGNORECASE):
+        depth = 1
+        i = m.end()
+        start = i
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        yield sql[start : i - 1]
+
+
+def test_no_order_dependent_double_aggregates_in_oracles():
+    """The SQL oracle side of the same gate: a SUM/AVG whose argument
+    references a known double source column must carry a CAST inside the
+    aggregate — DuckDB's accumulation order differs from Spark's, so a
+    raw-double sum hash-diverges even when both engines are 'right'
+    (the r9 red row's oracle had exactly this shape)."""
+    import re
+
+    from arthur_redshift_etl_spark.workload import REGISTRY
+
+    offenders = []
+    for name in sorted(REGISTRY):
+        sql = REGISTRY[name].oracle
+        if not sql:
+            continue
+        for arg in _sum_args(sql):
+            # a double column used only inside a WHEN <cond> THEN predicate
+            # gates which rows contribute — the summed VALUE is the THEN
+            # branch, so strip conditions before checking
+            value_part = re.sub(
+                r"\bWHEN\b.*?\bTHEN\b", "WHEN THEN", arg,
+                flags=re.IGNORECASE | re.DOTALL,
+            )
+            touched = {
+                c
+                for c in DOUBLE_COLUMNS
+                if re.search(rf"\b{re.escape(c)}\b", value_part)
+            }
+            if not touched:
+                continue
+            if re.search(r"\bCAST\s*\(", value_part, re.IGNORECASE):
+                continue
+            if name in ALLOWED:
+                continue
+            offenders.append(
+                f"{name}: oracle SUM/AVG over raw double column(s) "
+                f"{sorted(touched)} — CAST to an exact type inside the "
+                f"aggregate: SUM({arg[:60]}...)"
+            )
+    assert not offenders, "\n".join(offenders)
