@@ -11908,3 +11908,78 @@ def hybrid_rrf_retrieval(spark, sf_dir):
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(10)
     )
+
+
+# the trained-codebook CTE chain re-anchored to follow another WITH chain
+_PQ_TRAIN_CTES_3_CONT = _PQ_TRAIN_CTES_3.replace("WITH ex AS", ", ex AS", 1)
+
+
+@query(
+    "ivfpq_trained_multiprobe",
+    oracle=_IVF_ASSIGN_CTE
+    + _IVFPQ_PROBE_CTE
+    + _PQ_TRAIN_CTES_3_CONT
+    + f"""
+    , cand AS (
+      SELECT a.vec_id FROM assign a
+      JOIN probe p ON a.centroid_id = p.centroid_id AND p.prk <= 2
+    ),
+    lutq AS (
+      SELECT m, cid, d AS qd FROM {_PQ_TRAIN_DIST_3}
+      WHERE vec_id = {PQ_QUERY_ID}
+    ),
+    codesq AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid)
+                 AS rk
+        FROM {_PQ_TRAIN_DIST_3}
+        WHERE vec_id IN (SELECT vec_id FROM cand)
+      ) WHERE rk = 1
+    ),
+    adcq AS (
+      SELECT c.vec_id, CAST(SUM(l.qd) AS BIGINT) AS adc_dist
+      FROM codesq c JOIN lutq l ON c.m = l.m AND c.code = l.cid
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, adc_dist FROM adcq ORDER BY adc_dist, vec_id LIMIT 5
+    """,
+    description=(
+        "the fully-engaged composed index: IVF coarse prune at nprobe=2 "
+        "(the multiprobe recall lever) over ADC codes from the "
+        "2-iteration Lloyd-TRAINED codebook (the quality lever) — every "
+        "piece the family verifies in isolation, composed and "
+        "oracle-exact end to end.  Plan shape is ivfpq_multiprobe's "
+        "(probe-schedule driver lookup, bucket-pruned candidates, "
+        "map-only ADC, TakeOrdered top-5); training cost amortizes "
+        "across queries and the per-query path is unchanged"
+    ),
+)
+def ivfpq_trained_multiprobe(spark, sf_dir):
+    from .operators import quantization as qz
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = sim.ivf_assign(emb, centroids)
+    probe_ids = _pq_probe_ids(emb, 2)
+    cand_ids = assign.filter(F.col("centroid_id").isin(probe_ids)).select(
+        "vec_id"
+    )
+    cand = emb.join(cand_ids, "vec_id")
+    init = {
+        r["vec_id"]: qz.micro_list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    trained = qz.pq_train_iterations(emb, init, PQ_M, PQ_SUB, PQ_TRAIN_ITERS)
+    query = qz.micro_list(
+        emb.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0]["embedding"]
+    )
+    coded = qz.pq_encode(cand, trained, PQ_M, PQ_SUB)
+    lut = qz.pq_adc_lut(query, trained, PQ_M, PQ_SUB)
+    return (
+        coded.select("vec_id", qz.pq_adc_score(lut, PQ_M).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(5)
+    )
