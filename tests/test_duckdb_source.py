@@ -719,3 +719,39 @@ def test_batch_change_feed_incomplete_batch_redone(registered, tmp_path):
     assert r["rows"] == 60
     assert not os.path.exists(os.path.join(target, "batch-deadbeef"))
     assert _read_target(registered, target).count() == 60
+
+
+def test_batch_change_feed_timestamp_cursor(registered, tmp_path):
+    """A timestamp cursor round-trips through the state file as a string
+    literal and still compares typed upstream — incremental drains stay
+    exactly-once across the str(hi) -> SQL literal round trip."""
+    from arthur_redshift_etl_spark.sources.duckdb_source import (
+        batch_change_feed,
+    )
+
+    feed = str(tmp_path / "ts.duckdb")
+    con = duckdb.connect(feed)
+    con.execute(
+        "CREATE TABLE changes AS "
+        "SELECT TIMESTAMP '2026-01-01' + INTERVAL (range) MINUTE AS seen_at, "
+        "range AS n FROM range(0, 30)"
+    )
+    con.close()
+    target = str(tmp_path / "out")
+    r1 = batch_change_feed(
+        registered, feed, "changes", "seen_at", target, num_partitions=1
+    )
+    assert r1["rows"] == 30
+    con = duckdb.connect(feed)
+    con.execute(
+        "INSERT INTO changes "
+        "SELECT TIMESTAMP '2026-01-01' + INTERVAL (range) MINUTE, range "
+        "FROM range(30, 45)"
+    )
+    con.close()
+    r2 = batch_change_feed(
+        registered, feed, "changes", "seen_at", target, num_partitions=1
+    )
+    assert r2["rows"] == 15
+    got = _read_target(registered, target)
+    assert sorted(r.n for r in got.collect()) == list(range(45))
