@@ -11378,26 +11378,43 @@ def ivfpq_multiprobe(spark, sf_dir):
       GROUP BY e.vec_id
       ORDER BY SUM((e.xm - q2.qm) * (e.xm - q2.qm)), e.vec_id
       LIMIT 10
+    ),
+    adc_hit AS (
+      SELECT r.np,
+             CAST(COUNT(e.vec_id) AS BIGINT) AS n_overlap,
+             CAST(COUNT(e.vec_id) AS DOUBLE) / 10 AS recall_at_10
+      FROM ranked r LEFT JOIN exact e ON r.vec_id = e.vec_id
+      GROUP BY r.np
+    ),
+    cand_hit AS (
+      SELECT cd.np, CAST(COUNT(*) AS BIGINT) AS n_cand_hit
+      FROM cand cd JOIN exact e ON cd.vec_id = e.vec_id
+      GROUP BY cd.np
     )
-    SELECT CAST(r.np AS BIGINT) AS nprobe,
-           CAST(COUNT(e.vec_id) AS BIGINT) AS n_overlap,
-           CAST(COUNT(e.vec_id) AS DOUBLE) / 10 AS recall_at_10
-    FROM ranked r LEFT JOIN exact e ON r.vec_id = e.vec_id
-    GROUP BY r.np
+    SELECT CAST(a.np AS BIGINT) AS nprobe, a.n_overlap, a.recall_at_10,
+           CAST(COALESCE(c.n_cand_hit, 0) AS BIGINT) AS n_cand_hit,
+           CAST(COALESCE(c.n_cand_hit, 0) AS DOUBLE) / 10
+             AS cand_recall_at_10
+    FROM adc_hit a LEFT JOIN cand_hit c ON a.np = c.np
     """,
     description=(
         "recall@10 of the composed IVF-PQ index at nprobe 1/2/4 against "
         "the exact micro-unit L2 top-10 — closes the quality loop on "
         "the composed index the way ann_ivf_recall_eval and "
-        "pq_recall_eval do for its halves, and measures the nprobe "
-        "recall curve in one pass (candidate sets nest, so the corpus "
-        "is encoded ONCE for the widest probe schedule and each "
-        "narrower nprobe is a filter on the probe rank).  Integer-exact "
-        "ADC distances and vec_id tiebreaks keep every ranking "
-        "deterministic; recall is monotone in nprobe by construction "
-        "(supersets of candidates, pinned in tests).  The per-nprobe "
-        "top-10 window partitions on nprobe over probed candidates "
-        "only — bounded by |nps| x the probed lists, never the corpus"
+        "pq_recall_eval do for its halves, measuring the whole nprobe "
+        "curve in one pass (candidate sets nest, so the corpus is "
+        "encoded ONCE for the widest probe schedule and each narrower "
+        "nprobe is a filter on the probe rank).  TWO recalls per "
+        "nprobe, because they answer different questions: CANDIDATE "
+        "recall (exact-top-10 members inside the probed lists) is "
+        "monotone in nprobe by construction — the IVF lever, pinned by "
+        "test — while ADC-ranked recall is NOT guaranteed monotone: "
+        "widening the probe admits quantization-error impostors that "
+        "can displace true neighbors from the approximate top-10 (the "
+        "gap between the two columns is exactly the codebook error the "
+        "trained-codebook entries attack).  Integer-exact distances "
+        "and vec_id tiebreaks keep every number deterministic; the "
+        "per-nprobe top-10 window is bounded by the probed lists"
     ),
 )
 def ivfpq_recall_eval(spark, sf_dir):
@@ -11458,7 +11475,7 @@ def ivfpq_recall_eval(spark, sf_dir):
         .limit(10)
         .select("vec_id", F.lit(1).alias("in_exact"))
     )
-    return (
+    adc_hit = (
         ranked.join(exact, "vec_id", "left")
         .groupBy("np")
         .agg(
@@ -11470,10 +11487,27 @@ def ivfpq_recall_eval(spark, sf_dir):
                 / F.lit(10)
             ).alias("recall_at_10"),
         )
+    )
+    cand_hit = (
+        expanded.select("np", "vec_id")
+        .join(exact, "vec_id")
+        .groupBy("np")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cand_hit"))
+    )
+    return (
+        adc_hit.join(cand_hit.withColumnRenamed("np", "c_np"),
+                     F.col("np") == F.col("c_np"), "left")
         .select(
             F.col("np").cast("long").alias("nprobe"),
             "n_overlap",
             "recall_at_10",
+            F.coalesce(F.col("n_cand_hit"), F.lit(0))
+            .cast("long")
+            .alias("n_cand_hit"),
+            (
+                F.coalesce(F.col("n_cand_hit"), F.lit(0)).cast("double")
+                / F.lit(10)
+            ).alias("cand_recall_at_10"),
         )
     )
 

@@ -525,21 +525,29 @@ def test_peak_concurrency_property_random_intervals(spark, tmp_path):
 
 
 def test_ivfpq_recall_monotone_in_nprobe(spark):
-    """The composed IVF-PQ recall curve must be non-decreasing in nprobe
-    (candidate sets nest), and every recall must be consistent with its
-    overlap count."""
+    """CANDIDATE recall must be non-decreasing in nprobe (probed lists
+    nest — the IVF lever's guarantee).  ADC-ranked recall is deliberately
+    NOT pinned monotone: widening the probe admits quantization-error
+    impostors that can displace true neighbors from the approximate
+    top-10 (observed at sf0.01: nprobe 1 -> 2 drops ADC recall 0.2 ->
+    0.1 while candidate recall rises).  ADC recall is bounded above by
+    candidate recall: a neighbor can only be ADC-ranked if probed."""
     from arthur_redshift_etl_spark.workload import ivfpq_recall_eval
 
-    rows = {
-        r["nprobe"]: r
-        for r in ivfpq_recall_eval(spark, "/root/testdata/sf0.001").collect()
-    }
-    assert set(rows) == {1, 2, 4}
-    assert (
-        rows[1]["n_overlap"] <= rows[2]["n_overlap"] <= rows[4]["n_overlap"]
-    )
-    for r in rows.values():
-        assert r["recall_at_10"] == r["n_overlap"] / 10
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = {
+            r["nprobe"]: r for r in ivfpq_recall_eval(spark, sf).collect()
+        }
+        assert set(rows) == {1, 2, 4}
+        assert (
+            rows[1]["n_cand_hit"]
+            <= rows[2]["n_cand_hit"]
+            <= rows[4]["n_cand_hit"]
+        )
+        for r in rows.values():
+            assert r["recall_at_10"] == r["n_overlap"] / 10
+            assert r["cand_recall_at_10"] == r["n_cand_hit"] / 10
+            assert r["n_overlap"] <= r["n_cand_hit"]
 
 
 def test_rendezvous_sharding_minimal_disruption(spark):
