@@ -593,6 +593,11 @@ def batch_change_feed(
     "true").parquet(target_dir)`` (batch dirs are not partition-style
     key=value names, by design — the feed's schema is the table's).
 
+    One scheduler at a time: like any cursor consumer, concurrent drains
+    against the same state_dir race the state file.  Cron/Airflow-style
+    non-overlapping scheduling is assumed (the stream-reader path gets
+    the same guarantee from Spark's checkpoint lock).
+
     At 100 TB feed scale the shape holds: the only driver traffic is two
     scalar boundary queries and the state file; row bytes go Arrow-batch
     from the upstream into executor tasks, ``num_partitions`` ranges of
