@@ -12131,3 +12131,87 @@ def pq_adc_rerank_topk(spark, sf_dir):
         .orderBy("exact_dist", "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "ivfpq_rerank_search",
+    oracle=_IVF_ASSIGN_CTE
+    + _IVFPQ_PROBE_CTE
+    + _PQ_CODES_CTE
+    + f"""
+    , cand AS (
+      SELECT a.vec_id FROM assign a
+      JOIN probe p ON a.centroid_id = p.centroid_id AND p.prk <= 2
+    ),
+    pool AS (
+      SELECT c.vec_id, CAST(SUM(l.qd) AS BIGINT) AS adc_dist
+      FROM cand cd
+      JOIN codes c ON c.vec_id = cd.vec_id
+      JOIN lut l ON c.m = l.m AND c.code = l.cid
+      GROUP BY c.vec_id
+      ORDER BY adc_dist, c.vec_id LIMIT 25
+    ),
+    q2 AS (SELECT dim0, xm AS qm FROM ex WHERE vec_id = {PQ_QUERY_ID})
+    SELECT p.vec_id,
+           CAST(SUM((e.xm - q2.qm) * (e.xm - q2.qm)) AS BIGINT) AS exact_dist
+    FROM pool p
+    JOIN ex e ON e.vec_id = p.vec_id
+    JOIN q2 ON q2.dim0 = e.dim0
+    GROUP BY p.vec_id
+    ORDER BY exact_dist, p.vec_id LIMIT 5
+    """,
+    description=(
+        "the complete billion-vector serving stack in one oracle-exact "
+        "plan: IVF coarse prune (nprobe=2 probe schedule) -> 4-byte ADC "
+        "code scan of the probed lists -> 25-candidate pool -> exact "
+        "micro-unit rescore of ONLY the pool -> true top-5 of the pool. "
+        "Each stage touches an order of magnitude less data than the "
+        "last (corpus -> nprobe/nlist of it as codes -> 25 float "
+        "vectors), which is why this three-stage shape is the standard "
+        "production layout; its recall combines the two measured "
+        "levers (candidate recall from nprobe, rerank lift over raw "
+        "ADC — both curves in SCALE.md)"
+    ),
+)
+def ivfpq_rerank_search(spark, sf_dir):
+    from .operators import quantization as qz
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = sim.ivf_assign(emb, centroids)
+    probe_ids = _pq_probe_ids(emb, 2)
+    cand_ids = assign.filter(F.col("centroid_id").isin(probe_ids)).select(
+        "vec_id"
+    )
+    cand = emb.join(cand_ids, "vec_id")
+    codebooks = {
+        r["vec_id"]: qz.micro_list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    query = qz.micro_list(
+        emb.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0]["embedding"]
+    )
+    coded = qz.pq_encode(cand, codebooks, PQ_M, PQ_SUB)
+    lut = qz.pq_adc_lut(query, codebooks, PQ_M, PQ_SUB)
+    pool = (
+        coded.select("vec_id", qz.pq_adc_score(lut, PQ_M).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(25)
+        .select("vec_id")
+    )
+    qlits = F.array(*[F.lit(c).cast("long") for c in query])
+    exact_d = F.aggregate(
+        F.zip_with(
+            qz.micro_components(), qlits, lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.join(pool, "vec_id")
+        .select("vec_id", exact_d.alias("exact_dist"))
+        .orderBy("exact_dist", "vec_id")
+        .limit(5)
+    )

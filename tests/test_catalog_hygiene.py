@@ -64,6 +64,10 @@ ALLOWED_NL_JOIN = {
         "centroid set broadcast (k rows) in the coarse IVF assignment + "
         "1-row query broadcast for the probe schedule"
     ),
+    "ivfpq_rerank_search": (
+        "centroid set broadcast (k rows) in the coarse IVF assignment + "
+        "1-row query broadcast for the probe schedule"
+    ),
     "hybrid_rrf_retrieval": (
         "1-row query-vector broadcast cross join into the scored scan "
         "(the knn_bruteforce shape) feeding the bounded vector top-20"

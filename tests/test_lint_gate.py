@@ -53,6 +53,8 @@ ALLOWED_RAW_FACT_BCAST = {
     "(vec_id = PQ_QUERY_ID) broadcast in the probe-schedule ranking",
     "ivfpq_trained_multiprobe": "centroid seeds vec_id < 8 + 1-row query "
     "(vec_id = PQ_QUERY_ID) broadcast in the probe-schedule ranking",
+    "ivfpq_rerank_search": "centroid seeds vec_id < 8 + 1-row query "
+    "(vec_id = PQ_QUERY_ID) broadcast in the probe-schedule ranking",
     "knn_filtered_by_label": "query set = embeddings vec_id < 5 (5 rows "
     "at any SF) broadcast against the label-filtered corpus slice",
     "hybrid_rrf_retrieval": "1-row query vector (vec_id = RRF_QUERY_DOC) "
