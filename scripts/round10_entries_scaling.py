@@ -26,6 +26,10 @@ ENTRIES = [
     "pq_adc_topk_trained",
     "rendezvous_shard_counts",
     "duckdb_source_orders_by_status",
+    "knn_filtered_by_label",
+    "hybrid_rrf_retrieval",
+    "pq_adc_rerank_topk",
+    "ivfpq_rerank_search",
 ]
 
 TIERS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]

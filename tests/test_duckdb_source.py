@@ -755,3 +755,40 @@ def test_batch_change_feed_timestamp_cursor(registered, tmp_path):
     assert r2["rows"] == 15
     got = _read_target(registered, target)
     assert sorted(r.n for r in got.collect()) == list(range(45))
+
+
+def test_sql_literal_round_trips_through_duckdb():
+    """_sql_literal renders cursor bounds that DuckDB parses back to the
+    original value — numerics, timestamps, dates, and strings including
+    quote/injection characters."""
+    import datetime
+    import decimal
+
+    from arthur_redshift_etl_spark.sources.duckdb_source import _sql_literal
+
+    cases = [
+        0,
+        -7,
+        2**62,
+        3.5,
+        decimal.Decimal("12345.67"),
+        True,
+        False,
+        datetime.date(2026, 2, 28),
+        datetime.datetime(2026, 2, 28, 23, 59, 59, 123456),
+        "plain",
+        "O'Reilly; DROP TABLE x; --",
+        "two''quotes",
+    ]
+    con = duckdb.connect()
+    for v in cases:
+        got = con.execute(f"SELECT {_sql_literal(v)}").fetchone()[0]
+        if isinstance(v, bool):
+            assert got is v
+        elif isinstance(v, float):
+            assert got == v
+        elif isinstance(v, decimal.Decimal):
+            assert decimal.Decimal(str(got)) == v
+        else:
+            assert got == v, (v, got)
+    con.close()
