@@ -12215,3 +12215,166 @@ def ivfpq_rerank_search(spark, sf_dir):
         .orderBy("exact_dist", "vec_id")
         .limit(5)
     )
+
+
+SIL_ANCHOR_MOD = 13
+SIL_ANCHOR_RESIDUE = 3
+SIL_FIX = 1_000_000_000
+
+
+@query(
+    "kmeans_silhouette_eval",
+    oracle=_IVF_ASSIGN_CTE
+    + f"""
+    , exm AS (
+      SELECT vec_id, t.i - 1 AS dim0,
+             CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xm
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    anch AS (
+      SELECT vec_id FROM embeddings
+      WHERE vec_id % {SIL_ANCHOR_MOD} = {SIL_ANCHOR_RESIDUE}
+    ),
+    dist AS (
+      SELECT a.vec_id AS ai, e2.vec_id AS bj,
+             SUM((e1.xm - e2.xm) * (e1.xm - e2.xm)) AS d
+      FROM anch a
+      JOIN exm e1 ON e1.vec_id = a.vec_id
+      JOIN exm e2 ON e2.dim0 = e1.dim0 AND e2.vec_id != a.vec_id
+      GROUP BY a.vec_id, e2.vec_id
+    ),
+    by_cluster AS (
+      SELECT d.ai, aj.centroid_id AS cj, SUM(d.d) AS sd, COUNT(*) AS cnt
+      FROM dist d JOIN assign aj ON aj.vec_id = d.bj
+      GROUP BY d.ai, aj.centroid_id
+    ),
+    ab AS (
+      SELECT bc.ai, ia.centroid_id AS ci,
+             MAX(CASE WHEN bc.cj = ia.centroid_id
+                      THEN CAST(bc.sd AS DOUBLE) / bc.cnt END) AS a,
+             MIN(CASE WHEN bc.cj != ia.centroid_id
+                      THEN CAST(bc.sd AS DOUBLE) / bc.cnt END) AS b
+      FROM by_cluster bc JOIN assign ia ON ia.vec_id = bc.ai
+      GROUP BY bc.ai, ia.centroid_id
+    ),
+    s AS (
+      SELECT ai, ci,
+             CASE WHEN a IS NULL OR b IS NULL OR GREATEST(a, b) = 0 THEN 0
+                  ELSE CAST(FLOOR((b - a) / GREATEST(a, b) * {SIL_FIX})
+                            AS BIGINT) END AS sfx
+      FROM ab
+    )
+    SELECT CAST(ci AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(SUM(CASE WHEN sfx > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_well_separated,
+           CAST(SUM(sfx) AS DOUBLE) / COUNT(*) / {SIL_FIX}.0
+             AS mean_silhouette
+    FROM s GROUP BY ci
+    """,
+    description=(
+        "silhouette evaluation of the embedding clustering — the "
+        "cluster-quality loop that closes kmeans the way the recall "
+        "evals close ANN: for a deterministic anchor sample (vec_id % "
+        "13 = 3, the sampling lever that keeps silhouette's O(n^2) at "
+        "O(n*n/13) — production practice, since exact silhouette over "
+        "a full corpus is quadratic by definition), per-anchor a = mean "
+        "same-cluster distance, b = min other-cluster mean distance, "
+        "s = (b-a)/max(a,b), per-cluster mean s and the count of "
+        "well-separated anchors (s > 0).  Exact end to end: micro-unit "
+        "int64 squared L2 sums, one double division per (anchor, "
+        "cluster) cell, and s is FIXED-POINT floored (1e-9) before the "
+        "cluster mean so the final averaging is an exact integer sum "
+        "in both engines (the trick that makes a float metric "
+        "hash-verifiable).  The pairwise distances flow through a "
+        "dim0 hash join + partial-combined groupBy (the PQ dist "
+        "shape), never a cartesian; singleton-cluster anchors take "
+        "s = 0 by the standard convention"
+    ),
+)
+def kmeans_silhouette_eval(spark, sf_dir):
+    from .operators import quantization as qz
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = sim.ivf_assign(emb, centroids)
+
+    exm = emb.select(
+        "vec_id",
+        F.posexplode(qz.micro_components()).alias("dim0", "xm"),
+    )
+    anch = emb.filter(
+        F.col("vec_id") % SIL_ANCHOR_MOD == SIL_ANCHOR_RESIDUE
+    ).select(F.col("vec_id").alias("ai"))
+    e1 = exm.join(anch, exm.vec_id == F.col("ai")).select(
+        "ai", "dim0", F.col("xm").alias("x1")
+    )
+    e2 = exm.select(
+        F.col("vec_id").alias("bj"), "dim0", F.col("xm").alias("x2")
+    )
+    dist = (
+        e1.join(e2, (e1.dim0 == e2.dim0) & (F.col("bj") != F.col("ai")))
+        .groupBy("ai", "bj")
+        .agg(
+            F.sum((F.col("x1") - F.col("x2")) * (F.col("x1") - F.col("x2")))
+            .cast("long")
+            .alias("d")
+        )
+    )
+    by_cluster = (
+        dist.join(
+            assign.select(F.col("vec_id").alias("bj"), F.col("centroid_id").alias("cj")),
+            "bj",
+        )
+        .groupBy("ai", "cj")
+        .agg(
+            F.sum("d").cast("long").alias("sd"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+    )
+    ab = (
+        by_cluster.join(
+            assign.select(F.col("vec_id").alias("ai"), F.col("centroid_id").alias("ci")),
+            "ai",
+        )
+        .groupBy("ai", "ci")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("cj") == F.col("ci"),
+                    F.col("sd").cast("double") / F.col("cnt"),
+                )
+            ).alias("a"),
+            F.min(
+                F.when(
+                    F.col("cj") != F.col("ci"),
+                    F.col("sd").cast("double") / F.col("cnt"),
+                )
+            ).alias("b"),
+        )
+    )
+    sfx = F.when(
+        F.col("a").isNull()
+        | F.col("b").isNull()
+        | (F.greatest("a", "b") == 0),
+        F.lit(0).cast("long"),
+    ).otherwise(
+        F.floor(
+            (F.col("b") - F.col("a"))
+            / F.greatest("a", "b")
+            * F.lit(SIL_FIX)
+        ).cast("long")
+    )
+    s = ab.select("ai", "ci", sfx.alias("sfx"))
+    return s.groupBy(F.col("ci").cast("long").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.sum(F.when(F.col("sfx") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_well_separated"),
+        (
+            F.sum("sfx").cast("double") / F.count(F.lit(1)) / F.lit(float(SIL_FIX))
+        ).alias("mean_silhouette"),
+    )
