@@ -12378,3 +12378,84 @@ def kmeans_silhouette_eval(spark, sf_dir):
             F.sum("sfx").cast("double") / F.count(F.lit(1)) / F.lit(float(SIL_FIX))
         ).alias("mean_silhouette"),
     )
+
+
+@query(
+    "cluster_purity_eval",
+    oracle=_IVF_ASSIGN_CTE
+    + """
+    , lab AS (SELECT vec_id, label FROM embeddings),
+    cells AS (
+      SELECT a.centroid_id, l.label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM assign a JOIN lab l ON l.vec_id = a.vec_id
+      GROUP BY a.centroid_id, l.label
+    ),
+    tot AS (
+      SELECT centroid_id, CAST(SUM(n) AS BIGINT) AS n_total
+      FROM cells GROUP BY centroid_id
+    ),
+    best AS (
+      SELECT centroid_id, label AS majority_label, n AS n_majority FROM (
+        SELECT centroid_id, label, n,
+               ROW_NUMBER() OVER (
+                 PARTITION BY centroid_id ORDER BY n DESC, label
+               ) AS rk
+        FROM cells
+      ) WHERE rk = 1
+    )
+    SELECT CAST(t.centroid_id AS BIGINT) AS cluster_id,
+           t.n_total,
+           CAST(b.majority_label AS BIGINT) AS majority_label,
+           b.n_majority,
+           CAST(b.n_majority AS DOUBLE) / t.n_total AS purity
+    FROM tot t JOIN best b ON b.centroid_id = t.centroid_id
+    """,
+    description=(
+        "extrinsic cluster-quality: per-cluster majority label and "
+        "purity against the embeddings' ground-truth labels — the "
+        "companion to the intrinsic silhouette (a clustering can be "
+        "geometrically tight and semantically wrong; purity catches "
+        "that).  Integer counts end to end, one final division; the "
+        "majority pick ties to the lowest label.  Two aggregations "
+        "over (cluster, label) cells — output bounded by "
+        "k x |labels|, never the corpus"
+    ),
+)
+def cluster_purity_eval(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = sim.ivf_assign(emb, centroids)
+    cells = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("centroid_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cells.groupBy("centroid_id").agg(
+        F.sum("n").cast("long").alias("n_total")
+    )
+    best = (
+        cells.groupBy("centroid_id")
+        .agg(
+            F.max_by(
+                F.col("label").cast("long"),
+                F.struct(F.col("n"), -F.col("label").cast("long")),
+            ).alias("majority_label"),
+            F.max(F.struct(F.col("n"), -F.col("label").cast("long")))
+            .getField("n")
+            .alias("n_majority"),
+        )
+    )
+    return (
+        tot.join(best, "centroid_id")
+        .select(
+            F.col("centroid_id").cast("long").alias("cluster_id"),
+            "n_total",
+            "majority_label",
+            F.col("n_majority").cast("long").alias("n_majority"),
+            (F.col("n_majority").cast("double") / F.col("n_total")).alias(
+                "purity"
+            ),
+        )
+    )

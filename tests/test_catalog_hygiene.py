@@ -35,6 +35,7 @@ ALLOWED_NL_JOIN = {
     "ann_lsh_search": "hyperplane constants broadcast",
     "kmeans_embedding_clusters": "centroid set broadcast (k rows)",
     "kmeans_silhouette_eval": "centroid set broadcast (k rows) in the assignment",
+    "cluster_purity_eval": "centroid set broadcast (k rows) in the assignment",
     "kmeans_single_iteration": "centroid set broadcast (k rows)",
     "semantic_dedup_clustered": "centroid set broadcast (k rows) for cluster assignment",
     "runtime_range_prefilter_join": "1-row min/max bounds aggregate broadcast cross join",

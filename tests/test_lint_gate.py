@@ -39,6 +39,7 @@ ALLOWED_RAW_FACT_BCAST = {
     "ann_ivf_incremental_assign": "centroid seeds (k rows), old+new batches",
     "kmeans_embedding_clusters": "centroid seeds = vec_id-strided k rows",
     "kmeans_silhouette_eval": "centroid seeds vec_id < 8 (k rows) in the assignment",
+    "cluster_purity_eval": "centroid seeds vec_id < 8 (k rows) in the assignment",
     "kmeans_single_iteration": "centroid seeds = vec_id-strided k rows",
     "semantic_dedup_clustered": "centroid seeds (k rows) for cluster assignment",
     "decontaminate_semantic_eval": "eval set = benchmark-sized fixed slice",
