@@ -619,3 +619,52 @@ def test_ivfpq_codes_table_partition_prunes(spark, tmp_path):
     }
     got = {r["vec_id"] for r in pruned.collect()}
     assert got == expected and len(got) > 0
+
+
+def test_ivfpq_full_probe_equals_plain_pq(spark):
+    """Probing EVERY coarse bucket removes the IVF prune entirely, so
+    IVF-PQ top-k must equal plain PQ/ADC top-k bit-for-bit — the
+    equivalence that proves the composition only ever drops candidates,
+    never rescores them differently."""
+    from pyspark.sql import functions as F
+    from arthur_redshift_etl_spark.operators import quantization as qz
+    from arthur_redshift_etl_spark.operators import similarity as sim
+    from arthur_redshift_etl_spark.workload import (
+        PQ_K,
+        PQ_M,
+        PQ_QUERY_ID,
+        PQ_SUB,
+        _pq_probe_ids,
+        pq_adc_topk,
+        t,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = t(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = sim.ivf_assign(emb, centroids)
+    probe_ids = _pq_probe_ids(emb, PQ_K)  # all buckets
+    assert sorted(probe_ids) == list(range(PQ_K))
+    cand = emb.join(
+        assign.filter(F.col("centroid_id").isin(probe_ids)).select("vec_id"),
+        "vec_id",
+    )
+    codebooks = {
+        r["vec_id"]: qz.micro_list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    query = qz.micro_list(
+        emb.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0]["embedding"]
+    )
+    lut = qz.pq_adc_lut(query, codebooks, PQ_M, PQ_SUB)
+    full_probe = (
+        qz.pq_encode(cand, codebooks, PQ_M, PQ_SUB)
+        .select("vec_id", qz.pq_adc_score(lut, PQ_M).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    plain = pq_adc_topk(spark, sf).collect()
+    assert [tuple(r) for r in full_probe] == [tuple(r) for r in plain]
