@@ -12459,3 +12459,82 @@ def cluster_purity_eval(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "revenue_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_orderdate
+    ),
+    tot AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily
+    ),
+    dev AS (
+      SELECT d.day, tot.n * d.cents - tot.s AS dv, tot.n, tot.s
+      FROM daily d CROSS JOIN tot
+    ),
+    cusum AS (
+      SELECT day, n, s,
+             SUM(dv) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS c
+      FROM dev
+    )
+    SELECT day AS changepoint_day,
+           CAST(ABS(c) AS BIGINT) AS max_abs_cusum_scaled,
+           CAST(ABS(c) AS DOUBLE) / n / 100.0 AS max_abs_cusum,
+           n AS n_days
+    FROM cusum
+    ORDER BY ABS(c) DESC, day
+    LIMIT 1
+    """,
+    description=(
+        "CUSUM changepoint detection over the daily revenue series — "
+        "the drift monitor a training-data pipeline points at its "
+        "ingest volumes: the day where the cumulative deviation from "
+        "the series mean peaks splits the series at its strongest "
+        "level shift.  ENTIRELY integer: daily revenue in exact cents, "
+        "deviations pre-scaled by n (dev = n*x_i - S, so no mean "
+        "division ever happens) and the running CUSUM is an int64 "
+        "window sum — no float accumulates anywhere, the reported "
+        "magnitude is one final division.  The cumulative window "
+        "orders a calendar-bounded daily table (|days| rows at any "
+        "SF, the daily_revenue_theil_sen precedent), never the fact "
+        "table; the fact scan collapses to |days| rows in one "
+        "partial-combined aggregation"
+    ),
+)
+def revenue_cusum_changepoint(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        # floor(x*100 + 0.5): the engine-portable half-up cents cast
+        # (CAST-to-int rounds in DuckDB but truncates in Spark)
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = daily.agg(
+        F.sum("cents").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day", (F.col("n") * F.col("cents") - F.col("s")).alias("dv"), "n"
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = dev.select("day", "n", F.sum("dv").over(w).alias("c"))
+    return (
+        cusum.select(
+            F.col("day").alias("changepoint_day"),
+            F.abs(F.col("c")).cast("long").alias("max_abs_cusum_scaled"),
+            (F.abs(F.col("c")).cast("double") / F.col("n") / F.lit(100.0)).alias(
+                "max_abs_cusum"
+            ),
+            F.col("n").alias("n_days"),
+        )
+        .orderBy(F.col("max_abs_cusum_scaled").desc(), "changepoint_day")
+        .limit(1)
+    )

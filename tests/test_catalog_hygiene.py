@@ -36,6 +36,10 @@ ALLOWED_NL_JOIN = {
     "kmeans_embedding_clusters": "centroid set broadcast (k rows)",
     "kmeans_silhouette_eval": "centroid set broadcast (k rows) in the assignment",
     "cluster_purity_eval": "centroid set broadcast (k rows) in the assignment",
+    "revenue_cusum_changepoint": (
+        "1-row series-total aggregate broadcast cross join into the "
+        "deviation terms (the daily_event_anomaly_zscore shape)"
+    ),
     "kmeans_single_iteration": "centroid set broadcast (k rows)",
     "semantic_dedup_clustered": "centroid set broadcast (k rows) for cluster assignment",
     "runtime_range_prefilter_join": "1-row min/max bounds aggregate broadcast cross join",
