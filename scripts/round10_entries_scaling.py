@@ -30,6 +30,10 @@ ENTRIES = [
     "hybrid_rrf_retrieval",
     "pq_adc_rerank_topk",
     "ivfpq_rerank_search",
+    "ivfpq_trained_multiprobe",
+    "kmeans_silhouette_eval",
+    "cluster_purity_eval",
+    "revenue_cusum_changepoint",
 ]
 
 TIERS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
