@@ -12217,8 +12217,7 @@ def ivfpq_rerank_search(spark, sf_dir):
     )
 
 
-SIL_ANCHOR_MOD = 13
-SIL_ANCHOR_RESIDUE = 3
+SIL_ANCHOR_BUDGET = 128
 SIL_FIX = 1_000_000_000
 
 
@@ -12232,9 +12231,10 @@ SIL_FIX = 1_000_000_000
                AS xm
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
     ),
+    cntv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
     anch AS (
-      SELECT vec_id FROM embeddings
-      WHERE vec_id % {SIL_ANCHOR_MOD} = {SIL_ANCHOR_RESIDUE}
+      SELECT vec_id FROM embeddings CROSS JOIN cntv
+      WHERE vec_id % GREATEST(1, cntv.n // {SIL_ANCHOR_BUDGET}) = 0
     ),
     dist AS (
       SELECT a.vec_id AS ai, e2.vec_id AS bj,
@@ -12276,10 +12276,11 @@ SIL_FIX = 1_000_000_000
     description=(
         "silhouette evaluation of the embedding clustering — the "
         "cluster-quality loop that closes kmeans the way the recall "
-        "evals close ANN: for a deterministic anchor sample (vec_id % "
-        "13 = 3, the sampling lever that keeps silhouette's O(n^2) at "
-        "O(n*n/13) — production practice, since exact silhouette over "
-        "a full corpus is quadratic by definition), per-anchor a = mean "
+        "evals close ANN: for a deterministic FIXED-BUDGET anchor "
+        "sample (vec_id % max(1, n//128) = 0, ~128 anchors at ANY "
+        "corpus size — the lever that makes silhouette's inherent "
+        "O(n^2) a LINEAR O(anchors * n) scan; a fixed sampling "
+        "fraction would stay quadratic), per-anchor a = mean "
         "same-cluster distance, b = min other-cluster mean distance, "
         "s = (b-a)/max(a,b), per-cluster mean s and the count of "
         "well-separated anchors (s > 0).  Exact end to end: micro-unit "
@@ -12306,9 +12307,13 @@ def kmeans_silhouette_eval(spark, sf_dir):
         "vec_id",
         F.posexplode(qz.micro_components()).alias("dim0", "xm"),
     )
-    anch = emb.filter(
-        F.col("vec_id") % SIL_ANCHOR_MOD == SIL_ANCHOR_RESIDUE
-    ).select(F.col("vec_id").alias("ai"))
+    # fixed anchor budget: the count is a bounded driver scalar and the
+    # modulus is derived identically in the oracle (integer floor div)
+    n_vecs = emb.count()
+    mod = max(1, n_vecs // SIL_ANCHOR_BUDGET)
+    anch = emb.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("ai")
+    )
     e1 = exm.join(anch, exm.vec_id == F.col("ai")).select(
         "ai", "dim0", F.col("xm").alias("x1")
     )
