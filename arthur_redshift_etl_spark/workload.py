@@ -1983,10 +1983,12 @@ def gapfilled_hourly_by_type(spark, sf_dir):
     )
 
 
-@query(
-    "kmeans_embedding_clusters",
-    oracle=_IVF_ASSIGN_CTE
-    + """
+# One Lloyd update, SQL side: assignment -> micro-unit-exact per-dim means
+# -> centroid arrays rebuilt in dim order -> re-assignment.  Appended to
+# _IVF_ASSIGN_CTE; yields relation `assign2` (the 1-iteration-TRAINED
+# assignment).  Shared by kmeans_embedding_clusters and the trained
+# clustering-quality evals (VERDICT r10 #3).
+_KMEANS_TRAIN1_CTE = """
     , ex AS (
       SELECT a.centroid_id, t.i AS dim, v.vv[t.i] AS x
       FROM assign a
@@ -2013,6 +2015,49 @@ def gapfilled_hourly_by_type(spark, sf_dir):
         FROM v, cent2
       ) WHERE rk = 1
     )
+"""
+
+
+def _lloyd_once(emb, assign):
+    """One Lloyd centroid update (Spark side of _KMEANS_TRAIN1_CTE).
+
+    Micro-unit-exact: per-dim means are integer sums of floor(x*1e6)
+    divided as doubles, so both engines derive bit-identical centroid
+    vectors and the downstream re-assignment is hash-verifiable.  One
+    shuffle keyed by (centroid, dim); output is k x dims rows regardless
+    of corpus size.
+    """
+    means = (
+        emb.join(assign, "vec_id")
+        .select(
+            "centroid_id",
+            F.posexplode(sim.as_double_array(F.col("embedding"))).alias("dim", "x"),
+        )
+        .groupBy("centroid_id", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("x") * 1000000).cast("long")).alias("sq"),
+        )
+        .select(
+            "centroid_id",
+            "dim",
+            (F.col("sq").cast("double") / F.col("n") / F.lit(1000000.0)).alias("cx"),
+        )
+    )
+    return (
+        means.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("a"))
+        .select(
+            "centroid_id", F.transform("a", lambda s: s["cx"]).alias("embedding")
+        )
+    )
+
+
+@query(
+    "kmeans_embedding_clusters",
+    oracle=_IVF_ASSIGN_CTE
+    + _KMEANS_TRAIN1_CTE
+    + """
     SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
     FROM assign2 GROUP BY centroid_id
     """,
@@ -2033,31 +2078,7 @@ def kmeans_embedding_clusters(spark, sf_dir):
     seeds = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    assign1 = sim.ivf_assign(emb, seeds)
-    means = (
-        emb.join(assign1, "vec_id")
-        .select(
-            "centroid_id",
-            F.posexplode(sim.as_double_array(F.col("embedding"))).alias("dim", "x"),
-        )
-        .groupBy("centroid_id", "dim")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.floor(F.col("x") * 1000000).cast("long")).alias("sq"),
-        )
-        .select(
-            "centroid_id",
-            "dim",
-            (F.col("sq").cast("double") / F.col("n") / F.lit(1000000.0)).alias("cx"),
-        )
-    )
-    cent2 = (
-        means.groupBy("centroid_id")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("a"))
-        .select(
-            "centroid_id", F.transform("a", lambda s: s["cx"]).alias("embedding")
-        )
-    )
+    cent2 = _lloyd_once(emb, sim.ivf_assign(emb, seeds))
     assign2 = sim.ivf_assign(emb, cent2)
     return assign2.groupBy("centroid_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors")
@@ -12278,10 +12299,16 @@ SIL_ANCHOR_BUDGET = 128
 SIL_FIX = 1_000_000_000
 
 
-@query(
-    "kmeans_silhouette_eval",
-    oracle=_IVF_ASSIGN_CTE
-    + f"""
+def _silhouette_sql(assign_rel: str) -> str:
+    """Silhouette SQL body over a given assignment relation.
+
+    Appended to a CTE chain that defines `embeddings`-derived relations
+    plus the named assignment (``assign`` for init-only seeds, ``assign2``
+    for the 1-Lloyd-iteration-trained clustering) — one template, so the
+    init and trained evals are guaranteed to score with identical
+    arithmetic and any measured delta is the training, not the metric.
+    """
+    return f"""
     , exm AS (
       SELECT vec_id, t.i - 1 AS dim0,
              CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
@@ -12303,7 +12330,7 @@ SIL_FIX = 1_000_000_000
     ),
     by_cluster AS (
       SELECT d.ai, aj.centroid_id AS cj, SUM(d.d) AS sd, COUNT(*) AS cnt
-      FROM dist d JOIN assign aj ON aj.vec_id = d.bj
+      FROM dist d JOIN {assign_rel} aj ON aj.vec_id = d.bj
       GROUP BY d.ai, aj.centroid_id
     ),
     ab AS (
@@ -12312,7 +12339,7 @@ SIL_FIX = 1_000_000_000
                       THEN CAST(bc.sd AS DOUBLE) / bc.cnt END) AS a,
              MIN(CASE WHEN bc.cj != ia.centroid_id
                       THEN CAST(bc.sd AS DOUBLE) / bc.cnt END) AS b
-      FROM by_cluster bc JOIN assign ia ON ia.vec_id = bc.ai
+      FROM by_cluster bc JOIN {assign_rel} ia ON ia.vec_id = bc.ai
       GROUP BY bc.ai, ia.centroid_id
     ),
     s AS (
@@ -12329,36 +12356,88 @@ SIL_FIX = 1_000_000_000
            CAST(SUM(sfx) AS DOUBLE) / COUNT(*) / {SIL_FIX}.0
              AS mean_silhouette
     FROM s GROUP BY ci
-    """,
-    description=(
-        "silhouette evaluation of the embedding clustering — the "
-        "cluster-quality loop that closes kmeans the way the recall "
-        "evals close ANN: for a deterministic FIXED-BUDGET anchor "
-        "sample (vec_id % max(1, n//128) = 0, ~128 anchors at ANY "
-        "corpus size — the lever that makes silhouette's inherent "
-        "O(n^2) a LINEAR O(anchors * n) scan; a fixed sampling "
-        "fraction would stay quadratic), per-anchor a = mean "
-        "same-cluster distance, b = min other-cluster mean distance, "
-        "s = (b-a)/max(a,b), per-cluster mean s and the count of "
-        "well-separated anchors (s > 0).  Exact end to end: micro-unit "
-        "int64 squared L2 sums, one double division per (anchor, "
-        "cluster) cell, and s is FIXED-POINT floored (1e-9) before the "
-        "cluster mean so the final averaging is an exact integer sum "
-        "in both engines (the trick that makes a float metric "
-        "hash-verifiable).  The pairwise distances flow through a "
-        "dim0 hash join + partial-combined groupBy (the PQ dist "
-        "shape), never a cartesian; singleton-cluster anchors take "
-        "s = 0 by the standard convention"
-    ),
-)
-def kmeans_silhouette_eval(spark, sf_dir):
-    from .operators import quantization as qz
+    """
 
-    emb = t(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
+
+def _purity_sql(assign_rel: str) -> str:
+    """Extrinsic-purity SQL body over a given assignment relation (shared
+    by the init-only and trained clustering evals, like _silhouette_sql)."""
+    return f"""
+    , lab AS (SELECT vec_id, label FROM embeddings),
+    cells AS (
+      SELECT a.centroid_id, l.label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {assign_rel} a JOIN lab l ON l.vec_id = a.vec_id
+      GROUP BY a.centroid_id, l.label
+    ),
+    tot AS (
+      SELECT centroid_id, CAST(SUM(n) AS BIGINT) AS n_total
+      FROM cells GROUP BY centroid_id
+    ),
+    best AS (
+      SELECT centroid_id, label AS majority_label, n AS n_majority FROM (
+        SELECT centroid_id, label, n,
+               ROW_NUMBER() OVER (
+                 PARTITION BY centroid_id ORDER BY n DESC, label
+               ) AS rk
+        FROM cells
+      ) WHERE rk = 1
     )
-    assign = sim.ivf_assign(emb, centroids)
+    SELECT CAST(t.centroid_id AS BIGINT) AS cluster_id,
+           t.n_total,
+           CAST(b.majority_label AS BIGINT) AS majority_label,
+           b.n_majority,
+           CAST(b.n_majority AS DOUBLE) / t.n_total AS purity
+    FROM tot t JOIN best b ON b.centroid_id = t.centroid_id
+    """
+
+
+def _purity_over(emb, assign):
+    """Spark side of _purity_sql: (cluster, label) cells -> majority pick
+    (ties to the lowest label) -> purity.  Output bounded by k x |labels|."""
+    cells = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("centroid_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cells.groupBy("centroid_id").agg(
+        F.sum("n").cast("long").alias("n_total")
+    )
+    best = (
+        cells.groupBy("centroid_id")
+        .agg(
+            F.max_by(
+                F.col("label").cast("long"),
+                F.struct(F.col("n"), -F.col("label").cast("long")),
+            ).alias("majority_label"),
+            F.max(F.struct(F.col("n"), -F.col("label").cast("long")))
+            .getField("n")
+            .alias("n_majority"),
+        )
+    )
+    return (
+        tot.join(best, "centroid_id")
+        .select(
+            F.col("centroid_id").cast("long").alias("cluster_id"),
+            "n_total",
+            "majority_label",
+            F.col("n_majority").cast("long").alias("n_majority"),
+            (F.col("n_majority").cast("double") / F.col("n_total")).alias(
+                "purity"
+            ),
+        )
+    )
+
+
+def _silhouette_over(emb, assign):
+    """Spark side of _silhouette_sql over an assignment DataFrame.
+
+    Fixed-budget anchors (≈SIL_ANCHOR_BUDGET at any corpus size) keep the
+    pairwise pass linear; the anchor exploded side is ~anchors × dims rows
+    joined on low-cardinality dim0, so it is EXPLICITLY broadcast — AQE
+    picks the broadcast today, but at 100 TB a planner regression to a
+    sort-merge on an 8-key join would be a skew cliff (VERDICT r10 #6).
+    """
+    from .operators import quantization as qz
 
     exm = emb.select(
         "vec_id",
@@ -12378,7 +12457,10 @@ def kmeans_silhouette_eval(spark, sf_dir):
         F.col("vec_id").alias("bj"), "dim0", F.col("xm").alias("x2")
     )
     dist = (
-        e1.join(e2, (e1.dim0 == e2.dim0) & (F.col("bj") != F.col("ai")))
+        e2.join(
+            F.broadcast(e1),
+            (e1.dim0 == e2.dim0) & (F.col("bj") != F.col("ai")),
+        )
         .groupBy("ai", "bj")
         .agg(
             F.sum((F.col("x1") - F.col("x2")) * (F.col("x1") - F.col("x2")))
@@ -12388,7 +12470,9 @@ def kmeans_silhouette_eval(spark, sf_dir):
     )
     by_cluster = (
         dist.join(
-            assign.select(F.col("vec_id").alias("bj"), F.col("centroid_id").alias("cj")),
+            assign.select(
+                F.col("vec_id").alias("bj"), F.col("centroid_id").alias("cj")
+            ),
             "bj",
         )
         .groupBy("ai", "cj")
@@ -12399,7 +12483,9 @@ def kmeans_silhouette_eval(spark, sf_dir):
     )
     ab = (
         by_cluster.join(
-            assign.select(F.col("vec_id").alias("ai"), F.col("centroid_id").alias("ci")),
+            assign.select(
+                F.col("vec_id").alias("ai"), F.col("centroid_id").alias("ci")
+            ),
             "ai",
         )
         .groupBy("ai", "ci")
@@ -12443,35 +12529,42 @@ def kmeans_silhouette_eval(spark, sf_dir):
 
 
 @query(
-    "cluster_purity_eval",
-    oracle=_IVF_ASSIGN_CTE
-    + """
-    , lab AS (SELECT vec_id, label FROM embeddings),
-    cells AS (
-      SELECT a.centroid_id, l.label, CAST(COUNT(*) AS BIGINT) AS n
-      FROM assign a JOIN lab l ON l.vec_id = a.vec_id
-      GROUP BY a.centroid_id, l.label
+    "kmeans_silhouette_eval",
+    oracle=_IVF_ASSIGN_CTE + _silhouette_sql("assign"),
+    description=(
+        "silhouette evaluation of the embedding clustering — the "
+        "cluster-quality loop that closes kmeans the way the recall "
+        "evals close ANN: for a deterministic FIXED-BUDGET anchor "
+        "sample (vec_id % max(1, n//128) = 0, ~128 anchors at ANY "
+        "corpus size — the lever that makes silhouette's inherent "
+        "O(n^2) a LINEAR O(anchors * n) scan; a fixed sampling "
+        "fraction would stay quadratic), per-anchor a = mean "
+        "same-cluster distance, b = min other-cluster mean distance, "
+        "s = (b-a)/max(a,b), per-cluster mean s and the count of "
+        "well-separated anchors (s > 0).  Exact end to end: micro-unit "
+        "int64 squared L2 sums, one double division per (anchor, "
+        "cluster) cell, and s is FIXED-POINT floored (1e-9) before the "
+        "cluster mean so the final averaging is an exact integer sum "
+        "in both engines (the trick that makes a float metric "
+        "hash-verifiable).  The pairwise distances flow through an "
+        "EXPLICITLY broadcast anchor side (~anchors x dims rows) "
+        "joined on dim0 + partial-combined groupBy (the PQ dist "
+        "shape), never a cartesian and never a sort-merge skew cliff "
+        "on the 8-key dim0; singleton-cluster anchors take "
+        "s = 0 by the standard convention"
     ),
-    tot AS (
-      SELECT centroid_id, CAST(SUM(n) AS BIGINT) AS n_total
-      FROM cells GROUP BY centroid_id
-    ),
-    best AS (
-      SELECT centroid_id, label AS majority_label, n AS n_majority FROM (
-        SELECT centroid_id, label, n,
-               ROW_NUMBER() OVER (
-                 PARTITION BY centroid_id ORDER BY n DESC, label
-               ) AS rk
-        FROM cells
-      ) WHERE rk = 1
+)
+def kmeans_silhouette_eval(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    SELECT CAST(t.centroid_id AS BIGINT) AS cluster_id,
-           t.n_total,
-           CAST(b.majority_label AS BIGINT) AS majority_label,
-           b.n_majority,
-           CAST(b.n_majority AS DOUBLE) / t.n_total AS purity
-    FROM tot t JOIN best b ON b.centroid_id = t.centroid_id
-    """,
+    return _silhouette_over(emb, sim.ivf_assign(emb, centroids))
+
+
+@query(
+    "cluster_purity_eval",
+    oracle=_IVF_ASSIGN_CTE + _purity_sql("assign"),
     description=(
         "extrinsic cluster-quality: per-cluster majority label and "
         "purity against the embeddings' ground-truth labels — the "
@@ -12488,39 +12581,54 @@ def cluster_purity_eval(spark, sf_dir):
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    assign = sim.ivf_assign(emb, centroids)
-    cells = (
-        assign.join(emb.select("vec_id", "label"), "vec_id")
-        .groupBy("centroid_id", "label")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return _purity_over(emb, sim.ivf_assign(emb, centroids))
+
+
+@query(
+    "kmeans_trained_silhouette",
+    oracle=_IVF_ASSIGN_CTE + _KMEANS_TRAIN1_CTE + _silhouette_sql("assign2"),
+    description=(
+        "silhouette evaluation of the TRAINED clustering (VERDICT r10 "
+        "#3): the same fixed-budget anchor silhouette as "
+        "kmeans_silhouette_eval, scored over the assignment after one "
+        "micro-unit-exact Lloyd update (the kmeans_embedding_clusters "
+        "building block) instead of the raw first-8-vector seeds — one "
+        "shared SQL/DataFrame template guarantees the init and trained "
+        "numbers are comparable, so the silhouette delta between the "
+        "two entries IS the measured value of training.  Extra cost "
+        "over init-only: one (centroid, dim)-keyed shuffle for the "
+        "means plus a broadcast re-assignment — both corpus-linear"
+    ),
+)
+def kmeans_trained_silhouette(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    tot = cells.groupBy("centroid_id").agg(
-        F.sum("n").cast("long").alias("n_total")
+    cent2 = _lloyd_once(emb, sim.ivf_assign(emb, seeds))
+    return _silhouette_over(emb, sim.ivf_assign(emb, cent2))
+
+
+@query(
+    "kmeans_trained_purity",
+    oracle=_IVF_ASSIGN_CTE + _KMEANS_TRAIN1_CTE + _purity_sql("assign2"),
+    description=(
+        "extrinsic purity of the TRAINED clustering (VERDICT r10 #3): "
+        "per-cluster majority ground-truth label and purity over the "
+        "1-Lloyd-iteration assignment, same template as "
+        "cluster_purity_eval — the trained-vs-init purity delta is the "
+        "extrinsic companion to the silhouette delta (geometry can "
+        "tighten while semantics stay flat; measuring both closes the "
+        "loop)"
+    ),
+)
+def kmeans_trained_purity(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    best = (
-        cells.groupBy("centroid_id")
-        .agg(
-            F.max_by(
-                F.col("label").cast("long"),
-                F.struct(F.col("n"), -F.col("label").cast("long")),
-            ).alias("majority_label"),
-            F.max(F.struct(F.col("n"), -F.col("label").cast("long")))
-            .getField("n")
-            .alias("n_majority"),
-        )
-    )
-    return (
-        tot.join(best, "centroid_id")
-        .select(
-            F.col("centroid_id").cast("long").alias("cluster_id"),
-            "n_total",
-            "majority_label",
-            F.col("n_majority").cast("long").alias("n_majority"),
-            (F.col("n_majority").cast("double") / F.col("n_total")).alias(
-                "purity"
-            ),
-        )
-    )
+    cent2 = _lloyd_once(emb, sim.ivf_assign(emb, seeds))
+    return _purity_over(emb, sim.ivf_assign(emb, cent2))
 
 
 @query(

@@ -34,8 +34,19 @@ ALLOWED_NL_JOIN = {
     "ann_ivf_recall_eval": "centroid set broadcast (k rows)",
     "ann_lsh_search": "hyperplane constants broadcast",
     "kmeans_embedding_clusters": "centroid set broadcast (k rows)",
-    "kmeans_silhouette_eval": "centroid set broadcast (k rows) in the assignment",
+    "kmeans_silhouette_eval": (
+        "centroid set broadcast (k rows) in the assignment + explicit "
+        "anchor-side broadcast (~anchors x dims rows, fixed budget)"
+    ),
     "cluster_purity_eval": "centroid set broadcast (k rows) in the assignment",
+    "kmeans_trained_silhouette": (
+        "centroid set broadcast (k rows) in both assignments + explicit "
+        "anchor-side broadcast (~anchors x dims rows, fixed budget)"
+    ),
+    "kmeans_trained_purity": (
+        "centroid set broadcast (k rows) in both assignments (seed + "
+        "trained re-assignment)"
+    ),
     "revenue_cusum_changepoint": (
         "1-row series-total aggregate broadcast cross join into the "
         "deviation terms (the daily_event_anomaly_zscore shape)"

@@ -38,8 +38,15 @@ ALLOWED_RAW_FACT_BCAST = {
     "ann_ivf_recall_eval": "centroid seeds + query set, recall harness",
     "ann_ivf_incremental_assign": "centroid seeds (k rows), old+new batches",
     "kmeans_embedding_clusters": "centroid seeds = vec_id-strided k rows",
-    "kmeans_silhouette_eval": "centroid seeds vec_id < 8 (k rows) in the assignment",
+    "kmeans_silhouette_eval": "centroid seeds vec_id < 8 (k rows) in the "
+    "assignment + anchor exploded side (vec_id % (n//128), fixed ~128 "
+    "anchors x dims rows at any SF) explicitly broadcast in the dist join",
     "cluster_purity_eval": "centroid seeds vec_id < 8 (k rows) in the assignment",
+    "kmeans_trained_silhouette": "centroid seeds vec_id < 8 in both "
+    "assignments + fixed-budget anchor side explicitly broadcast (the "
+    "kmeans_silhouette_eval shape over the 1-Lloyd-trained assignment)",
+    "kmeans_trained_purity": "centroid seeds vec_id < 8 (k rows) in the "
+    "seed assignment and the trained re-assignment",
     "kmeans_single_iteration": "centroid seeds = vec_id-strided k rows",
     "semantic_dedup_clustered": "centroid seeds (k rows) for cluster assignment",
     "decontaminate_semantic_eval": "eval set = benchmark-sized fixed slice",
@@ -72,6 +79,12 @@ ALLOWED_BIG_BROADCAST = {
     "ann_ivf_multiprobe": "probe expansion of the vec_id<10 query set "
     "joined to k centroids — rows = |queries| x nprobe, stat is the "
     "join-product worst case",
+    "kmeans_silhouette_eval": "anchor exploded side = exm join anch — "
+    "true rows = ~128 fixed-budget anchors x dims at any SF (the modulus "
+    "scales with n), stat is the join-product worst case",
+    "kmeans_trained_silhouette": "anchor exploded side = exm join anch — "
+    "true rows = ~128 fixed-budget anchors x dims at any SF, stat is the "
+    "join-product worst case (same subtree as kmeans_silhouette_eval)",
     "knn_filtered_by_label": "query set = 5 rows (vec_id < 5) self-joined "
     "to attach labels — true size 5 rows at any SF, stat is the "
     "join-product worst case",

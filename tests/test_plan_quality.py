@@ -566,3 +566,16 @@ def test_ivfpq_recall_window_bounded_by_probe_set(spark):
         tail = p[m.start() : m.start() + 200]
         assert "np" in tail, tail
     assert not re.search(r"Sort \[[^\]]*\], true", p), p
+
+
+def test_silhouette_anchor_side_is_broadcast(spark):
+    """The silhouette pairwise-distance join must broadcast the anchor
+    exploded side (~anchors x dims rows, joined on 8-key dim0): AQE
+    happens to pick a broadcast today, but a planner regression to a
+    sort-merge on dim0 would be a skew cliff at corpus scale, so the
+    entry pins it explicitly (VERDICT r10 #6).  Same pin for the trained
+    variant, which shares the template."""
+    for name in ("kmeans_silhouette_eval", "kmeans_trained_silhouette"):
+        p = plan(spark, name)
+        assert "BroadcastHashJoin" in p, (name, p)
+        assert not re.search(r"SortMergeJoin.*dim0", p), (name, p)
