@@ -287,3 +287,98 @@ def pq_train_iterations(
             new[r["code"]][r["m"] * sub_dims + r["sub_dim"]] = r["cm"]
         cb = new
     return cb
+
+
+def pq_adc_pool(
+    coded: DataFrame,
+    lut: dict,
+    n_subspaces: int,
+    pool_size: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Stage-2 candidate pool: map-only ADC rank over PQ codes -> the
+    ``pool_size`` best candidate ids (ties to the lowest id).
+
+    The input is :func:`pq_encode` output (4-byte codes, never float
+    vectors); the score is a pure map (baked LUT literals), so the only
+    gather is the bounded top-``pool_size`` — TakeOrderedAndProject, no
+    shuffle, at any corpus size.
+    """
+    return (
+        coded.select(id_col, pq_adc_score(lut, n_subspaces).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(pool_size)
+        .select(id_col)
+    )
+
+
+def pq_exact_rerank(
+    collection: DataFrame,
+    pool: DataFrame,
+    query_micro: list,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stage-3 exact rerank: micro-unit int64 squared-L2 rescore of ONLY
+    the pool's float vectors -> the pool's true top-``k``.
+
+    (id, exact_dist) with ties to the lowest id.  The float vectors are
+    read for pool-size rows (a broadcast-joinable id list), never
+    corpus-wide — recall becomes bounded by pool membership instead of
+    codebook error (the fix for ADC's non-monotone-in-nprobe recall,
+    SCALE.md r10).
+    """
+    qlits = F.array(*[F.lit(c).cast("long") for c in query_micro])
+    exact_d = F.aggregate(
+        F.zip_with(
+            micro_components(F.col(vec_col)), qlits, lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        collection.join(pool, id_col)
+        .select(id_col, exact_d.alias("exact_dist"))
+        .orderBy("exact_dist", id_col)
+        .limit(k)
+    )
+
+
+def ivfpq_search(
+    collection: DataFrame,
+    assignment: DataFrame,
+    probe_ids: list,
+    codebooks: dict,
+    query_micro: list,
+    n_subspaces: int,
+    sub_dims: int,
+    rerank_pool: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The complete three-stage IVF-PQ serving pipeline as ONE reusable
+    operator (promoted from the ivfpq_rerank_search entry, VERDICT r10 #4):
+
+    1. IVF coarse prune — keep only vectors whose inverted list is in the
+       ``probe_ids`` schedule (per-query metadata, nprobe ids);
+    2. ADC pool — encode the survivors to PQ codes and rank by the baked
+       query LUT, down to ``rerank_pool`` candidates (map + TakeOrdered);
+    3. exact rerank — rescore only the pool's float vectors, return the
+       true top-``k``.
+
+    Each stage touches an order of magnitude less data than the last
+    (corpus -> nprobe/nlist of it as 4-byte codes -> pool-size floats) —
+    the standard billion-vector serving layout.  ``assignment`` is the
+    (id, centroid_id) coarse IVF assignment (e.g. ``similarity.ivf_assign``
+    output, typically precomputed as the index build).
+    """
+    cand_ids = assignment.filter(
+        F.col("centroid_id").isin(list(probe_ids))
+    ).select(id_col)
+    cand = collection.join(cand_ids, id_col)
+    coded = pq_encode(cand, codebooks, n_subspaces, sub_dims, id_col, vec_col)
+    lut = pq_adc_lut(query_micro, codebooks, n_subspaces, sub_dims)
+    pool = pq_adc_pool(coded, lut, n_subspaces, rerank_pool, id_col)
+    return pq_exact_rerank(collection, pool, query_micro, k, id_col, vec_col)

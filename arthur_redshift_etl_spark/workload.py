@@ -12189,26 +12189,8 @@ def pq_adc_rerank_topk(spark, sf_dir):
     )
     coded = qz.pq_encode(emb, codebooks, PQ_M, PQ_SUB)
     lut = qz.pq_adc_lut(query, codebooks, PQ_M, PQ_SUB)
-    pool = (
-        coded.select("vec_id", qz.pq_adc_score(lut, PQ_M).alias("adc_dist"))
-        .orderBy("adc_dist", "vec_id")
-        .limit(PQ_RERANK_POOL)
-        .select("vec_id")
-    )
-    qlits = F.array(*[F.lit(c).cast("long") for c in query])
-    exact_d = F.aggregate(
-        F.zip_with(
-            qz.micro_components(), qlits, lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    return (
-        emb.join(pool, "vec_id")
-        .select("vec_id", exact_d.alias("exact_dist"))
-        .orderBy("exact_dist", "vec_id")
-        .limit(10)
-    )
+    pool = qz.pq_adc_pool(coded, lut, PQ_M, PQ_RERANK_POOL)
+    return qz.pq_exact_rerank(emb, pool, query, 10)
 
 
 @query(
@@ -12259,11 +12241,6 @@ def ivfpq_rerank_search(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     assign = sim.ivf_assign(emb, centroids)
-    probe_ids = _pq_probe_ids(emb, 2)
-    cand_ids = assign.filter(F.col("centroid_id").isin(probe_ids)).select(
-        "vec_id"
-    )
-    cand = emb.join(cand_ids, "vec_id")
     codebooks = {
         r["vec_id"]: qz.micro_list(r["embedding"])
         for r in emb.filter(F.col("vec_id") < PQ_K).collect()
@@ -12271,27 +12248,16 @@ def ivfpq_rerank_search(spark, sf_dir):
     query = qz.micro_list(
         emb.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0]["embedding"]
     )
-    coded = qz.pq_encode(cand, codebooks, PQ_M, PQ_SUB)
-    lut = qz.pq_adc_lut(query, codebooks, PQ_M, PQ_SUB)
-    pool = (
-        coded.select("vec_id", qz.pq_adc_score(lut, PQ_M).alias("adc_dist"))
-        .orderBy("adc_dist", "vec_id")
-        .limit(25)
-        .select("vec_id")
-    )
-    qlits = F.array(*[F.lit(c).cast("long") for c in query])
-    exact_d = F.aggregate(
-        F.zip_with(
-            qz.micro_components(), qlits, lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    return (
-        emb.join(pool, "vec_id")
-        .select("vec_id", exact_d.alias("exact_dist"))
-        .orderBy("exact_dist", "vec_id")
-        .limit(5)
+    return qz.ivfpq_search(
+        emb,
+        assign,
+        _pq_probe_ids(emb, 2),
+        codebooks,
+        query,
+        PQ_M,
+        PQ_SUB,
+        rerank_pool=25,
+        k=5,
     )
 
 

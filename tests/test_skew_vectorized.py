@@ -668,3 +668,125 @@ def test_ivfpq_full_probe_equals_plain_pq(spark):
     )
     plain = pq_adc_topk(spark, sf).collect()
     assert [tuple(r) for r in full_probe] == [tuple(r) for r in plain]
+
+
+def test_ivfpq_search_operator_full_probe_full_pool_is_exact(spark):
+    """The reusable three-stage operator (quantization.ivfpq_search,
+    promoted from the ivfpq_rerank_search entry) degrades gracefully to
+    EXACT search when nothing prunes: probing every bucket and widening
+    the rerank pool to the whole corpus must return the true micro-unit
+    L2 top-k — codebook quality cannot matter once the exact rerank sees
+    every candidate."""
+    from pyspark.sql import functions as F
+    from arthur_redshift_etl_spark.operators import quantization as qz
+    from arthur_redshift_etl_spark.operators import similarity as sim
+    from arthur_redshift_etl_spark.workload import (
+        PQ_K,
+        PQ_M,
+        PQ_QUERY_ID,
+        PQ_SUB,
+        _pq_probe_ids,
+        t,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = t(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = sim.ivf_assign(emb, centroids)
+    codebooks = {
+        r["vec_id"]: qz.micro_list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    query = qz.micro_list(
+        emb.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0]["embedding"]
+    )
+    n = emb.count()
+    got = qz.ivfpq_search(
+        emb,
+        assign,
+        _pq_probe_ids(emb, PQ_K),  # every bucket -> no IVF prune
+        codebooks,
+        query,
+        PQ_M,
+        PQ_SUB,
+        rerank_pool=n,  # whole corpus -> no ADC prune
+        k=10,
+    ).collect()
+
+    # exact ground truth: micro-unit int64 L2 over the full corpus
+    qlits = F.array(*[F.lit(c).cast("long") for c in query])
+    exact_d = F.aggregate(
+        F.zip_with(
+            qz.micro_components(), qlits, lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    truth = (
+        emb.select("vec_id", exact_d.alias("exact_dist"))
+        .orderBy("exact_dist", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in truth]
+
+
+def test_ivfpq_search_operator_pool_monotone(spark):
+    """Widening only the rerank pool can never lose a true neighbor the
+    smaller pool had surfaced: recall vs the exact top-k is monotone in
+    rerank_pool at fixed probe schedule (candidate-set monotonicity —
+    the invariant that survived r10's ADC-recall finding)."""
+    from pyspark.sql import functions as F
+    from arthur_redshift_etl_spark.operators import quantization as qz
+    from arthur_redshift_etl_spark.operators import similarity as sim
+    from arthur_redshift_etl_spark.workload import (
+        PQ_K,
+        PQ_M,
+        PQ_QUERY_ID,
+        PQ_SUB,
+        _pq_probe_ids,
+        t,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = t(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assign = sim.ivf_assign(emb, centroids)
+    codebooks = {
+        r["vec_id"]: qz.micro_list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    query = qz.micro_list(
+        emb.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0]["embedding"]
+    )
+    probe = _pq_probe_ids(emb, 2)
+    qlits = F.array(*[F.lit(c).cast("long") for c in query])
+    exact_d = F.aggregate(
+        F.zip_with(
+            qz.micro_components(), qlits, lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    truth = {
+        r["vec_id"]
+        for r in emb.select("vec_id", exact_d.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .collect()
+    }
+    recalls = []
+    for pool in (5, 25, 100):
+        got = {
+            r["vec_id"]
+            for r in qz.ivfpq_search(
+                emb, assign, probe, codebooks, query,
+                PQ_M, PQ_SUB, rerank_pool=pool, k=5,
+            ).collect()
+        }
+        recalls.append(len(got & truth))
+    assert recalls == sorted(recalls), recalls
