@@ -11590,7 +11590,7 @@ def ivfpq_recall_eval(spark, sf_dir):
     )
 
 
-def _pq_train_sql_ctes(n_iters: int) -> tuple:
+def _pq_train_sql_ctes(n_iters: int, k: int = PQ_K, sub: int = PQ_SUB) -> tuple:
     """Unrolled SQL for ``n_iters`` Lloyd steps over the PQ codebook —
     the oracle twin of quantization.pq_train_iterations.  Returns
     (cte_sql, last_cb_name, last_dist_name): each iteration assigns codes
@@ -11607,8 +11607,8 @@ def _pq_train_sql_ctes(n_iters: int) -> tuple:
       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
     ),
     cb0 AS (
-      SELECT vec_id AS cid, dim0, dim0 // {PQ_SUB} AS m, xm AS cm
-      FROM ex WHERE vec_id < {PQ_K}
+      SELECT vec_id AS cid, dim0, dim0 // {sub} AS m, xm AS cm
+      FROM ex WHERE vec_id < {k}
     )"""
     ]
     prev = "cb0"
@@ -11617,10 +11617,10 @@ def _pq_train_sql_ctes(n_iters: int) -> tuple:
         parts.append(
             f""",
     dist{i} AS (
-      SELECT e.vec_id, e.dim0 // {PQ_SUB} AS m, b.cid,
+      SELECT e.vec_id, e.dim0 // {sub} AS m, b.cid,
              SUM((e.xm - b.cm) * (e.xm - b.cm)) AS d
       FROM ex e JOIN {prev} b ON e.dim0 = b.dim0
-      GROUP BY e.vec_id, e.dim0 // {PQ_SUB}, b.cid
+      GROUP BY e.vec_id, e.dim0 // {sub}, b.cid
     ),
     codes{i} AS (
       SELECT vec_id, m, cid AS code FROM (
@@ -11634,7 +11634,7 @@ def _pq_train_sql_ctes(n_iters: int) -> tuple:
       SELECT c.m, c.code AS cid, e.dim0,
              SUM(e.xm) AS s, COUNT(*) AS n
       FROM codes{i} c
-      JOIN ex e ON e.vec_id = c.vec_id AND e.dim0 // {PQ_SUB} = c.m
+      JOIN ex e ON e.vec_id = c.vec_id AND e.dim0 // {sub} = c.m
       GROUP BY c.m, c.code, e.dim0
     ),
     cb{i} AS (
@@ -11660,33 +11660,38 @@ _PQ_TRAIN_CTES_3, _, _PQ_TRAIN_DIST_3 = _pq_train_sql_ctes(PQ_TRAIN_ITERS + 1)
 _PQ_TRAINED_MEMO: dict = {}
 
 
-def _trained_pq_codebooks(spark, sf_dir):
+def _trained_pq_codebooks(spark, sf_dir, m: int = None, sub: int = None, k: int = None):
     """(init, trained) codebooks for this corpus, memoized per process.
 
-    Three catalog entries (pq_train_iterated, pq_adc_topk_trained,
-    ivfpq_trained_multiprobe) consume the identical deterministic
-    training run; in one driver process (the correctness gate, bench)
-    only the first pays the two Lloyd passes — the production shape,
-    where a trained codebook is an artifact amortized across every
-    query, not a per-query cost.  Keyed by the corpus file identity
-    ((path, mtime_ns, size), like the duckdb mirror cache) so a
-    regenerated corpus retrains.
+    The trained-search entries (pq_train_iterated, pq_adc_topk_trained,
+    ivfpq_trained_multiprobe, pq_adc_topk_trained_big) consume the
+    identical deterministic training run; in one driver process (the
+    correctness gate, bench) only the first pays the two Lloyd passes —
+    the production shape, where a trained codebook is an artifact
+    amortized across every query, not a per-query cost.  Keyed by the
+    corpus file identity ((path, mtime_ns, size), like the duckdb mirror
+    cache) plus the codebook geometry, so a regenerated corpus — or a
+    different (M, K) — retrains.
     """
     import os
 
     from .operators import quantization as qz
 
+    m = PQ_M if m is None else m
+    sub = PQ_SUB if sub is None else sub
+    k = PQ_K if k is None else k
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    key = (os.path.abspath(src), st.st_mtime_ns, st.st_size, PQ_TRAIN_ITERS)
+    key = (os.path.abspath(src), st.st_mtime_ns, st.st_size,
+           PQ_TRAIN_ITERS, m, sub, k)
     if key in _PQ_TRAINED_MEMO:
         return _PQ_TRAINED_MEMO[key]
     emb = t(spark, sf_dir, "embeddings")
     init = {
         r["vec_id"]: qz.micro_list(r["embedding"])
-        for r in emb.filter(F.col("vec_id") < PQ_K).collect()
+        for r in emb.filter(F.col("vec_id") < k).collect()
     }
-    trained = qz.pq_train_iterations(emb, init, PQ_M, PQ_SUB, PQ_TRAIN_ITERS)
+    trained = qz.pq_train_iterations(emb, init, m, sub, PQ_TRAIN_ITERS)
     _PQ_TRAINED_MEMO[key] = (init, trained)
     return init, trained
 
@@ -11785,6 +11790,73 @@ def pq_adc_topk_trained(spark, sf_dir):
     lut = qz.pq_adc_lut(query, trained, PQ_M, PQ_SUB)
     return (
         coded.select("vec_id", qz.pq_adc_score(lut, PQ_M).alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+# Bigger-codebook tier (VERDICT r10 #5): M=8 subspaces x K=16 centroids
+# over the same 64-dim embeddings (sub=8 dims/subspace, 32-bit codes) vs
+# the 12-bit demo (M=4 x K=8).  The recall table in SCALE.md showed the
+# 12-bit codebook is the quality bottleneck (ADC recall 0.2 vs candidate
+# 0.8); this tier measures what codebook size buys at identical pipeline.
+PQ_BIG_M = 8
+PQ_BIG_SUB = 8
+PQ_BIG_K = 16
+
+_PQ_BIG_CTES_3, _, _PQ_BIG_DIST_3 = _pq_train_sql_ctes(
+    PQ_TRAIN_ITERS + 1, k=PQ_BIG_K, sub=PQ_BIG_SUB
+)
+
+
+@query(
+    "pq_adc_topk_trained_big",
+    oracle=_PQ_BIG_CTES_3
+    + f"""
+    , lutq AS (
+      SELECT m, cid, d AS qd FROM {_PQ_BIG_DIST_3} WHERE vec_id = {PQ_QUERY_ID}
+    ),
+    codesq AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid)
+                 AS rk
+        FROM {_PQ_BIG_DIST_3}
+      ) WHERE rk = 1
+    ),
+    adc AS (
+      SELECT c.vec_id, CAST(SUM(l.qd) AS BIGINT) AS adc_dist
+      FROM codesq c JOIN lutq l ON c.m = l.m AND c.code = l.cid
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+    description=(
+        "ADC top-10 with the 32-bit trained codebook (M=8 x K=16, sub=8) "
+        "— the codebook-quality lever the 12-bit demo left on the table: "
+        "same 2-iteration Lloyd training (pq_train_iterations, bounded "
+        "M*K*SUB driver traffic), same pure-map encode+LUT search plan, "
+        "4x the code bits.  Measured recall@10 next to the 12-bit curve "
+        "in SCALE.md (scripts/pq_codebook_size_ab.py): the production "
+        "fix when ADC-ranked recall plateaus in nprobe is a bigger/"
+        "better codebook, not more probes.  Per-row LUT cost is M map "
+        "lookups (8 vs 4) — still constant per row at any corpus size"
+    ),
+)
+def pq_adc_topk_trained_big(spark, sf_dir):
+    from .operators import quantization as qz
+
+    emb = t(spark, sf_dir, "embeddings")
+    _, trained = _trained_pq_codebooks(
+        spark, sf_dir, m=PQ_BIG_M, sub=PQ_BIG_SUB, k=PQ_BIG_K
+    )
+    query = qz.micro_list(
+        emb.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0]["embedding"]
+    )
+    coded = qz.pq_encode(emb, trained, PQ_BIG_M, PQ_BIG_SUB)
+    lut = qz.pq_adc_lut(query, trained, PQ_BIG_M, PQ_BIG_SUB)
+    return (
+        coded.select("vec_id", qz.pq_adc_score(lut, PQ_BIG_M).alias("adc_dist"))
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
