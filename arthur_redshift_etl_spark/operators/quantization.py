@@ -232,9 +232,14 @@ def pq_train_iterations(
     sub_dims: int,
     n_iters: int,
     vec_col: str = "embedding",
+    micro_col: str = None,
 ) -> dict:
     """``n_iters`` Lloyd steps of per-subspace PQ codebook training; returns
     the refined codebooks dict (same keys, micro-unit int lists).
+
+    Pass ``micro_col`` to train over an ALREADY-micro array column (e.g.
+    the residuals from :func:`residual_micro`) instead of deriving micro
+    components from ``vec_col``.
 
     Each iteration is fully distributed: assignment is a pure map over the
     corpus (current codebook baked as literals, the same argmin as
@@ -251,7 +256,11 @@ def pq_train_iterations(
     keeps its previous centroid (the standard Lloyd dead-centroid rule,
     and what the unrolled SQL oracle's LEFT JOIN + COALESCE encodes).
     """
-    base = df.select(micro_components(F.col(vec_col)).alias("xm"))
+    base = (
+        df.select(F.col(micro_col).alias("xm"))
+        if micro_col
+        else df.select(micro_components(F.col(vec_col)).alias("xm"))
+    )
     cb = {cid: list(vec) for cid, vec in codebooks.items()}
     for _ in range(n_iters):
         per_m = []
@@ -382,3 +391,92 @@ def ivfpq_search(
     lut = pq_adc_lut(query_micro, codebooks, n_subspaces, sub_dims)
     pool = pq_adc_pool(coded, lut, n_subspaces, rerank_pool, id_col)
     return pq_exact_rerank(collection, pool, query_micro, k, id_col, vec_col)
+
+
+# --- residual IVF-PQ (the FAISS-standard layout) ---------------------------
+# PQ over COARSE RESIDUALS x - c(x) instead of raw vectors: residual
+# distributions are far tighter than the raw corpus, so the same code
+# budget quantizes finer.  All micro-unit int64 (residual = int - int),
+# which keeps every stage hash-oracle-able.
+
+
+def residual_micro(
+    df: DataFrame,
+    assignment: DataFrame,
+    centroids_micro: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id, rm) — micro-unit residual arrays vs each row's
+    assigned coarse centroid.
+
+    ``centroids_micro`` is {centroid_id: micro vector} (a bounded driver
+    literal, like PQ codebooks); the subtraction is a pure zip_with after
+    a when-chain selects the assigned centroid's literal array — no
+    second join for the centroid payload.  The only join is id->centroid
+    (the IVF index itself); at scale the residual/codes table is the
+    index build artifact, computed once.
+    """
+    cm = None
+    for cid in sorted(centroids_micro):
+        arr = F.array(
+            *[F.lit(v).cast("long") for v in centroids_micro[cid]]
+        )
+        cm = (
+            F.when(F.col("centroid_id") == cid, arr)
+            if cm is None
+            else cm.when(F.col("centroid_id") == cid, arr)
+        )
+    return (
+        df.join(assignment, id_col)
+        .select(
+            F.col(id_col),
+            "centroid_id",
+            F.zip_with(
+                micro_components(F.col(vec_col)), cm, lambda a, b: a - b
+            ).alias("rm"),
+        )
+    )
+
+
+def pq_encode_micro(
+    df: DataFrame,
+    micro_col: str,
+    codebooks: dict,
+    n_subspaces: int,
+    sub_dims: int,
+    id_col: str = "vec_id",
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """:func:`pq_encode` over an ALREADY-micro array column (e.g. the
+    residuals from :func:`residual_micro`) — same pure-map shape."""
+    return df.select(
+        id_col,
+        *extra_cols,
+        *[
+            pq_code(F.col(micro_col), codebooks, m, sub_dims).alias(f"code{m}")
+            for m in range(n_subspaces)
+        ],
+    )
+
+
+def residual_adc_score(
+    luts_by_bucket: dict,
+    n_subspaces: int,
+    centroid_col: str = "centroid_id",
+):
+    """Column: residual-ADC distance of an encoded row to the query.
+
+    In residual IVF-PQ the query residual differs per inverted list
+    (q - c_b), so there is one LUT per probed bucket; the score selects
+    the row's own bucket's LUT via a when-chain and sums its M lookups —
+    still a pure map (|probed buckets| x M x K literals, bounded)."""
+    expr = None
+    for b in sorted(luts_by_bucket):
+        score_b = pq_adc_score(luts_by_bucket[b], n_subspaces)
+        expr = (
+            F.when(F.col(centroid_col) == b, score_b)
+            if expr is None
+            else expr.when(F.col(centroid_col) == b, score_b)
+        )
+    return expr.cast("long")

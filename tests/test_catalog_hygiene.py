@@ -47,6 +47,10 @@ ALLOWED_NL_JOIN = {
         "centroid set broadcast (k rows) in both assignments (seed + "
         "trained re-assignment)"
     ),
+    "ivfpq_residual_search": (
+        "centroid set broadcast (k rows) in the coarse IVF assignment + "
+        "1-row query broadcast for the probe schedule"
+    ),
     "revenue_cusum_changepoint": (
         "1-row series-total aggregate broadcast cross join into the "
         "deviation terms (the daily_event_anomaly_zscore shape)"

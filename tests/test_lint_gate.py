@@ -47,6 +47,9 @@ ALLOWED_RAW_FACT_BCAST = {
     "kmeans_silhouette_eval shape over the 1-Lloyd-trained assignment)",
     "kmeans_trained_purity": "centroid seeds vec_id < 8 (k rows) in the "
     "seed assignment and the trained re-assignment",
+    "ivfpq_residual_search": "centroid seeds vec_id < 8 (k rows) in the "
+    "coarse IVF assignment + 1-row query broadcast in the probe schedule "
+    "(the ivfpq_* family bound)",
     "kmeans_single_iteration": "centroid seeds = vec_id-strided k rows",
     "semantic_dedup_clustered": "centroid seeds (k rows) for cluster assignment",
     "decontaminate_semantic_eval": "eval set = benchmark-sized fixed slice",
