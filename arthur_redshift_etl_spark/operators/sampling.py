@@ -156,3 +156,33 @@ def topk_per_group(
         .filter(F.col("sample_rank") <= k)
         .drop("_shard", "_rk1")
     )
+
+
+# hex-prefix cut points for percentage splits over md5(group): 4 hex chars
+# = 65536 values; 0.8 * 65536 = 52428.8 -> 0xCCCD, 0.9 * 65536 = 58982.4
+# -> 0xE667 (both rounded up, so the train/valid shares are within 0.002%
+# of nominal).  Lexicographic compare of lowercase hex is engine-portable
+# (Spark md5 and DuckDB md5 both emit lowercase hex strings).
+GROUP_SPLIT_CUT_TRAIN = "cccd"
+GROUP_SPLIT_CUT_VALID = "e667"
+
+
+def grouped_split_assign(df: DataFrame, group_col: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: the WHOLE group (e.g. every
+    document of one source/site/author) lands in one split.
+
+    ``split_assign`` hashes the row id, so near-duplicate rows sharing a
+    group can straddle train and eval — the classic contamination path.
+    This variant hashes the group key (md5 hex prefix, portable across
+    engines) so group membership decides the split: ~80/10/10 by GROUP
+    WEIGHT (a heavy group tips the realized row shares — by design; the
+    alternative is leakage).  Narrow transformation: per-row md5 + two
+    string compares, no shuffle, pushes down to scans at any scale.
+    """
+    prefix = F.substring(F.md5(F.col(group_col).cast("string")), 1, 4)
+    return df.withColumn(
+        "split",
+        F.when(prefix < GROUP_SPLIT_CUT_TRAIN, "train")
+        .when(prefix < GROUP_SPLIT_CUT_VALID, "valid")
+        .otherwise("test"),
+    )

@@ -2495,6 +2495,40 @@ def split_train_valid_test(spark, sf_dir):
 
 
 @query(
+    "grouped_split_leakage_safe",
+    oracle="""
+    SELECT source,
+           CASE WHEN substr(md5(source), 1, 4) < 'cccd' THEN 'train'
+                WHEN substr(md5(source), 1, 4) < 'e667' THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+    description=(
+        "LEAKAGE-SAFE dataset split (sampling.grouped_split_assign): "
+        "the split key is the GROUP (source), not the row id, so every "
+        "document of a source lands in one split — near-duplicates "
+        "sharing a source can never straddle train and eval, the "
+        "contamination path a doc-id split (split_train_valid_test) "
+        "leaves open.  md5-hex-prefix cut points are engine-portable "
+        "(lowercase hex both sides) and within 0.002% of 80/10/10 by "
+        "group weight.  Narrow per-row expression, no shuffle before "
+        "the audit aggregation; each source appears exactly once in "
+        "the output — the leakage-safety is visible in the result shape"
+    ),
+)
+def grouped_split_leakage_safe(spark, sf_dir):
+    from .operators.sampling import grouped_split_assign
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        grouped_split_assign(docs, "source")
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@query(
     "stratified_sample_by_source",
     oracle="""
     SELECT doc_id, source FROM (
@@ -11860,6 +11894,121 @@ def pq_adc_topk_trained_big(spark, sf_dir):
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, t.i - 1 AS dim0,
+             CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xm
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT CAST(dim0 AS BIGINT) AS dim0,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(xm) // COUNT(*) AS BIGINT) AS mean_micro,
+           CAST(SUM(xm * xm) // COUNT(*)
+                - (SUM(xm) // COUNT(*)) * (SUM(xm) // COUNT(*)) AS BIGINT)
+             AS var_micro2,
+           CAST(MIN(xm) AS BIGINT) AS min_micro,
+           CAST(MAX(xm) AS BIGINT) AS max_micro
+    FROM ex GROUP BY dim0
+    """,
+    description=(
+        "per-dimension embedding statistics (mean/variance/min/max in "
+        "micro units, integer-exact truncating division) — the stats "
+        "table a standardization/whitening preprocessing step consumes "
+        "before PQ or cosine indexing, and the drift monitor compares "
+        "across corpus snapshots.  One partial-combined groupBy keyed "
+        "by dim0; output is |dims| rows at any corpus size.  Variance "
+        "is the integer E[x^2] - E[x]^2 form — deterministic and "
+        "hash-verifiable where a float aggregate would be "
+        "accumulation-order-dependent"
+    ),
+)
+def embedding_dim_stats(spark, sf_dir):
+    from .operators import quantization as qz
+
+    emb = t(spark, sf_dir, "embeddings")
+    exm = emb.select(
+        F.posexplode(qz.micro_components()).alias("dim0", "xm")
+    )
+    return (
+        exm.groupBy(F.col("dim0").cast("long").alias("dim0"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xm").cast("long").alias("s"),
+            F.sum(F.col("xm") * F.col("xm")).cast("long").alias("sq"),
+            F.min("xm").cast("long").alias("min_micro"),
+            F.max("xm").cast("long").alias("max_micro"),
+        )
+        .select(
+            "dim0",
+            "n",
+            F.expr("s div n").cast("long").alias("mean_micro"),
+            F.expr("sq div n - (s div n) * (s div n)")
+            .cast("long")
+            .alias("var_micro2"),
+            "min_micro",
+            "max_micro",
+        )
+    )
+
+
+# The embeddings table is fixed at 64 dims (TESTDATA.md); the L2 coarse
+# quantizer is PQ with ONE subspace spanning the whole vector.
+EMB_DIMS = 64
+
+_L2C_CTES_3, _, _L2C_DIST_3 = _pq_train_sql_ctes(
+    PQ_TRAIN_ITERS + 1, k=PQ_K, sub=EMB_DIMS
+)
+
+
+@query(
+    "ivf_l2_trained_buckets",
+    oracle=_L2C_CTES_3
+    + f"""
+    , fassign AS (
+      SELECT vec_id, cid AS centroid_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        FROM {_L2C_DIST_3}
+      ) WHERE rk = 1
+    )
+    SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM fassign GROUP BY centroid_id
+    """,
+    description=(
+        "L2-TRAINED coarse quantizer (the metric-matched IVF index "
+        "build the residual A/B identified as the production "
+        "prerequisite): an L2 kmeans over whole vectors is exactly PQ "
+        "with M=1/SUB=dims, so the same pq_train_iterations runs 2 "
+        "distributed Lloyd steps (integer-exact centroid updates, "
+        "K x dims driver traffic per iteration) and the same unrolled "
+        "training CTEs oracle it; assignment is the pure-map pq_code "
+        "argmin (squared-L2, ties to the lowest centroid — matching "
+        "the ADC metric, unlike the cosine ivf_assign family).  Output "
+        "is the trained inverted-list sizes.  scripts/"
+        "residual_pq_recall_ab.py measures what this buys: variance "
+        "ratio 1.62 -> 0.93, residual recall 0.08 -> 0.19"
+    ),
+)
+def ivf_l2_trained_buckets(spark, sf_dir):
+    from .operators import quantization as qz
+
+    emb = t(spark, sf_dir, "embeddings")
+    _, cents = _trained_pq_codebooks(spark, sf_dir, m=1, sub=EMB_DIMS, k=PQ_K)
+    assign = emb.select(
+        "vec_id",
+        qz.pq_code(qz.micro_components(), cents, 0, EMB_DIMS).alias(
+            "centroid_id"
+        ),
+    )
+    return assign.groupBy(
+        F.col("centroid_id").cast("long").alias("centroid_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
 
 
 @query(

@@ -8,6 +8,7 @@ identical pairs to brute-force Jaccard over all document pairs.
 import itertools
 
 import pytest
+from pyspark.sql import functions as F
 
 from arthur_redshift_etl_spark.operators import dedup as dd
 
@@ -736,3 +737,62 @@ def test_stratified_sample_keeps_null_strata(spark):
         F.col("_rn") <= F.ceil(F.lit(0.5) * F.col("_n"))
     ).select("doc_id", "source")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+class TestGroupedSplit:
+    def test_grouped_split_no_group_straddles_splits(self, spark):
+        """Leakage-safety is structural: every group (source) maps to
+        exactly one split, deterministically across calls."""
+        from arthur_redshift_etl_spark.operators.sampling import (
+            grouped_split_assign,
+        )
+        from arthur_redshift_etl_spark.workload import t
+
+        docs = t(spark, "/root/testdata/sf0.001", "documents")
+        out = grouped_split_assign(docs, "source")
+        per_group = (
+            out.groupBy("source")
+            .agg(F.countDistinct("split").alias("k"))
+            .collect()
+        )
+        assert per_group and all(r["k"] == 1 for r in per_group)
+        # deterministic across invocations
+        a = sorted(
+            (r["source"], r["split"])
+            for r in out.select("source", "split").distinct().collect()
+        )
+        b = sorted(
+            (r["source"], r["split"])
+            for r in grouped_split_assign(docs, "source")
+            .select("source", "split")
+            .distinct()
+            .collect()
+        )
+        assert a == b
+        # all three splits realized over the 20-source corpus would be
+        # luck-dependent at n=20; require at least train plus one other
+        splits = {s for _, s in a}
+        assert "train" in splits and len(splits) >= 2
+
+    def test_grouped_split_shares_near_nominal_on_many_groups(self, spark):
+        """With many synthetic groups the realized group-count shares
+        approach 80/10/10 (cut points are within 0.002% of nominal)."""
+        from arthur_redshift_etl_spark.operators.sampling import (
+            grouped_split_assign,
+        )
+
+        df = spark.range(5000).select(
+            F.concat(F.lit("g"), F.col("id")).alias("grp")
+        )
+        got = {
+            r["split"]: r["n"]
+            for r in grouped_split_assign(df, "grp")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(got.values())
+        assert total == 5000
+        assert abs(got["train"] / total - 0.80) < 0.02
+        assert abs(got.get("valid", 0) / total - 0.10) < 0.02
+        assert abs(got.get("test", 0) / total - 0.10) < 0.02
