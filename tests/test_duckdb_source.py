@@ -792,3 +792,81 @@ def test_sql_literal_round_trips_through_duckdb():
         else:
             assert got == v, (v, got)
     con.close()
+
+
+def test_entry_self_diagnosis_fires_on_divergent_mirror(registered, tmp_path):
+    """The r11 self-diagnosing entry (VERDICT r10 #1): if the mirror the
+    DataSource reads ever disagrees with the parquet the oracle reads, the
+    entry must RAISE a diagnostic naming the three row sets, the mirror
+    path, and library versions — not return silently divergent rows for an
+    anonymous hash mismatch."""
+    import os
+    import shutil
+
+    from arthur_redshift_etl_spark import workload
+
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    shutil.copy(f"{SF}/orders.parquet", sf_dir / "orders.parquet")
+
+    # plant a POISONED mirror in the process memo: same schema, one order
+    # price inflated — exactly the stale/corrupt-mirror class of divergence
+    src = str(sf_dir / "orders.parquet")
+    bad = tmp_path / "poisoned.duckdb"
+    con = duckdb.connect(str(bad))
+    con.execute(
+        "CREATE TABLE orders AS SELECT * REPLACE "
+        "(CASE WHEN o_orderkey = (SELECT MIN(o_orderkey) FROM "
+        f"read_parquet('{src}')) THEN o_totalprice + 5000 "
+        "ELSE o_totalprice END AS o_totalprice) "
+        f"FROM read_parquet('{src}')"
+    )
+    con.close()
+    st = os.stat(src)
+    key = (os.path.abspath(src), st.st_mtime_ns, st.st_size)
+    workload._DUCKDB_MIRROR_MEMO[key] = str(bad)
+    try:
+        with pytest.raises(RuntimeError) as exc:
+            workload.duckdb_source_orders_by_status(registered, str(sf_dir))
+        msg = str(exc.value)
+        assert "duckdb_source divergence" in msg
+        assert "datasource=" in msg and "parquet=" in msg
+        assert "mirror=" in msg and "duckdb=" in msg
+        assert "ds_partition_counts=" in msg
+    finally:
+        workload._DUCKDB_MIRROR_MEMO.pop(key, None)
+
+
+def test_entry_green_path_uses_process_scoped_mirror(registered, tmp_path):
+    """Happy path: the entry builds a per-process mirror (memoized), the
+    tri-check passes, and the returned aggregate matches the direct
+    parquet aggregate."""
+    import shutil
+
+    from arthur_redshift_etl_spark import workload
+
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    shutil.copy(f"{SF}/orders.parquet", sf_dir / "orders.parquet")
+    out = workload.duckdb_source_orders_by_status(registered, str(sf_dir))
+    rows = {tuple(map(str, r)) for r in out.collect()}
+    ref = {
+        tuple(map(str, r))
+        for r in registered.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 1000)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_price"),
+        )
+        .collect()
+    }
+    assert rows == ref
+    # the mirror path is process-unique (contains this pid) and memoized
+    mirror = workload._duckdb_mirror(str(sf_dir))
+    import os
+
+    assert f"_{os.getpid()}_" in os.path.basename(mirror)
+    assert workload._duckdb_mirror(str(sf_dir)) == mirror
