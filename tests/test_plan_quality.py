@@ -579,3 +579,32 @@ def test_silhouette_anchor_side_is_broadcast(spark):
         p = plan(spark, name)
         assert "BroadcastHashJoin" in p, (name, p)
         assert not re.search(r"SortMergeJoin.*dim0", p), (name, p)
+
+
+def test_residual_search_is_pruned_map_take_ordered(spark):
+    """Residual ADC scoring (per-bucket LUTs via when-chain) must stay a
+    pure map over the probed candidates: the only gather is the bounded
+    top-k, no window, no shuffle introduced by the LUT selection."""
+    p = plan(spark, "ivfpq_residual_search")
+    assert "TakeOrderedAndProject" in p, p
+    assert "windowspecdefinition" not in p, p
+
+
+def test_l2_trained_buckets_is_map_plus_single_agg(spark):
+    """The trained-L2 assignment is pq_code with the codebook baked as
+    literals — a pure map feeding one partial-combined count: no join,
+    no window, exactly one hash-partitioning exchange."""
+    p = plan(spark, "ivf_l2_trained_buckets")
+    assert "Join" not in p, p
+    assert "windowspecdefinition" not in p, p
+    # exactly one hash shuffle (the aggregation); the loader's round-robin
+    # repartition is the only other exchange
+    assert len(re.findall(r"hashpartitioning", p)) == 1, p
+
+
+def test_embedding_dim_stats_partial_agg(spark):
+    """Per-dim stats must partial-aggregate below the exchange (map-side
+    combine on dim0) — the one-shuffle shape that holds at any corpus."""
+    p = plan(spark, "embedding_dim_stats")
+    assert "partial" in p.lower(), p
+    assert "Join" not in p, p
