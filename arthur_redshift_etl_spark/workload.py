@@ -2495,6 +2495,139 @@ def split_train_valid_test(spark, sf_dir):
 
 
 @query(
+    "ngram_novelty_rate",
+    oracle="""
+    WITH sh AS (
+      SELECT d.lang,
+             (d.doc_id * 2654435761) % 4294967296 % 100 AS bucket,
+             s.shingle
+      FROM documents d, (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tokens) - 1),
+                      i -> tokens[i] || ' ' || tokens[i+1] || ' '
+                           || tokens[i+2])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens
+              FROM documents)
+      ) s
+      WHERE s.doc_id = d.doc_id
+    ),
+    train AS (SELECT DISTINCT shingle FROM sh WHERE bucket < 80),
+    test_sh AS (SELECT lang, shingle FROM sh WHERE bucket >= 90)
+    SELECT ts.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_test_ngrams,
+           CAST(SUM(CASE WHEN tr.shingle IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN tr.shingle IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty_rate
+    FROM test_sh ts LEFT JOIN train tr ON tr.shingle = ts.shingle
+    GROUP BY ts.lang
+    """,
+    description=(
+        "n-gram novelty of the held-out split vs the train split, per "
+        "language — the curation metric that catches a test set the "
+        "model has effectively seen (novelty ~ 0) or a domain the train "
+        "mix missed (novelty ~ 1): occurrence-level fraction of test "
+        "trigrams absent from the distinct train trigram set, same "
+        "deterministic doc-hash split as split_train_valid_test.  One "
+        "shuffle keyed by shingle (left join), partial-combined count "
+        "per lang.  At 100 TB the join key drops to the 8-byte "
+        "doc_shingle_hashes form (same set semantics, "
+        "dedup.py:80-104) and train distinct-shingles becomes the "
+        "reusable index artifact"
+    ),
+)
+def ngram_novelty_rate(spark, sf_dir):
+    from .operators.dedup import shingles_col
+    from .operators.sampling import hash_bucket
+
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "lang",
+        hash_bucket(F.col("doc_id")).alias("bucket"),
+        F.explode(shingles_col("text")).alias("shingle"),
+    )
+    train = (
+        sh.filter(F.col("bucket") < 80).select("shingle").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    test_sh = sh.filter(F.col("bucket") >= 90).select("lang", "shingle")
+    joined = test_sh.join(train, "shingle", "left")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_ngrams"),
+        F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+        (
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("novelty_rate"),
+    )
+
+
+# fixed power-of-two sequence-length ladder (when-chain, engine-portable —
+# no float log2 whose boundary rounding could differ across engines)
+PACK_CAPS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+@query(
+    "padding_waste_by_length_bucket",
+    oracle=f"""
+    WITH lens AS (
+      SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    capped AS (
+      SELECT n_tokens,
+             CASE {' '.join(f"WHEN n_tokens <= {c} THEN {c}" for c in PACK_CAPS)}
+                  ELSE 8192 END AS seq_cap
+      FROM lens
+    )
+    SELECT CAST(seq_cap AS BIGINT) AS seq_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(seq_cap - n_tokens) AS BIGINT) AS sum_padding,
+           CAST(SUM(seq_cap - n_tokens) AS DOUBLE)
+             / (CAST(seq_cap AS DOUBLE) * COUNT(*)) AS padding_rate
+    FROM capped GROUP BY seq_cap
+    """,
+    description=(
+        "padding waste per power-of-two sequence-length bucket — the "
+        "batch-shape accounting that decides whether length-bucketed "
+        "batching (or sequence packing, corpus.pack_sequences) is worth "
+        "running: docs padded to the next cap in a fixed ladder "
+        "(when-chain, no float log2 whose boundary rounding could "
+        "diverge across engines), per-bucket doc/token/padding totals "
+        "and the padded-slot waste rate.  Pure map + one "
+        "partial-combined groupBy over ≤10 ladder rungs"
+    ),
+)
+def padding_waste_by_length_bucket(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    cap = None
+    for c in PACK_CAPS:
+        cap = (
+            F.when(n_tokens <= c, c)
+            if cap is None
+            else cap.when(n_tokens <= c, c)
+        )
+    cap = cap.otherwise(8192)
+    capped = docs.select(
+        n_tokens.alias("n_tokens"), cap.cast("long").alias("seq_cap")
+    )
+    return capped.groupBy("seq_cap").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum(F.col("seq_cap") - F.col("n_tokens"))
+        .cast("long")
+        .alias("sum_padding"),
+        (
+            F.sum(F.col("seq_cap") - F.col("n_tokens")).cast("double")
+            / (F.col("seq_cap").cast("double") * F.count(F.lit(1)))
+        ).alias("padding_rate"),
+    )
+
+
+@query(
     "grouped_split_leakage_safe",
     oracle="""
     SELECT source,
