@@ -2541,10 +2541,17 @@ def ngram_novelty_rate(spark, sf_dir):
     from .operators.sampling import hash_bucket
 
     docs = t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "lang",
-        hash_bucket(F.col("doc_id")).alias("bucket"),
-        F.explode(shingles_col("text")).alias("shingle"),
+    bucket = hash_bucket(F.col("doc_id"))
+    # drop the unused valid split BEFORE shingling — the explode is the
+    # expensive pass, and the filter is a pure doc_id expression the
+    # optimizer keeps below it
+    sh = (
+        docs.filter((bucket < 80) | (bucket >= 90))
+        .select(
+            "lang",
+            bucket.alias("bucket"),
+            F.explode(shingles_col("text")).alias("shingle"),
+        )
     )
     train = (
         sh.filter(F.col("bucket") < 80).select("shingle").distinct()
