@@ -3080,6 +3080,53 @@ _DEDUP_CC_CTES = (
 
 
 @query(
+    "dup_cluster_size_histogram",
+    oracle=_DEDUP_CC_CTES
+    + """
+    , csz AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM csz GROUP BY cluster_size
+    """,
+    description=(
+        "duplicate-cluster size distribution — the dedup PLANNING "
+        "number: per cluster-size, how many clusters/docs exist and how "
+        "many docs a keep-one-per-cluster pass removes (sum of "
+        "n_removable = the corpus shrink).  Composes the proven "
+        "pair-join + connected-components pipeline with two bounded "
+        "aggregations (components, then sizes); the histogram also "
+        "flags pathological mega-clusters (a size spike = boilerplate "
+        "or a shingle-collision storm) before any destructive dedup runs"
+    ),
+)
+def dup_cluster_size_histogram(spark, sf_dir):
+    from .operators.clustering import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_join(docs, "doc_id", "text", threshold=0.5)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(nodes, edges)
+    csz = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return csz.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_removable"),
+    )
+
+
+@query(
     "dedup_keep_best_in_cluster",
     oracle=_DEDUP_CC_CTES
     + """
