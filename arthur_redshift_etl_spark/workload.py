@@ -10576,6 +10576,109 @@ def duckdb_source_orders_by_status(spark, sf_dir):
     return result
 
 
+# Process-scoped sqlite mirror memo (same discipline as the duckdb one:
+# mkstemp per process, keyed by source identity — no cross-run /tmp state).
+_SQLITE_MIRROR_MEMO: dict = {}
+
+
+def _sqlite_mirror(sf_dir: str) -> str:
+    """Per-process SQLite mirror of orders — the second-engine upstream
+    double for the shared Python-DataSource extract template."""
+    import os
+    import sqlite3
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    key = (os.path.abspath(src), st.st_mtime_ns, st.st_size)
+    path = _SQLITE_MIRROR_MEMO.get(key)
+    if path is not None and os.path.exists(path):
+        return path
+    fd, tmp = tempfile.mkstemp(
+        prefix=f"spark_graft_sqlite_{os.getpid()}_", suffix=".db"
+    )
+    os.close(fd)
+    os.unlink(tmp)
+    tbl = pq.read_table(src)
+    cols = tbl.column_names
+    con = sqlite3.connect(tmp)
+    decls = ", ".join(
+        f"{name} "
+        + (
+            "INTEGER"
+            if str(typ).startswith("int")
+            else "REAL"
+            if str(typ) in ("float", "double", "float32", "float64")
+            else "TEXT"
+        )
+        for name, typ in zip(cols, tbl.schema.types)
+    )
+    con.execute(f"CREATE TABLE orders ({decls})")
+    rows = [
+        tuple(
+            str(v) if v is not None and not isinstance(v, (int, float)) else v
+            for v in rec
+        )
+        for rec in zip(*(tbl.column(c).to_pylist() for c in cols))
+    ]
+    con.executemany(
+        f"INSERT INTO orders VALUES ({', '.join('?' for _ in cols)})", rows
+    )
+    con.commit()
+    con.close()
+    _SQLITE_MIRROR_MEMO[key] = tmp
+    return tmp
+
+
+@query(
+    "sqlite_source_orders_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS total_price
+    FROM orders
+    WHERE o_totalprice < 150000
+    GROUP BY o_orderpriority
+    """,
+    description=(
+        "second-engine Python DataSource extract (format('sqlite'), "
+        "sources/sqlite_source.py — stdlib sqlite3, zero extra deps) "
+        "under the same oracle gate as the duckdb entry: the shared "
+        "extract template (boundary-query key ranges with unbounded "
+        "edges, bind-parameter predicate pushdown, Arrow batches built "
+        "per task) is engine-agnostic, like the reference's Sqoop "
+        "splitter was database-agnostic.  4 range partitions on "
+        "o_orderkey, the price range predicate pushed into upstream "
+        "SQL, decimal-inside-aggregate float parity as everywhere"
+    ),
+)
+def sqlite_source_orders_by_priority(spark, sf_dir):
+    from .sources.sqlite_source import register_sqlite_source
+
+    register_sqlite_source(spark)
+    df = (
+        spark.read.format("sqlite")
+        .option("path", _sqlite_mirror(sf_dir))
+        .option("table", "orders")
+        .option("partition_column", "o_orderkey")
+        .option("num_partitions", "4")
+        .load()
+    )
+    return (
+        df.filter(F.col("o_totalprice") < 150000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_price"),
+        )
+    )
+
+
 # Packed event-sweep base: start counts ride the high bits, end counts the
 # low bits of one int64 running sum.  Needs n_intervals < PEAK_PACK_BASE
 # (2^31 user-day intervals ~ 2.1e9); a sizing count switches to the exact

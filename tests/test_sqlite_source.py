@@ -1,0 +1,147 @@
+"""SQLite Python DataSource (engine #2 behind the shared extract template).
+
+Mirrors the DuckDB source's pins on the second engine: parquet parity,
+range partitioning keeps boundary rows, bind-parameter pushdown yields a
+Filter-free optimized plan, unsupported predicates (prefix LIKE) stay in
+Spark and still return correct rows.
+"""
+
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+
+from arthur_redshift_etl_spark.sources.sqlite_source import register_sqlite_source
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    register_sqlite_source(spark)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def lite_path(spark, tmp_path_factory):
+    """orders mirrored into a sqlite file (dates stored as ISO text —
+    SQLite has no DATE type; the extract schema maps them to string)."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path_factory.mktemp("sqlite") / "upstream.db")
+    tbl = pq.read_table(f"{SF}/orders.parquet")
+    cols = tbl.column_names
+    con = sqlite3.connect(path)
+    decls = []
+    for name, typ in zip(cols, tbl.schema.types):
+        t = str(typ)
+        decls.append(
+            f"{name} "
+            + (
+                "INTEGER"
+                if t.startswith("int")
+                else "REAL"
+                if t in ("float", "double", "float32", "float64")
+                else "TEXT"
+            )
+        )
+    con.execute(f"CREATE TABLE orders ({', '.join(decls)})")
+    rows = [
+        tuple(
+            str(v) if v is not None and not isinstance(v, (int, float)) else v
+            for v in rec
+        )
+        for rec in zip(*(tbl.column(c).to_pylist() for c in cols))
+    ]
+    con.executemany(
+        f"INSERT INTO orders VALUES ({', '.join('?' for _ in cols)})", rows
+    )
+    con.commit()
+    con.close()
+    return path
+
+
+def _read(spark, path, **opts):
+    r = spark.read.format("sqlite").option("path", path).option("table", "orders")
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_parity_with_parquet(registered, lite_path):
+    got = (
+        _read(registered, lite_path)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+    )
+    ref = (
+        registered.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+    )
+    assert len(got) == len(ref) > 0
+    assert {tuple(map(str, r)) for r in got} == {
+        tuple(map(str, r)) for r in ref
+    }
+
+
+def test_partitioned_read_keeps_all_rows(registered, lite_path):
+    whole = _read(registered, lite_path).count()
+    split = _read(
+        registered,
+        lite_path,
+        partition_column="o_orderkey",
+        num_partitions=4,
+    )
+    assert split.rdd.getNumPartitions() == 4
+    assert split.count() == whole
+    # boundary-inclusive: distinct keys survive the half-open ranges
+    assert (
+        split.select("o_orderkey").distinct().count()
+        == _read(registered, lite_path).select("o_orderkey").distinct().count()
+    )
+
+
+def test_range_pushdown_filter_free_plan(registered, lite_path):
+    got = _read(registered, lite_path).filter(F.col("o_totalprice") > 1000)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan, plan
+    ref = (
+        registered.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_totalprice") > 1000)
+        .count()
+    )
+    assert got.count() == ref > 0
+
+
+def test_in_list_pushdown(registered, lite_path):
+    got = _read(registered, lite_path).filter("o_orderstatus IN ('F', 'P')")
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan, plan
+    ref = (
+        registered.read.parquet(f"{SF}/orders.parquet")
+        .filter("o_orderstatus IN ('F', 'P')")
+        .count()
+    )
+    assert got.count() == ref > 0
+
+
+def test_prefix_like_stays_in_spark_but_correct(registered, lite_path):
+    got = _read(registered, lite_path).filter("o_orderpriority LIKE '1%'")
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" in plan, plan  # NOT pushed — sqlite source yields it back
+    ref = (
+        registered.read.parquet(f"{SF}/orders.parquet")
+        .filter("o_orderpriority LIKE '1%'")
+        .count()
+    )
+    assert got.count() == ref > 0
+
+
+def test_schema_affinity_mapping(registered, lite_path):
+    df = _read(registered, lite_path)
+    kinds = dict(df.dtypes)
+    assert kinds["o_orderkey"] == "bigint"
+    assert kinds["o_totalprice"] == "double"
+    assert kinds["o_orderstatus"] == "string"
+    assert kinds["o_orderdate"] == "string"  # TEXT affinity — documented
