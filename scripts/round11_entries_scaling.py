@@ -28,6 +28,10 @@ ENTRIES = [
     "grouped_split_leakage_safe",
     "embedding_dim_stats",
     "duckdb_source_orders_by_status",
+    "sqlite_source_orders_by_priority",
+    "ngram_novelty_rate",
+    "padding_waste_by_length_bucket",
+    "dup_cluster_size_histogram",
 ]
 
 TIERS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
