@@ -10426,6 +10426,121 @@ def minhash_lsh_recall_eval(spark, sf_dir):
     )
 
 
+@query(
+    "simhash_recall_eval",
+    oracle="""
+    WITH toksm AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+      FROM toksm
+    ),
+    bitsum AS (
+      SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, (SELECT unnest(range(32)) AS b) bits
+      GROUP BY doc_id, b
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bitsum GROUP BY doc_id
+    ),
+    blocks AS (
+      SELECT doc_id, simhash, b.blk,
+             simhash & (CAST(255 AS BIGINT) << (b.blk * 8)) AS blk_key
+      FROM sh, (SELECT unnest(range(4)) AS blk) b
+    ),
+    near AS (
+      SELECT id_a, id_b FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+               a.simhash AS sh_a, b2.simhash AS sh_b
+        FROM blocks a JOIN blocks b2
+          ON a.blk = b2.blk AND a.blk_key = b2.blk_key
+         AND a.doc_id < b2.doc_id
+      ) WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tokens) - 1),
+                      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+                 AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    shared AS (
+      SELECT ta.doc_id AS id_a, tb.doc_id AS id_b, COUNT(*) AS inter_size
+      FROM toks ta JOIN toks tb
+        ON ta.shingle = tb.shingle AND ta.doc_id < tb.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               CAST(inter_size AS DOUBLE)
+                 / (sa.set_size + sb.set_size - inter_size) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      ) WHERE jaccard >= 0.5
+    ),
+    hit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM near JOIN truth USING (id_a, id_b)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_near FROM near),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+    SELECT nn.n_near, nt.n_truth, hit.n_hit,
+           CAST(hit.n_hit AS DOUBLE) / nt.n_truth AS recall,
+           CAST(hit.n_hit AS DOUBLE) / nn.n_near AS precision
+    FROM nn CROSS JOIN nt CROSS JOIN hit
+    """,
+    description=(
+        "measured recall/precision of the SimHash near-dup pass "
+        "(32-bit signatures, pigeonhole half-word blocks, hamming <= 3) "
+        "against EXACT trigram-Jaccard ground truth at 0.5 — closes the "
+        "quality loop for the LAST dedup family without one "
+        "(minhash_lsh_recall_eval covers banding, ann_ivf_recall_eval "
+        "covers ANN): the token-level simhash and shingle-level Jaccard "
+        "measure DIFFERENT notions of similarity, and this harness "
+        "turns that gap into two numbers instead of folklore.  Like its "
+        "siblings, deliberately runs both pipelines — at 100 TB it runs "
+        "on a sampled slice to pick bits/hamming, then only the "
+        "simhash side ships"
+    ),
+)
+def simhash_recall_eval(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    sims = dd.simhash(docs, "doc_id", "text", bits=32)
+    near = dd.simhash_near_pairs(sims, max_hamming=3, bits=32).select(
+        "id_a", "id_b"
+    )
+    truth = dd.ngram_jaccard_join(docs, threshold=0.5).select("id_a", "id_b")
+    joined = near.withColumn("in_n", F.lit(1)).join(
+        truth.withColumn("in_t", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    counts = joined.agg(
+        F.count("in_n").cast("long").alias("n_near"),
+        F.count("in_t").cast("long").alias("n_truth"),
+        F.sum(
+            F.when(F.col("in_n").isNotNull() & F.col("in_t").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hit"),
+    )
+    return counts.select(
+        "n_near",
+        "n_truth",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
+        (F.col("n_hit").cast("double") / F.col("n_near")).alias("precision"),
+    )
+
+
 # Process-scoped mirror memo: (abspath, mtime_ns, size) -> built mirror path.
 # Deliberately NOT a shared /tmp name: after two rounds of red driver rows
 # that reproduced green in every judge session (VERDICT r9/r10 #1), the last
