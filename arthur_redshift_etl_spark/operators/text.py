@@ -115,17 +115,24 @@ def classify_by_token_profile(
     label_col: str = "lang",
     text_col: str = "text",
     profile_size: int = 10,
+    train_df: DataFrame = None,
 ) -> DataFrame:
     """Language-ID by token-profile overlap (n-gram-heuristic LID).
 
-    Learns a per-label profile (top-N tokens) from the corpus itself, then
-    assigns each document the label whose profile overlaps its distinct token
-    set the most (ties: label asc).  Returns (id, pred, score).
+    Learns a per-label profile (top-N tokens) from ``train_df`` (default:
+    the corpus itself), then assigns each document of ``df`` the label
+    whose profile overlaps its distinct token set the most (ties: label
+    asc).  Returns (id, pred, score).  Pass a held-out ``df`` with
+    profiles from ``train_df`` for an honest evaluation (the
+    langid_holdout_confusion entry).
 
     The profile is tiny (labels × N rows) → broadcast join against the
     exploded token set; the only shuffle is the per-doc score aggregation.
     """
-    profile = top_tokens(df, label_col, text_col, k=profile_size).select(
+    profile = top_tokens(
+        train_df if train_df is not None else df, label_col, text_col,
+        k=profile_size,
+    ).select(
         F.col(label_col).alias("__plabel"), "token"
     )
     doc_tokens = df.select(

@@ -866,6 +866,84 @@ def text_lang_profile_classify(spark, sf_dir):
     return tx.classify_by_token_profile(docs, "doc_id", "lang", "text", profile_size=10)
 
 
+@query(
+    "langid_holdout_confusion",
+    oracle="""
+    WITH bkt AS (
+      SELECT doc_id, lang, text,
+             (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+      FROM documents
+    ),
+    freq AS (
+      SELECT lang, token, COUNT(*) AS cnt FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM bkt WHERE bucket < 80
+      ) GROUP BY lang, token
+    ),
+    profile AS (
+      SELECT lang AS plabel, token FROM (
+        SELECT lang, token,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+        FROM freq
+      ) WHERE rk <= 10
+    ),
+    test_docs AS (SELECT doc_id, lang, text FROM bkt WHERE bucket >= 90),
+    doc_tokens AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM test_docs
+      )
+    ),
+    scores AS (
+      SELECT doc_id, plabel, COUNT(*) AS score
+      FROM doc_tokens JOIN profile USING (token)
+      GROUP BY doc_id, plabel
+    ),
+    preds AS (
+      SELECT doc_id, plabel AS pred FROM (
+        SELECT doc_id, plabel,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, plabel) AS rk
+        FROM scores
+      ) WHERE rk = 1
+    )
+    SELECT td.lang AS true_lang,
+           COALESCE(p.pred, '(none)') AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM test_docs td LEFT JOIN preds p ON p.doc_id = td.doc_id
+    GROUP BY 1, 2
+    """,
+    description=(
+        "HONEST language-ID evaluation: token profiles learned on the "
+        "train split only (doc-hash bucket < 80), confusion matrix on "
+        "the held-out test split (bucket >= 90) — the eval-closure the "
+        "classifier entry (which trains and classifies on the same "
+        "corpus) deliberately isn't; unclassifiable docs (no profile "
+        "overlap) surface as pred '(none)' instead of silently "
+        "dropping.  Output bounded by (|langs|+1)^2 cells; the profile "
+        "stays a broadcast (langs x 10 rows), the only data-scaled "
+        "shuffle is the per-doc score aggregation"
+    ),
+)
+def langid_holdout_confusion(spark, sf_dir):
+    from .operators.sampling import hash_bucket
+
+    docs = t(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    train = docs.filter(bucket < 80)
+    test = docs.filter(bucket >= 90)
+    preds = tx.classify_by_token_profile(
+        test, "doc_id", "lang", "text", profile_size=10, train_df=train
+    ).select("doc_id", "pred")
+    return (
+        test.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(preds, "doc_id", "left")
+        .groupBy(
+            "true_lang",
+            F.coalesce(F.col("pred"), F.lit("(none)")).alias("pred_lang"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
 # ===========================================================================
 # Deduplication (documents table)
 # ===========================================================================
