@@ -226,3 +226,36 @@ def register_sqlite_source(spark) -> None:
         spark.dataSource.register(SQLiteDataSource)
     except Exception:  # noqa: BLE001 - already registered in this session
         pass
+
+
+def read_plan(spark, path: str, plan):
+    """Execute a ``JdbcExtractPlan`` through ``format("sqlite")`` — the
+    same plan→reader translation as the DuckDB transport, engine #2.
+    Expression split keys fall back to a single-range read (same guard)."""
+    register_sqlite_source(spark)
+    r = spark.read.format("sqlite").option("path", path).option("query", plan.query)
+    key = plan.partition_column
+    if key and "(" not in key and plan.num_partitions > 1:
+        r = (
+            r.option("partition_column", key)
+            .option("num_partitions", str(plan.num_partitions))
+        )
+    return r.load()
+
+
+def extract_design(spark, design, path: str, use_sampling: bool = False,
+                   table_size_bytes: int | None = None):
+    """Design-driven extract through ``format("sqlite")``: ONE table design
+    (projection + casts, WHERE condition, sampling key, split-by and the
+    multiple-of-4 partition heuristic from ``sources/jdbc.plan_extract``)
+    now drives THREE transports — JDBC, DuckDB, SQLite — which is the
+    reference's Sqoop promise (a database-agnostic splitter) made
+    concrete."""
+    from .jdbc import FALLBACK_TABLE_SIZE, plan_extract
+
+    plan = plan_extract(
+        design,
+        table_size_bytes=table_size_bytes or FALLBACK_TABLE_SIZE,
+        use_sampling=use_sampling,
+    )
+    return read_plan(spark, path, plan)

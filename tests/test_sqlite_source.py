@@ -145,3 +145,40 @@ def test_schema_affinity_mapping(registered, lite_path):
     assert kinds["o_totalprice"] == "double"
     assert kinds["o_orderstatus"] == "string"
     assert kinds["o_orderdate"] == "string"  # TEXT affinity — documented
+
+
+def test_extract_design_drives_sqlite_transport(registered, lite_path):
+    """The SAME table design that drives JDBC and duckdb drives the sqlite
+    transport: projection+casts, WHERE condition, split-by partitioning."""
+    from arthur_redshift_etl_spark.design import (
+        ColumnDefinition,
+        ExtractSettings,
+        TableDesign,
+    )
+    from arthur_redshift_etl_spark.sources.sqlite_source import extract_design
+
+    design = TableDesign(
+        name="dw.orders",
+        source_name="up.main.orders",
+        columns=[
+            ColumnDefinition("o_orderkey", "long", not_null=True),
+            ColumnDefinition("o_custkey", "long"),
+            ColumnDefinition("o_totalprice", "double"),
+        ],
+        constraints=[{"primary_key": ["o_orderkey"]}],
+        extract_settings=ExtractSettings(
+            condition="o_totalprice > 50000", num_partitions=4
+        ),
+    )
+    got = extract_design(registered, design, lite_path)
+    assert got.columns == ["o_orderkey", "o_custkey", "o_totalprice"]
+    assert got.rdd.getNumPartitions() == 4
+    ref = (
+        registered.read.parquet(f"{SF}/orders.parquet")
+        .filter("o_totalprice > 50000")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    assert ref.count() > 0
+    assert {tuple(map(str, r)) for r in got.collect()} == {
+        tuple(map(str, r)) for r in ref.collect()
+    }
