@@ -249,20 +249,36 @@ def cmd_scrub(args) -> int:
 
 def cmd_extract(args) -> int:
     """Print the extract plan per source relation — or, with
-    --duckdb-path, RUN it against a DuckDB upstream and land parquet
-    under --output-dir/<schema>/<table> (the reference's `arthur.py
-    extract` writ small: plan, pull partition-parallel, write)."""
+    --duckdb-path / --sqlite-path, RUN it against that upstream and land
+    parquet under --output-dir/<schema>/<table> (the reference's
+    `arthur.py extract` writ small: plan, pull partition-parallel,
+    write — one plan, any transport)."""
     from .sources.jdbc import plan_extract
 
     spark = None
+    upstream = None  # (read_plan_fn, upstream_path)
+    if getattr(args, "duckdb_path", None) and getattr(args, "sqlite_path", None):
+        print(
+            "error: --duckdb-path and --sqlite-path are mutually exclusive",
+            file=sys.stderr,
+        )
+        return 2
     if getattr(args, "duckdb_path", None):
-        if not getattr(args, "output_dir", None):
-            print("error: --duckdb-path requires --output-dir", file=sys.stderr)
-            return 2
-        from .sources.duckdb_source import register_duckdb_source
+        from .sources.duckdb_source import read_plan as _rp
 
+        upstream = (_rp, args.duckdb_path)
+    elif getattr(args, "sqlite_path", None):
+        from .sources.sqlite_source import read_plan as _rp
+
+        upstream = (_rp, args.sqlite_path)
+    if upstream is not None:
+        if not getattr(args, "output_dir", None):
+            print(
+                "error: an upstream path requires --output-dir",
+                file=sys.stderr,
+            )
+            return 2
         spark = _spark(args)
-        register_duckdb_source(spark)
 
     for rel in _relations(args, args.patterns):
         if not rel.is_source_relation:
@@ -321,13 +337,12 @@ def cmd_extract(args) -> int:
             "num_partitions": plan.num_partitions,
             "boundary_query": plan.boundary_query,
         }
-        if spark is not None:
-            from .sources.duckdb_source import read_plan
-
+        if upstream is not None:
+            read_plan_fn, upstream_path = upstream
             target = os.path.join(
                 args.output_dir, *rel.identifier.split(".", 1)
             )
-            read_plan(spark, args.duckdb_path, plan).write.mode(
+            read_plan_fn(spark, upstream_path, plan).write.mode(
                 "overwrite"
             ).parquet(target)
             row["output"] = target
@@ -1263,8 +1278,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--duckdb-path",
                     help="RUN the extract against this DuckDB upstream "
                          "instead of only printing the plan")
+    sp.add_argument("--sqlite-path",
+                    help="RUN the extract against this SQLite upstream "
+                         "(same plan, second transport)")
     sp.add_argument("--output-dir",
-                    help="lake directory for --duckdb-path extracts "
+                    help="lake directory for upstream extracts "
                          "(<dir>/<schema>/<table> parquet per relation)")
     sp = add("replicate", cmd_replicate, patterns=False)
     sp.add_argument("--duckdb-path", required=True)

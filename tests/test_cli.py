@@ -269,6 +269,60 @@ def test_extract_duckdb_requires_output_dir(design_repo, capsys):
     assert "--output-dir" in capsys.readouterr().err
 
 
+def test_extract_runs_against_sqlite_upstream(tmp_path, capsys, spark):
+    """extract --sqlite-path: the SAME plan through transport #2 (stdlib
+    sqlite3) — plan, pull partition-parallel, land parquet."""
+    import sqlite3
+
+    root = str(tmp_path / "repo")
+    os.makedirs(root, exist_ok=True)
+    write_design(
+        root,
+        {
+            "name": "src.orders",
+            "source_name": "up.main.orders",  # sqlite's default db is main
+            "columns": [
+                {"name": "o_orderkey", "type": "long", "not_null": True},
+                {"name": "o_totalprice", "type": "double"},
+            ],
+            "constraints": [{"primary_key": ["o_orderkey"]}],
+            "extract_settings": {"split_by": ["o_orderkey"], "num_partitions": 4},
+        },
+    )
+    db = str(tmp_path / "up.db")
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    rows = [(r["o_orderkey"], r["o_totalprice"]) for r in src.collect()]
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE orders (o_orderkey INTEGER, o_totalprice REAL)")
+    con.executemany("INSERT INTO orders VALUES (?, ?)", rows)
+    con.commit()
+    con.close()
+    outdir = str(tmp_path / "lake")
+    assert main([
+        "--repo", root, "extract",
+        "--sqlite-path", db, "--output-dir", outdir,
+    ]) == 0
+    row = json.loads(
+        next(l for l in capsys.readouterr().out.splitlines() if l.startswith("{"))
+    )
+    assert row["rows"] == len(rows)
+    landed = spark.read.parquet(row["output"])
+    assert landed.columns == ["o_orderkey", "o_totalprice"]
+    assert landed.count() == len(rows)
+    assert landed.rdd.getNumPartitions() == 4
+
+
+def test_extract_upstreams_mutually_exclusive(design_repo, capsys):
+    assert main([
+        "--repo", design_repo, "extract",
+        "--duckdb-path", "/a.db", "--sqlite-path", "/b.db",
+        "--output-dir", "/tmp/x",
+    ]) == 2
+    assert "mutually exclusive" in capsys.readouterr().err
+
+
 def test_replicate_is_incremental_and_exactly_once(tmp_path, capsys, spark):
     import duckdb
 
