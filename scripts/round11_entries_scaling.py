@@ -32,6 +32,8 @@ ENTRIES = [
     "ngram_novelty_rate",
     "padding_waste_by_length_bucket",
     "dup_cluster_size_histogram",
+    "simhash_recall_eval",
+    "langid_holdout_confusion",
 ]
 
 TIERS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
