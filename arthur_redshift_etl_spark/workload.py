@@ -2713,6 +2713,114 @@ def padding_waste_by_length_bucket(spark, sf_dir):
 
 
 @query(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, md5(substr(text, 1, 40)) AS fingerprint
+      FROM documents
+    ),
+    grp AS (
+      SELECT fingerprint, COUNT(*) AS dup_count FROM fp GROUP BY fingerprint
+    )
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN g.dup_count > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(CASE WHEN g.dup_count > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_rate
+    FROM fp f JOIN grp g ON g.fingerprint = f.fingerprint
+    GROUP BY f.source
+    """,
+    description=(
+        "per-source exact-duplicate rate (40-char-prefix fingerprints, "
+        "the dedup_exact_prefix convention): the domain-level number "
+        "that drives mix decisions — a source with a high dup_rate is "
+        "boilerplate-heavy and its nominal token count overstates its "
+        "real contribution; feeds corpus_domain_mix_resample.  Two "
+        "partial-combined aggregations (fingerprint groups, then "
+        "per-source counts); output bounded by |sources|"
+    ),
+)
+def dedup_rate_by_source(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.substring(F.col("text"), 1, 40)).alias("fingerprint"),
+    )
+    grp = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("dup_count")
+    )
+    return (
+        fp.join(grp, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("dup_count") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            (
+                F.sum(F.when(F.col("dup_count") > 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@query(
+    "split_bias_check",
+    oracle="""
+    WITH bkt AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             (doc_id * 2654435761) % 4294967296 % 100 AS bucket
+      FROM documents
+    ),
+    sp AS (
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+             n_chars, n_tokens, lang
+      FROM bkt
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars,
+           CAST(SUM(n_tokens) // COUNT(*) AS BIGINT) AS mean_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM sp GROUP BY split
+    """,
+    description=(
+        "split-bias audit: per train/valid/test split (the "
+        "split_train_valid_test hash buckets), doc counts, integer-"
+        "exact mean chars/tokens, and language coverage — the sanity "
+        "gate that catches a split whose eval slice is systematically "
+        "longer/shorter or missing a language before any model sees "
+        "it.  One partial-combined aggregation, 3 output rows at any "
+        "corpus size"
+    ),
+)
+def split_bias_check(spark, sf_dir):
+    from .operators.sampling import split_assign
+
+    docs = t(spark, sf_dir, "documents")
+    sp = split_assign(docs, "doc_id").select(
+        "split",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        "lang",
+    )
+    return sp.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("sum(n_chars) div count(1)").cast("long").alias("mean_chars"),
+        F.expr("sum(n_tokens) div count(1)").cast("long").alias("mean_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+
+
+@query(
     "grouped_split_leakage_safe",
     oracle="""
     SELECT source,
