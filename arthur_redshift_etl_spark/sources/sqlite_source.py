@@ -57,6 +57,11 @@ def _connect(path: str):
     return sqlite3.connect(f"file:{path}?mode=ro", uri=True)
 
 
+# query= schema inference scans up to this many rows looking for a
+# non-NULL value per column (a 1-row probe mistyped NULL-leading columns).
+_SCHEMA_PROBE_ROWS = 100
+
+
 def _decl_to_ddl(decltype: str) -> str:
     t = (decltype or "").upper()
     if "INT" in t:
@@ -95,12 +100,35 @@ class SQLiteDataSource(DataSource):
                 cols = [(r[1], _decl_to_ddl(r[2])) for r in rows]
             else:
                 # a query has no decltypes — introspect the cursor and
-                # type from the first row's Python values (int/float/str)
+                # type from sampled Python values.  A single-row probe
+                # would silently type NULL-leading columns as string
+                # (VERDICT r11 #5), so scan up to _SCHEMA_PROBE_ROWS rows
+                # and take each column's first non-NULL value; a column
+                # that is NULL across the whole probe is an ERROR, not a
+                # silent string — the caller must either cast in the query
+                # or use table= (PRAGMA decltypes, always safe).
                 cur = con.execute(
-                    f"SELECT * FROM {self._relation_sql()} LIMIT 1"
+                    f"SELECT * FROM {self._relation_sql()} "
+                    f"LIMIT {_SCHEMA_PROBE_ROWS}"
                 )
                 names = [d[0] for d in cur.description]
-                row = cur.fetchone() or [None] * len(names)
+                seen: list = [None] * len(names)
+                for row in cur:
+                    for i, v in enumerate(row):
+                        if seen[i] is None and v is not None:
+                            seen[i] = v
+                    if all(v is not None for v in seen):
+                        break
+                all_null = [n for n, v in zip(names, seen) if v is None]
+                if all_null:
+                    raise ValueError(
+                        "cannot infer types for query= columns "
+                        f"{all_null}: all NULL in the first "
+                        f"{_SCHEMA_PROBE_ROWS} rows.  CAST them in the "
+                        "query (e.g. CAST(c AS INTEGER)) so a non-NULL "
+                        "probe value exists, or use table= which reads "
+                        "declared types from PRAGMA table_info."
+                    )
                 cols = [
                     (
                         n,
@@ -110,7 +138,7 @@ class SQLiteDataSource(DataSource):
                         if isinstance(v, float)
                         else "string",
                     )
-                    for n, v in zip(names, row)
+                    for n, v in zip(names, seen)
                 ]
         finally:
             con.close()

@@ -182,3 +182,43 @@ def test_extract_design_drives_sqlite_transport(registered, lite_path):
     assert {tuple(map(str, r)) for r in got.collect()} == {
         tuple(map(str, r)) for r in ref.collect()
     }
+
+
+def test_query_schema_survives_null_leading_rows(registered, lite_path):
+    """query= type inference must not be fooled by NULLs in the first row:
+    the probe scans ahead to each column's first non-NULL value
+    (VERDICT r11 #5 — a 1-row probe silently typed these as string)."""
+    df = (
+        registered.read.format("sqlite")
+        .option("path", lite_path)
+        .option(
+            "query",
+            # first rows carry NULL in both computed columns, later rows
+            # carry an int and a float — inference must find those
+            "SELECT o_orderkey, "
+            "CASE WHEN o_orderkey < 50 THEN NULL ELSE o_custkey END AS ck, "
+            "CASE WHEN o_orderkey < 50 THEN NULL ELSE o_totalprice END AS tp "
+            "FROM orders ORDER BY o_orderkey",
+        )
+        .load()
+    )
+    kinds = dict(df.dtypes)
+    assert kinds["ck"] == "bigint"
+    assert kinds["tp"] == "double"
+    assert df.count() == df.select("o_orderkey").distinct().count()
+
+
+def test_query_schema_all_null_column_raises(registered, lite_path):
+    """A query= column that is NULL for the whole probe window is an error
+    naming the column and the fix, never a silent string."""
+    with pytest.raises(Exception, match="nothing_here.*all NULL|all NULL"):
+        (
+            registered.read.format("sqlite")
+            .option("path", lite_path)
+            .option(
+                "query",
+                "SELECT o_orderkey, NULL AS nothing_here FROM orders",
+            )
+            .load()
+            .collect()
+        )
