@@ -495,13 +495,15 @@ def simhash(
     )
 
 
-def simhash_near_pairs(
+def simhash_candidate_pairs(
     sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 32
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on half-words.
+    """Pre-verify candidate pairs from the pigeonhole block join.
 
-    Pigeonhole: two hashes within hamming d must agree exactly on at least
-    one of (d+1) blocks — join on block equality, verify with bit_count.
+    Exposed separately (like ``lsh_candidate_pairs`` for MinHash) so the
+    verify-stage bill — the dominant cost at corpus scale — can be priced
+    per (bits, max_hamming) operating point; ``simhash_near_pairs`` is
+    this plus the bit_count hamming verify.
     """
     blocks = max_hamming + 1
     block_bits = bits // blocks
@@ -525,11 +527,28 @@ def simhash_near_pairs(
     right = blocked.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "blk_key"
     )
-    cand = (
+    return (
         left.join(right, ["blk", "blk_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sh_a", "sh_b")
         .distinct()
+    )
+
+
+def simhash_near_pairs(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on sub-words.
+
+    Pigeonhole: two hashes within hamming d must agree exactly on at least
+    one of (d+1) blocks — join on block equality, verify with bit_count.
+    Measured operating points (scripts/simhash_operating_point_ab.py,
+    SCALE.md r12): 64-bit / hamming<=2 is the production default — it
+    keeps ~0.9 recall vs trigram-Jaccard>=0.5 while cutting the verify
+    bill by orders of magnitude vs the 32-bit demo point.
+    """
+    cand = simhash_candidate_pairs(
+        sims, id_col=id_col, max_hamming=max_hamming, bits=bits
     )
     return cand.select(
         "id_a",

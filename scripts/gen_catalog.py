@@ -38,12 +38,23 @@ FAMILIES = [
 def main() -> None:
     entries = dict(sorted(REGISTRY.items()))
     n_oracle = sum(1 for s in entries.values() if s.oracle)
+    n_rest = len(entries) - n_oracle
+    if n_rest:
+        headline = (
+            f"{len(entries)} entries; {n_oracle} with a full DuckDB value-hash"
+            f" oracle; the remaining {n_rest} (sketch / iterative fixpoint)"
+            " carry invariant tests and the driver's rows-only check."
+        )
+    else:
+        headline = (
+            f"{len(entries)} entries, every one with a full DuckDB"
+            " value-hash oracle."
+        )
     lines = [
         "# CATALOG — all workload entries (auto-generated from workload.REGISTRY)",
         "",
-        f"{len(entries)} entries; {n_oracle} with a full DuckDB value-hash oracle, the",
-        "rest (sketch / iterative fixpoint) carry invariant tests and the driver's",
-        "rows-only check. Derived file — regenerate with",
+        headline,
+        "Derived file — regenerate with",
         "`python scripts/gen_catalog.py`, do not hand-edit.",
         "",
     ]

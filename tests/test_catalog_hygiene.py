@@ -183,8 +183,8 @@ def test_catalog_md_in_sync_with_registry():
     from pathlib import Path
 
     text = Path(__file__).resolve().parents[1].joinpath("CATALOG.md").read_text()
-    m = re.search(r"^(\d+) entries;", text, re.M)
-    assert m, "CATALOG.md missing the '<N> entries;' header line"
+    m = re.search(r"^(\d+) entries[;,]", text, re.M)
+    assert m, "CATALOG.md missing the '<N> entries' header line"
     assert int(m.group(1)) == len(REGISTRY), (
         f"CATALOG.md says {m.group(1)} entries but workload.REGISTRY has "
         f"{len(REGISTRY)} — re-run scripts/gen_catalog.py"
