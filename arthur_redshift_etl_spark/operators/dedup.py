@@ -510,6 +510,8 @@ def simhash_candidate_pairs(
     exprs = []
     for blk in range(blocks):
         mask = ((1 << block_bits) - 1) << (blk * block_bits)
+        if mask >= 1 << 63:  # top block of a 64-bit signature: wrap to
+            mask -= 1 << 64  # the signed long Spark's LongType stores
         exprs.append(
             sims.select(
                 F.col(id_col),
@@ -542,10 +544,13 @@ def simhash_near_pairs(
 
     Pigeonhole: two hashes within hamming d must agree exactly on at least
     one of (d+1) blocks — join on block equality, verify with bit_count.
-    Measured operating points (scripts/simhash_operating_point_ab.py,
-    SCALE.md r12): 64-bit / hamming<=2 is the production default — it
-    keeps ~0.9 recall vs trigram-Jaccard>=0.5 while cutting the verify
-    bill by orders of magnitude vs the 32-bit demo point.
+    Measured operating points vs trigram-Jaccard>=0.5 truth at sf0.1
+    (scripts/simhash_operating_point_ab.py, SCALE.md r12): more bits at
+    fixed hamming trades recall for precision — 32/h3 is the recall-heavy
+    prefilter (0.91 recall, 0.002 precision, 2.46M block candidates);
+    64/h3 is the balanced point (0.73 recall, 0.37 precision, 11x fewer
+    candidates); 64/h2 is precision-first (0.57 recall, 0.73 precision,
+    78x fewer).  Pick by whether a verify stage follows.
     """
     cand = simhash_candidate_pairs(
         sims, id_col=id_col, max_hamming=max_hamming, bits=bits

@@ -1098,7 +1098,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
                 AS BIGINT) AS simhash
     FROM bitsum GROUP BY doc_id
     """,
-    description="32-bit SimHash document signatures",
+    description=(
+        "32-bit SimHash document signatures.  Default choice, measured "
+        "(SCALE.md r12 operating-point table): keep 32/hamming<=3 when a "
+        "Jaccard verify stage follows (0.91 recall, pays 2.46M block "
+        "candidates at sf0.1); switch to 64-bit/hamming<=3 when the "
+        "simhash verdict itself ships (0.73 recall, 0.37 precision, 11x "
+        "fewer candidates)"
+    ),
 )
 def dedup_simhash(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")

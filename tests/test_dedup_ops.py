@@ -796,3 +796,36 @@ class TestGroupedSplit:
         assert abs(got["train"] / total - 0.80) < 0.02
         assert abs(got.get("valid", 0) / total - 0.10) < 0.02
         assert abs(got.get("test", 0) / total - 0.10) < 0.02
+
+
+def test_simhash_64bit_blocks_and_recall(spark):
+    """64-bit signatures (the measured production point, SCALE.md r12):
+    the top pigeonhole block's mask exceeds signed-long range and must be
+    wrapped; near-identical docs must surface as a low-hamming pair while
+    unrelated docs stay out at hamming <= 2."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        ("a", base),
+        ("b", base + "extra token"),  # near-dup of a
+        ("c", "completely different content about spark shuffle exchanges "
+              "and arrow record batches in a columnar engine " * 6),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sims = dd.simhash(docs, "doc_id", "text", bits=64)
+    got = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+    assert len(got) == 3
+    # signatures use the full 64-bit range (top bit exercised across docs
+    # or not — but values are valid signed longs)
+    assert all(-(1 << 63) <= v < (1 << 63) for v in got.values())
+    pairs = dd.simhash_near_pairs(sims, max_hamming=2, bits=64).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert ("a", "b") in found and found[("a", "b")] <= 2
+    assert all(set(k) != {"a", "c"} and set(k) != {"b", "c"} for k in found)
+    # candidate stage is a superset of the verified pairs
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dd.simhash_candidate_pairs(sims, max_hamming=2, bits=64)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert set(found) <= cand
