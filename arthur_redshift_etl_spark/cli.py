@@ -443,6 +443,61 @@ def cmd_run_query(args) -> int:
     return 0
 
 
+def cmd_build_vector_index(args) -> int:
+    """Build a persistent IVF-PQ index (assignment parquet + bounded JSON
+    sidecars) for an embeddings parquet — the run-rarely expensive step of
+    the three-stage serving stack."""
+    from .vector_index import build_vector_index
+
+    spark = _spark(args)
+    emb = spark.read.parquet(args.embeddings)
+    meta = build_vector_index(
+        spark,
+        emb,
+        args.index_dir,
+        n_centroids=args.centroids,
+        n_subspaces=args.subspaces,
+        train_iters=args.train_iters,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+    )
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_search_vectors(args) -> int:
+    """Top-k nearest vectors through a persisted IVF-PQ index: IVF prune
+    (nprobe schedule) -> ADC code pool -> exact rerank of only the pool."""
+    from pyspark.sql import functions as F
+
+    from .vector_index import load_index, search_vectors
+
+    spark = _spark(args)
+    emb = spark.read.parquet(args.embeddings)
+    meta, _, _ = load_index(args.index_dir)
+    if args.query_id is not None:
+        row = emb.filter(
+            F.col(meta["id_col"]) == args.query_id
+        ).select(meta["vec_col"]).first()
+        if row is None:
+            print(f"error: no vector with id {args.query_id}", file=sys.stderr)
+            return 1
+        query = list(row[0])
+    else:
+        query = [float(x) for x in args.query.split(",")]
+    result = search_vectors(
+        spark,
+        emb,
+        args.index_dir,
+        query,
+        k=args.k,
+        nprobe=args.nprobe,
+        rerank_pool=args.rerank_pool,
+    )
+    result.show(truncate=False)
+    return 0
+
+
 def cmd_diff(args) -> int:
     """Content-level diff of two relations (the blue-green publish gate).
 
@@ -1310,6 +1365,34 @@ def build_parser() -> argparse.ArgumentParser:
                     help="print scan/output SQLMetrics of the executed plan")
     sp.add_argument("--limit", type=int, default=20)
     add("check_constraints", cmd_check_constraints)
+    sp = add("build_vector_index", cmd_build_vector_index, patterns=False)
+    sp.add_argument("--embeddings", required=True,
+                    help="parquet path of the (id, vector) corpus")
+    sp.add_argument("--index-dir", required=True,
+                    help="output directory for the index artifacts")
+    sp.add_argument("--centroids", type=int, default=4,
+                    help="IVF coarse centroids / PQ codewords (default 4)")
+    sp.add_argument("--subspaces", type=int, default=4,
+                    help="PQ subspaces; must divide the vector dim")
+    sp.add_argument("--train-iters", type=int, default=2,
+                    help="exact-integer Lloyd steps for the PQ codebooks "
+                         "(0 = seed-only; measured recall lift in SCALE.md)")
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--vec-col", default="embedding")
+    sp = add("search_vectors", cmd_search_vectors, patterns=False)
+    sp.add_argument("--embeddings", required=True,
+                    help="parquet path of the indexed corpus")
+    sp.add_argument("--index-dir", required=True,
+                    help="directory written by build_vector_index")
+    g = sp.add_mutually_exclusive_group(required=True)
+    g.add_argument("--query", help="comma-separated float vector")
+    g.add_argument("--query-id", type=int,
+                   help="use this corpus row's vector as the query")
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--nprobe", type=int, default=2,
+                    help="coarse lists to probe (recall/cost knob)")
+    sp.add_argument("--rerank-pool", type=int, default=25,
+                    help="ADC candidates kept for the exact rerank")
     sp = add("diff", cmd_diff, patterns=False)
     sp.add_argument("relation_a", help="table identifier or parquet path (old)")
     sp.add_argument("relation_b", help="table identifier or parquet path (new)")

@@ -439,3 +439,54 @@ def test_show_versions_and_rollback_verbs(design_repo, tmp_path, capsys, spark):
     ])
     out = capsys.readouterr().out
     assert rc == 1 and "ERROR" in out and "no lake version" in out
+
+
+def test_build_and_search_vector_index_e2e(tmp_path, capsys, spark):
+    """build_vector_index -> search_vectors over the real embeddings table:
+    the reusable 3-stage ivfpq_search operator behind durable artifacts
+    (VERDICT r11 #8).  Self-query must return itself at exact distance 0."""
+    idx = str(tmp_path / "ivfpq_index")
+    assert main([
+        "build_vector_index",
+        "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--index-dir", idx,
+        "--centroids", "4", "--subspaces", "4", "--train-iters", "1",
+    ]) == 0
+    meta = json.loads(
+        next(l for l in capsys.readouterr().out.splitlines() if l.startswith("{"))
+    )
+    assert meta["format"] == "ivfpq-v1"
+    assert meta["n_vectors"] > 0 and meta["dim"] % 4 == 0
+    for f in ("meta.json", "centroids.json", "codebooks.json", "assignment.parquet"):
+        assert os.path.exists(os.path.join(idx, f)), f
+    # assignment is complete: one coarse list per corpus vector
+    assign = spark.read.parquet(os.path.join(idx, "assignment.parquet"))
+    assert assign.count() == meta["n_vectors"]
+    assert set(assign.columns) == {"vec_id", "centroid_id"}
+
+    assert main([
+        "search_vectors",
+        "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--index-dir", idx,
+        "--query-id", "7", "--k", "3", "--nprobe", "2",
+    ]) == 0
+    out = capsys.readouterr().out
+    # the query vector's own bucket is always probed, so the exact rerank
+    # must surface vec_id 7 itself at distance 0 as the top row
+    lines = [l for l in out.splitlines() if "|" in l]
+    first_data = next(l for l in lines if l.split("|")[1].strip().isdigit())
+    assert first_data.split("|")[1].strip() == "7"
+    assert first_data.split("|")[2].strip() == "0"
+
+
+def test_search_vectors_rejects_bad_query(tmp_path, capsys):
+    idx = str(tmp_path / "no_index")
+    os.makedirs(idx)
+    with open(os.path.join(idx, "meta.json"), "w") as fh:
+        json.dump({"format": "something-else"}, fh)
+    with pytest.raises(Exception, match="unknown index format"):
+        main([
+            "search_vectors",
+            "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+            "--index-dir", idx, "--query", "0.1,0.2",
+        ])
