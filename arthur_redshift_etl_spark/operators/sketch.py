@@ -312,3 +312,65 @@ def heavy_hitters_per_group_exact(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the membership sketch (HLL counts distinct, CMS counts
+# frequency, KLL ranks; Bloom answers "possibly seen?" with ZERO false
+# negatives).  Engine-portable md5 positions (like HLL's register hash, and
+# unlike CMS's xxhash64) because the FPR-check entry's ORACLE must reproduce
+# the exact bit positions in DuckDB.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 4
+
+
+def bloom_pos(key: Column, i: int) -> Column:
+    """Bit position of hash ``i`` for a key: md5 of 'i:key', 60-bit prefix,
+    mod BLOOM_BITS.  SQL twin:
+    ``('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+    1, 15))::BIGINT % BLOOM_BITS``."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(BLOOM_BITS)
+    )
+
+
+def bloom_bits(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the filter: DataFrame of DISTINCT set bit positions (pos).
+
+    ≤ BLOOM_BITS rows for ANY input — the same bounded-state property as
+    the other sketches; each task's partial distinct emits at most
+    BLOOM_BITS rows no matter how many keys it scanned.  Filters over
+    different batches merge by UNION ALL + distinct (set union of bits),
+    and the merged filter answers for the union of key sets — no
+    deletions, like CMS.
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    pos = F.array(*[bloom_pos(key, i) for i in range(BLOOM_HASHES)])
+    return df.select(F.explode(pos).alias("pos")).distinct()
+
+
+def bloom_not_member(probes: DataFrame, bits: DataFrame, key_col: str) -> DataFrame:
+    """Rows of ``probes`` that are DEFINITELY not members (≥1 unset bit).
+
+    The complement (probes minus this) is the "possibly member" set, whose
+    non-member share is the measured FPR.  ``bits`` is ≤ BLOOM_BITS rows —
+    broadcast, so the check is a map-side anti-join per position.
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    ppos = probes.select(
+        key.alias("__k"),
+        F.explode(
+            F.array(*[bloom_pos(key, i) for i in range(BLOOM_HASHES)])
+        ).alias("pos"),
+    ).distinct()
+    missing = ppos.join(F.broadcast(bits), "pos", "left_anti")
+    return missing.select(F.col("__k").alias(key_col if isinstance(key_col, str) else "key")).distinct()

@@ -73,6 +73,18 @@ ALLOWED_NL_JOIN = {
     "embedding_int8_quantize": "1-row corpus-max scale aggregate broadcast",
     "ann_ivf_incremental_assign": "centroid set broadcast (k rows), old+new assignment",
     "ivfpq_search": "centroid set broadcast (k rows) in the coarse IVF assignment",
+    "bloom_filter_fpr_check": (
+        "three 1-row count aggregates broadcast cross-joined into the "
+        "single summary row"
+    ),
+    "temporal_split_events": (
+        "1-row user-overlap aggregate broadcast cross join into the "
+        "2-row per-split summary"
+    ),
+    "token_pmi_collocations": (
+        "1-row corpus-total aggregate broadcast cross join into the "
+        "bounded (top-40 vocab) pair table"
+    ),
     "ivfpq_multiprobe": (
         "centroid set broadcast (k rows) in the coarse IVF assignment + "
         "1-row query broadcast for the probe schedule"

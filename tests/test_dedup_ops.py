@@ -829,3 +829,29 @@ def test_simhash_64bit_blocks_and_recall(spark):
         .collect()
     }
     assert set(found) <= cand
+
+
+def test_bloom_filter_no_false_negatives_and_merge(spark):
+    """The Bloom contract: a member is NEVER reported not-member; filters
+    over disjoint batches merged by union+distinct answer for the union."""
+    from arthur_redshift_etl_spark.operators import sketch as sk
+
+    a = spark.range(0, 300).select(F.col("id").alias("k"))
+    b = spark.range(300, 600).select(F.col("id").alias("k"))
+    bits_a = sk.bloom_bits(a, "k")
+    bits_b = sk.bloom_bits(b, "k")
+    # no false negatives: probing the build set finds zero definite-misses
+    assert sk.bloom_not_member(a, bits_a, "k").count() == 0
+    # bounded state
+    assert bits_a.count() <= sk.BLOOM_BITS
+    # merge = set union of bit positions
+    merged = bits_a.unionAll(bits_b).distinct()
+    both = a.unionAll(b)
+    assert sk.bloom_not_member(both, merged, "k").count() == 0
+    direct = sk.bloom_bits(both, "k")
+    assert merged.count() == direct.count()
+    assert merged.exceptAll(direct).count() == 0
+    # non-members are mostly rejected (FPR far below 1 at this fill)
+    far = spark.range(1_000_000, 1_000_500).select(F.col("id").alias("k"))
+    n_rejected = sk.bloom_not_member(far, bits_a, "k").count()
+    assert n_rejected > 400  # 500 probes, fill ~1070/4096 -> fpr ~0.5%

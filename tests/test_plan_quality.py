@@ -608,3 +608,32 @@ def test_embedding_dim_stats_partial_agg(spark):
     p = plan(spark, "embedding_dim_stats")
     assert "partial" in p.lower(), p
     assert "Join" not in p, p
+
+
+def test_pq_reconstruction_error_is_map_plus_single_agg(spark):
+    """Per-subspace reconstruction error: codebooks are baked literals so
+    the per-row argmin is a pure map (no join, no window); the only hash
+    shuffle is the M-row aggregation — corpus-independent output, same
+    discipline as the trained-PQ update step."""
+    p = plan(spark, "pq_reconstruction_error")
+    assert "Join" not in p, p
+    assert "windowspecdefinition" not in p, p
+    assert len(re.findall(r"hashpartitioning", p)) == 1, p
+
+
+def test_token_pmi_top_set_is_broadcast(spark):
+    """The PMI pair join must hit a bounded broadcast vocabulary (top-40),
+    never a SortMergeJoin against the full token table; no window."""
+    p = plan(spark, "token_pmi_collocations")
+    assert "BroadcastHashJoin" in p, p
+    assert "windowspecdefinition" not in p, p
+
+
+def test_simhash64_near_pairs_no_window_no_cartesian(spark):
+    """The 64-bit production point keeps the pigeonhole block-join shape:
+    candidates come from block-key equality (hash join), never a nested-
+    loop all-pairs (that shape lives only in the small-tier oracle)."""
+    p = plan(spark, "dedup_simhash64_near_pairs")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "windowspecdefinition" not in p, p
