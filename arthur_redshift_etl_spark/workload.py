@@ -13699,7 +13699,13 @@ _SIMHASH64_SH_CTE = """
 )
 def dedup_simhash64_near_pairs(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    sims = dd.simhash(docs, "doc_id", "text", bits=64)
+    # materialize the signature table once: the 3 pigeonhole block
+    # branches union the SAME sims — without the pin each branch re-plans
+    # (and without runtime exchange reuse, re-executes) the whole
+    # two-shuffle signature pipeline (the r8 PPJoin-pair lesson)
+    sims = dd.simhash(docs, "doc_id", "text", bits=64).localCheckpoint(
+        eager=True
+    )
     return dd.simhash_near_pairs(sims, max_hamming=2, bits=64)
 
 
@@ -13814,7 +13820,12 @@ def _minhash_estimate_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str
 def minhash_jaccard_estimate_error(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     n_hashes = 8
-    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=n_hashes)
+    # signature and shingle tables are each consumed by 2-3 downstream
+    # branches — pin both once (r8 PPJoin-pair lesson: unpinned lineage
+    # re-plans the whole upstream per consumer)
+    sigs = dd.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=n_hashes
+    ).localCheckpoint(eager=True)
     cand = dd.lsh_candidate_pairs(
         sigs, "doc_id", num_hashes=n_hashes, rows_per_band=2
     )
@@ -13839,9 +13850,13 @@ def minhash_jaccard_estimate_error(spark, sf_dir):
             (agree * F.lit(1_000_000 // n_hashes)).cast("long").alias("est_micro"),
         )
     )
-    sh = docs.select(
-        "doc_id", F.explode(dd.shingles_col("text")).alias("shingle")
-    ).distinct()
+    sh = (
+        docs.select(
+            "doc_id", F.explode(dd.shingles_col("text")).alias("shingle")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
@@ -14010,11 +14025,19 @@ def pq_reconstruction_error(spark, sf_dir):
 )
 def token_pmi_collocations(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(dd.tokens_col("text")).alias("token")
-    ).distinct()
+    # tok feeds dfreq AND both sides of the pair self-join; top feeds the
+    # filter and two ratio joins — pin each once (r8 PPJoin-pair lesson)
+    tok = (
+        docs.select("doc_id", F.explode(dd.tokens_col("text")).alias("token"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    top = dfreq.orderBy(F.col("n").desc(), "token").limit(40)
+    top = (
+        dfreq.orderBy(F.col("n").desc(), "token")
+        .limit(40)
+        .localCheckpoint(eager=True)
+    )
     tt = tok.join(F.broadcast(top.select("token")), "token").select(
         "doc_id", "token"
     )
@@ -14252,8 +14275,14 @@ def bloom_filter_fpr_check(spark, sf_dir):
     from .operators import sketch as sk
 
     cust = t(spark, sf_dir, "customer")
-    members = cust.select(F.col("c_custkey").alias("k")).distinct()
-    bits = sk.bloom_bits(members, "k")
+    # members feeds the filter build, the probe set, and its own count;
+    # bits feeds the probe anti-join and its count — pin both once
+    members = (
+        cust.select(F.col("c_custkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bits = sk.bloom_bits(members, "k").localCheckpoint(eager=True)
     probes = members.select((F.col("k") + 10000000).alias("pk"))
     miss = sk.bloom_not_member(probes, bits, "pk")
     nm = members.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
@@ -14283,5 +14312,275 @@ def bloom_filter_fpr_check(spark, sf_dir):
             )
             .cast("long")
             .alias("expected_fpr_micro"),
+        )
+    )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tokens) - 1),
+                      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+                 AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT ta.doc_id AS id_a, tb.doc_id AS id_b, COUNT(*) AS inter_size
+      FROM toks ta JOIN toks tb
+        ON ta.shingle = tb.shingle AND ta.doc_id <> tb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a AS contained_id, id_b AS container_id,
+           CAST(inter_size AS BIGINT) AS inter_size,
+           CAST(sa.set_size AS BIGINT) AS contained_size,
+           CAST((inter_size * 1000000) // sa.set_size AS BIGINT)
+             AS containment_micro
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    WHERE (inter_size * 1000000) // sa.set_size >= 800000
+      AND sa.set_size >= 5
+    """,
+    description=(
+        "directional CONTAINMENT dedup: pairs where >=80% of doc A's "
+        "trigram shingles appear in doc B (A at least 5 shingles) — the "
+        "superset case symmetric Jaccard structurally misses (a short "
+        "doc quoted inside a long one has tiny Jaccard but containment "
+        "~1; classic boilerplate/quotation leak into training data).  "
+        "Denominator is the CONTAINED side only, so the pair is "
+        "directional: (contained, container).  Same shared-shingle "
+        "join shape as the exact-Jaccard entry (candidates only from "
+        "co-occurring shingles, never all-pairs); integer micro "
+        "containment keeps it hash-oracle-able.  At 100 TB the "
+        "candidate stage is the same banded/prefix-filtered pipeline "
+        "the Jaccard family prices — containment just changes the "
+        "final ratio's denominator"
+    ),
+)
+def dedup_containment_pairs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    # the shingle table feeds sizes AND both sides of the co-occurrence
+    # self-join — pin it once (r8 PPJoin-pair lesson)
+    sh = (
+        docs.select(
+            "doc_id", F.explode(dd.shingles_col("text")).alias("shingle")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    inter = (
+        sh.select(F.col("doc_id").alias("id_a"), "shingle")
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("id_a"), F.col("set_size").alias("sa")
+            ),
+            "id_a",
+        )
+        .filter(
+            (F.expr("(inter_size * 1000000) div sa") >= 800000)
+            & (F.col("sa") >= 5)
+        )
+        .select(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            F.col("inter_size").cast("long").alias("inter_size"),
+            F.col("sa").cast("long").alias("contained_size"),
+            F.expr("(inter_size * 1000000) div sa")
+            .cast("long")
+            .alias("containment_micro"),
+        )
+    )
+
+
+@query(
+    "pq_code_utilization",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, t.i - 1 AS dim0,
+             CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xm
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cb AS (SELECT vec_id AS cid, dim0, xm AS cm FROM ex WHERE vec_id < {PQ_K}),
+    dist AS (
+      SELECT e.vec_id, e.dim0 // {PQ_SUB} AS m, c.cid,
+             SUM((e.xm - c.cm) * (e.xm - c.cm)) AS d
+      FROM ex e JOIN cb c ON e.dim0 = c.dim0
+      GROUP BY e.vec_id, e.dim0 // {PQ_SUB}, c.cid
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid)
+                 AS rk
+        FROM dist
+      ) WHERE rk = 1
+    ),
+    used AS (
+      SELECT m, code, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM codes GROUP BY m, code
+    ),
+    grid AS (
+      SELECT mm.m, cc.code
+      FROM (SELECT unnest(range({PQ_M})) AS m) mm,
+           (SELECT unnest(range({PQ_K})) AS code) cc
+    )
+    SELECT CAST(g.m AS BIGINT) AS m, CAST(g.code AS BIGINT) AS code,
+           CAST(COALESCE(u.n_vectors, 0) AS BIGINT) AS n_vectors
+    FROM grid g LEFT JOIN used u ON u.m = g.m AND u.code = g.code
+    """,
+    description=(
+        "PQ code utilization histogram: vectors per (subspace, codeword) "
+        "over the FULL M x K grid, zero-usage codewords included — the "
+        "dead-codeword diagnostic that complements reconstruction error "
+        "(a dead code is a wasted bit combination: K=8 codewords are 3 "
+        "bits of address space, and every unused one shrinks the "
+        "effective codebook Lloyd training should have spread).  The "
+        "encode is the usual pure literal-codebook map; the histogram "
+        "is one partial-combined agg with M*K-bounded output, and the "
+        "grid completion is a 32-row literal join — corpus-independent "
+        "cost past the single scan"
+    ),
+)
+def pq_code_utilization(spark, sf_dir):
+    from .operators import quantization as qz
+
+    emb = t(spark, sf_dir, "embeddings")
+    codebooks = {
+        r["vec_id"]: qz.micro_list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    coded = qz.pq_encode(emb, codebooks, PQ_M, PQ_SUB)
+    pairs = coded.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("long").alias("m"),
+                        F.col(f"code{m}").cast("long").alias("code"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("p")
+    ).select("p.m", "p.code")
+    used = pairs.groupBy("m", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("nv")
+    )
+    grid = spark.createDataFrame(
+        [(m, c) for m in range(PQ_M) for c in range(PQ_K)], ["m", "code"]
+    ).select(F.col("m").cast("long"), F.col("code").cast("long"))
+    return (
+        grid.join(used, ["m", "code"], "left")
+        .select(
+            "m",
+            "code",
+            F.coalesce(F.col("nv"), F.lit(0)).cast("long").alias("n_vectors"),
+        )
+    )
+
+
+@query(
+    "embedding_norm_outliers",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, CAST(FLOOR(CAST(e.x AS DOUBLE) * 1000000) AS BIGINT) AS xm
+      FROM embeddings, UNNEST(embedding) AS e(x)
+    ),
+    n2 AS (
+      SELECT vec_id, SUM(xm * xm) // 100000000 AS n2m FROM ex GROUP BY vec_id
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n2m) // COUNT(*) AS BIGINT) AS mean_n2m,
+             CAST(SUM(n2m * n2m) // COUNT(*)
+                  - (SUM(n2m) // COUNT(*)) * (SUM(n2m) // COUNT(*))
+                  AS BIGINT) AS var_n2m
+      FROM n2
+    )
+    SELECT st.n AS n_vectors, st.mean_n2m, st.var_n2m,
+           CAST(SUM(CASE WHEN (n2.n2m - st.mean_n2m) * (n2.n2m - st.mean_n2m)
+                              > 9 * st.var_n2m THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers_3sigma,
+           CAST(MIN(n2.n2m) AS BIGINT) AS min_n2m,
+           CAST(MAX(n2.n2m) AS BIGINT) AS max_n2m
+    FROM n2 CROSS JOIN st
+    GROUP BY st.n, st.mean_n2m, st.var_n2m
+    """,
+    description=(
+        "embedding hygiene audit: squared-norm distribution with a "
+        "3-sigma outlier count — degenerate vectors (zeroed, clipped, "
+        "double-scaled) are the classic silent corpus poison for "
+        "cosine/IP retrieval, and the norm is the cheapest detector.  "
+        "All integer: norms in micro^2/1e8 units, variance via "
+        "E[x^2]-E[x]^2 with truncating division (engine-exact), the "
+        "sigma test as (x-mean)^2 > 9*var so no sqrt enters the hash.  "
+        "One scan -> per-vector agg -> 1-row moments broadcast back "
+        "over the norm table; at 100 TB the unit scaling (div 1e8) is "
+        "what keeps SUM(n2m^2) inside int64 up to ~1e6-vector "
+        "partitions, stated here because overflow would be silent in "
+        "Spark and loud in DuckDB"
+    ),
+)
+def embedding_norm_outliers(spark, sf_dir):
+    from .operators import quantization as qz
+
+    emb = t(spark, sf_dir, "embeddings")
+    n2 = emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(embedding, x -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v * v) div 100000000"
+        ).alias("n2m"),
+    )
+    st = n2.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(n2m) div count(1)").cast("long").alias("mean_n2m"),
+        F.expr(
+            "sum(n2m * n2m) div count(1)"
+            " - (sum(n2m) div count(1)) * (sum(n2m) div count(1))"
+        )
+        .cast("long")
+        .alias("var_n2m"),
+    )
+    return (
+        n2.crossJoin(F.broadcast(st))
+        .groupBy("n", "mean_n2m", "var_n2m")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("n2m") - F.col("mean_n2m"))
+                    * (F.col("n2m") - F.col("mean_n2m"))
+                    > 9 * F.col("var_n2m"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers_3sigma"),
+            F.min("n2m").cast("long").alias("min_n2m"),
+            F.max("n2m").cast("long").alias("max_n2m"),
+        )
+        .select(
+            F.col("n").alias("n_vectors"),
+            "mean_n2m",
+            "var_n2m",
+            "n_outliers_3sigma",
+            "min_n2m",
+            "max_n2m",
         )
     )

@@ -73,6 +73,10 @@ ALLOWED_NL_JOIN = {
     "embedding_int8_quantize": "1-row corpus-max scale aggregate broadcast",
     "ann_ivf_incremental_assign": "centroid set broadcast (k rows), old+new assignment",
     "ivfpq_search": "centroid set broadcast (k rows) in the coarse IVF assignment",
+    "embedding_norm_outliers": (
+        "1-row moments aggregate broadcast cross join back over the "
+        "per-vector norm table (the daily_event_anomaly_zscore shape)"
+    ),
     "bloom_filter_fpr_check": (
         "three 1-row count aggregates broadcast cross-joined into the "
         "single summary row"
