@@ -27,6 +27,9 @@ ENTRIES = [
     "quantile_normalize_embedding_dims",
     "temporal_split_events",
     "bloom_filter_fpr_check",
+    "dedup_containment_pairs",
+    "pq_code_utilization",
+    "embedding_norm_outliers",
 ]
 
 TIERS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
