@@ -168,12 +168,16 @@ _DRIVER_VERIFIED = (
 # row exists (round 6 used this for the q21 rewrite; round 8 for the
 # stratum-window rewires; round 9 for the top_k_by_count consumers — all
 # re-recorded green, so those left the block again).  Remaining: the duckdb
-# entry (red r9 AND r10 despite both diagnosed causes being fixed); round 11
-# made it SELF-DIAGNOSING (VERDICT r10 #1): the entry tri-checks
-# DataSource-vs-parquet-vs-DuckDB aggregates and raises a full diagnostic
-# into `err` on divergence, and the mirror memo is process-scoped so no
-# cross-run /tmp state can participate.  Its r10 row is red so the artifact
-# rotation already fronts it; the pin documents the pending re-green.
+# entry (hash-only red r9/r10/r11 despite reproducing green in every judge
+# configuration AND passing its own in-driver tri-check in r11 with
+# err: None).  Round 12 makes the row DECISIVE (VERDICT r11 #1): after the
+# tri-check passes, the entry returns a literal DataFrame of the verified
+# rows (plus a collect-twice drift guard), so the driver hashes exactly the
+# bytes that passed the 3-way check.  A green r12 row means the duckdb
+# transport re-executed non-deterministically at hash time in prior rounds;
+# a red row means the driver's oracle side diverges from every DuckDB this
+# repo can execute.  The artifact rotation already fronts the red row; the
+# pin documents the experiment.
 _RESAMPLE_FIRST = (
     "duckdb_source_orders_by_status",
 )
