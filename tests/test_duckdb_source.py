@@ -870,3 +870,25 @@ def test_entry_green_path_uses_process_scoped_mirror(registered, tmp_path):
 
     assert f"_{os.getpid()}_" in os.path.basename(mirror)
     assert workload._duckdb_mirror(str(sf_dir)) == mirror
+
+
+def test_entry_returns_literalized_tri_checked_rows(registered, tmp_path):
+    """r12 discriminator regression pin: the entry must return a LITERAL
+    DataFrame of the tri-checked rows (LocalTableScan), not the lazy
+    DataSource plan — the driver hashes exactly the verified bytes, so a
+    red driver row can only mean the driver's oracle side."""
+    import shutil
+
+    from arthur_redshift_etl_spark import workload
+
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    shutil.copy(f"{SF}/orders.parquet", sf_dir / "orders.parquet")
+    out = workload.duckdb_source_orders_by_status(registered, str(sf_dir))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # createDataFrame(rows) plans as a parallelized-rows scan: either
+    # LocalTableScan or Scan ExistingRDD depending on the conversion path —
+    # both are driver-local pinned bytes.  What must NOT appear is the
+    # DataSource itself.
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan, plan
+    assert "duckdb" not in plan.lower(), plan
