@@ -88,7 +88,7 @@ def generate() -> None:
             os.rename(out + ".dir", out)
         else:
             shutil.copyfile(f"{SRC}/{name}.parquet", out)
-        print(f"# {name}: {'x3 scaled' if name in SCALED else 'copied'}")
+        print(f"# {name}: {f'x{COPIES} scaled' if name in SCALED else 'copied'}")
     spark.stop()
 
 
