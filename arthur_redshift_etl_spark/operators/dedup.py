@@ -468,6 +468,100 @@ def ngram_jaccard_join(
     )
 
 
+def containment_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    min_size: int = 5,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """EXACT directional containment join: every ordered pair (A, B),
+    A != B, with |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ threshold
+    and |shingles(A)| ≥ min_size — the superset/quotation case symmetric
+    Jaccard structurally misses.
+
+    Scale path is the ASYMMETRIC prefix filter (the containment member of
+    the AllPairs family): shingles get a global rarest-first order; for
+    C(A→B) ≥ t at least t·|A| of A's shingles must hit B, so if A's first
+    |A| − ⌈t·|A|⌉ + 1 prefix shingles all miss B the pair cannot qualify.
+    Only the CONTAINED side is prefix-reduced — the container side must
+    keep its full shingle set (a shingle outside B's prefix still counts
+    toward containment of A) — so the candidate join is prefix(A) ⋈
+    full(B): the quadratic posting lists of COMMON shingles never meet
+    each other, because prefix shingles are by construction the rare
+    ones.  A one-sided size filter (|B| ≥ t·|A|) prunes further before
+    exact verification.
+
+    Returns (contained_id, container_id, inter_size, contained_size,
+    containment_micro) with the ratio in exact integer micro-units —
+    identical rows to the naive all-shared-shingle join.
+    """
+    sh = doc_shingles(df, id_col, text_col, shingle_size).persist()
+    sh.count()  # materialize once: ranking, candidates, verification share it
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    order = Window.partitionBy(id_col).orderBy("doc_freq", "shingle")
+    prefix_len = (
+        F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+    )
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(order))
+        .join(sizes, id_col)
+        .filter((F.col("rn") <= prefix_len) & (F.col("set_size") >= min_size))
+        .select(id_col, "shingle", "set_size")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("set_size").alias("size_a")
+    )
+    b = sh.join(sizes, id_col).select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("set_size").alias("size_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.lit(threshold) * F.col("size_a") <= F.col("size_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        # lineage truncation, same reason as the Jaccard path above
+        .localCheckpoint(eager=True)
+    )
+    inter = (
+        cand.join(
+            sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    thr_micro = int(threshold * 1_000_000)
+    return (
+        inter.join(
+            sizes.select(
+                F.col(id_col).alias("id_a"), F.col("set_size").alias("sa")
+            ),
+            "id_a",
+        )
+        .filter(
+            (F.expr("(inter_size * 1000000) div sa") >= thr_micro)
+            & (F.col("sa") >= min_size)
+        )
+        .select(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            F.col("inter_size").cast("long").alias("inter_size"),
+            F.col("sa").cast("long").alias("contained_size"),
+            F.expr("(inter_size * 1000000) div sa")
+            .cast("long")
+            .alias("containment_micro"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

@@ -14363,46 +14363,12 @@ def bloom_filter_fpr_check(spark, sf_dir):
 )
 def dedup_containment_pairs(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    # the shingle table feeds sizes AND both sides of the co-occurrence
-    # self-join — pin it once (r8 PPJoin-pair lesson)
-    sh = (
-        docs.select(
-            "doc_id", F.explode(dd.shingles_col("text")).alias("shingle")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    inter = (
-        sh.select(F.col("doc_id").alias("id_a"), "shingle")
-        .join(
-            sh.select(F.col("doc_id").alias("id_b"), "shingle"),
-            "shingle",
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter_size"))
-    )
-    return (
-        inter.join(
-            sizes.select(
-                F.col("doc_id").alias("id_a"), F.col("set_size").alias("sa")
-            ),
-            "id_a",
-        )
-        .filter(
-            (F.expr("(inter_size * 1000000) div sa") >= 800000)
-            & (F.col("sa") >= 5)
-        )
-        .select(
-            F.col("id_a").alias("contained_id"),
-            F.col("id_b").alias("container_id"),
-            F.col("inter_size").cast("long").alias("inter_size"),
-            F.col("sa").cast("long").alias("contained_size"),
-            F.expr("(inter_size * 1000000) div sa")
-            .cast("long")
-            .alias("containment_micro"),
-        )
+    # prefix-filtered containment join (asymmetric AllPairs): the shipped
+    # operator prunes candidates to prefix(contained) x full(container) —
+    # identical rows to the oracle's naive shared-shingle join, which is
+    # exactly what the hash compare proves
+    return dd.containment_join(
+        docs, "doc_id", "text", threshold=0.8, min_size=5
     )
 
 

@@ -855,3 +855,50 @@ def test_bloom_filter_no_false_negatives_and_merge(spark):
     far = spark.range(1_000_000, 1_000_500).select(F.col("id").alias("k"))
     n_rejected = sk.bloom_not_member(far, bits_a, "k").count()
     assert n_rejected > 400  # 500 probes, fill ~1070/4096 -> fpr ~0.5%
+
+
+def test_containment_join_prefix_equals_naive(spark):
+    """The asymmetric prefix filter must return EXACTLY the naive
+    all-shared-shingle join's rows — exactness is the operator's whole
+    claim (like the Jaccard PPJoin pin above).  Random corpus with
+    planted containments: short docs spliced verbatim into long ones."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(30):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))))
+    # plant: doc 100+i = doc i's text embedded in noise (superset)
+    for i in range(5):
+        noise = " ".join(rng.choice(vocab) for _ in range(10))
+        docs.append((100 + i, docs[i][1] + " " + noise))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        tuple(r)
+        for r in dd.containment_join(df, "doc_id", "text", threshold=0.8, min_size=5)
+        .select("contained_id", "container_id", "containment_micro")
+        .collect()
+    }
+    # naive reference
+    sh = dd.doc_shingles(df, "doc_id", "text").distinct()
+    sizes = {r["doc_id"]: r["cnt"] for r in sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    sets = {}
+    for r in sh.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    want = set()
+    for a, sa in sets.items():
+        if len(sa) < 5:
+            continue
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            cm = inter * 1000000 // len(sa)
+            if cm >= 800000:
+                want.add((a, b, cm))
+    assert got == want
+    # the planted supersets must be found (doc i fully contained in 100+i)
+    found_directed = {(a, b) for a, b, _ in got}
+    planted = {(i, 100 + i) for i in range(5) if sizes.get(i, 0) >= 5}
+    assert planted <= found_directed
