@@ -159,6 +159,94 @@ def probe_schedule(
     return ranked[:nprobe]
 
 
+def search_vectors_batch(
+    spark,
+    embeddings: DataFrame,
+    index_dir: str,
+    queries: dict,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-``k`` per query for a query SET, in ONE plan — the serving-
+    throughput path (measured in SCALE.md: single-query `search_vectors`
+    pays whole-stage codegen per query because each bakes a fresh literal
+    LUT; a batch amortizes the compile across the set).
+
+    ``queries`` is {query_id: raw float vector}.  Shape: the IVF prune
+    joins the assignment ONCE against the union of every query's nprobe
+    lists; scoring explodes a broadcast literal array of (query_id,
+    probe-set, micro-vector) structs over the candidate rows — exact
+    int64 micro L2, no per-query plan — and the per-query top-k is the
+    skew-proof two-phase ``topk_per_group``.  Exact within the probed
+    lists (no ADC stage: at batch-serving granularity the rerank pool
+    would be per-query anyway; the ADC path remains the single-query /
+    billion-scale layout in ``ivfpq_search``).
+
+    Returns (query_id, vec_id, exact_dist, knn_rank).
+    """
+    from .operators.sampling import topk_per_group
+
+    meta, centroids_micro, _ = load_index(index_dir)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    qm = {}
+    probes = {}
+    for qid, vec in queries.items():
+        if len(vec) != meta["dim"]:
+            raise ValueError(
+                f"query {qid}: dim {len(vec)} != index dim {meta['dim']}"
+            )
+        qm[qid] = qz.micro_list(vec)
+        probes[qid] = probe_schedule(centroids_micro, qm[qid], nprobe)
+    assignment = spark.read.parquet(os.path.join(index_dir, ASSIGNMENT_DIR))
+    all_probes = sorted({c for ps in probes.values() for c in ps})
+    cand = (
+        embeddings.join(
+            assignment.filter(F.col("centroid_id").isin(all_probes)),
+            id_col,
+        )
+        .select(
+            id_col,
+            "centroid_id",
+            qz.micro_components(F.col(vec_col)).alias("xm"),
+        )
+    )
+    qlits = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).alias("qid"),
+                F.array(*[F.lit(c).cast("long") for c in probes[qid]]).alias(
+                    "probes"
+                ),
+                F.array(*[F.lit(c).cast("long") for c in qm[qid]]).alias("q"),
+            )
+            for qid in sorted(queries)
+        ]
+    )
+    scored = (
+        cand.select(id_col, "centroid_id", "xm", F.explode(qlits).alias("qs"))
+        .filter(F.array_contains(F.col("qs.probes"), F.col("centroid_id")))
+        .select(
+            F.col("qs.qid").alias("query_id"),
+            F.col(id_col),
+            F.aggregate(
+                F.zip_with(
+                    F.col("xm"), F.col("qs.q"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("exact_dist"),
+        )
+    )
+    return topk_per_group(
+        scored, ["query_id"], ["exact_dist", id_col], k
+    ).select(
+        "query_id",
+        id_col,
+        "exact_dist",
+        F.col("sample_rank").cast("int").alias("knn_rank"),
+    )
+
+
 def search_vectors(
     spark,
     embeddings: DataFrame,

@@ -64,6 +64,15 @@ def main() -> None:
         for q in queries:
             vi.search_vectors(spark, emb, idx, q, k=5, nprobe=2).count()
         search_wall = time.perf_counter() - t0
+        # batch path: all N queries in ONE plan
+        qdict = {i: q for i, q in enumerate(queries)}
+        vi.search_vectors_batch(spark, emb, idx, qdict, k=5, nprobe=2).count()
+        t0 = time.perf_counter()
+        n_rows = vi.search_vectors_batch(
+            spark, emb, idx, qdict, k=5, nprobe=2
+        ).count()
+        batch_wall = time.perf_counter() - t0
+        assert n_rows == 5 * len(qdict), n_rows
         print(
             json.dumps(
                 {
@@ -74,6 +83,8 @@ def main() -> None:
                     "sidecar_bytes": sizes,
                     "searches": N_QUERIES,
                     "search_wall_s_per_query": round(search_wall / N_QUERIES, 3),
+                    "batch_wall_s_per_query": round(batch_wall / N_QUERIES, 3),
+                    "batch_speedup": round(search_wall / batch_wall, 1),
                 }
             )
         )

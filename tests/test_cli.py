@@ -490,3 +490,37 @@ def test_search_vectors_rejects_bad_query(tmp_path, capsys):
             "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
             "--index-dir", idx, "--query", "0.1,0.2",
         ])
+
+
+def test_search_vectors_batch_matches_single(tmp_path, spark):
+    """The batch path must return the same neighbors as N single-query
+    searches (exact within the probed lists; single-query rerank_pool set
+    large enough to make its pool exhaustive over the probed candidates)."""
+    from arthur_redshift_etl_spark.vector_index import (
+        build_vector_index,
+        search_vectors,
+        search_vectors_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    build_vector_index(spark, emb, idx, n_centroids=4, n_subspaces=4,
+                       train_iters=1)
+    qvecs = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in emb.filter("vec_id in (3, 17, 42)").collect()
+    }
+    batch = search_vectors_batch(spark, emb, idx, qvecs, k=3, nprobe=2)
+    got = {
+        (r["query_id"], r["knn_rank"]): (r["vec_id"], r["exact_dist"])
+        for r in batch.collect()
+    }
+    assert len(got) == 9
+    for qid, vec in qvecs.items():
+        single = search_vectors(
+            spark, emb, idx, vec, k=3, nprobe=2, rerank_pool=10_000
+        ).collect()
+        for rank, row in enumerate(single, start=1):
+            assert got[(qid, rank)] == (row[0], row[1]), (qid, rank)
+        # self-query: the vector itself is rank 1 at distance 0
+        assert got[(qid, 1)] == (qid, 0)
