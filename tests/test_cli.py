@@ -524,3 +524,32 @@ def test_search_vectors_batch_matches_single(tmp_path, spark):
             assert got[(qid, rank)] == (row[0], row[1]), (qid, rank)
         # self-query: the vector itself is rank 1 at distance 0
         assert got[(qid, 1)] == (qid, 0)
+
+
+def test_search_vectors_queries_file_batch(tmp_path, capsys, spark):
+    """--queries-file routes the set through the one-plan batch path."""
+    idx = str(tmp_path / "idx")
+    assert main([
+        "build_vector_index",
+        "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--index-dir", idx, "--centroids", "4", "--subspaces", "4",
+        "--train-iters", "0",
+    ]) == 0
+    capsys.readouterr()
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id in (5, 9)").collect()
+    }
+    qf = tmp_path / "queries.json"
+    qf.write_text(json.dumps({str(k): v for k, v in qvecs.items()}))
+    assert main([
+        "search_vectors",
+        "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--index-dir", idx, "--queries-file", str(qf), "--k", "2",
+    ]) == 0
+    out = capsys.readouterr().out
+    # both self-queries surface at rank 1, distance 0
+    rows = [l for l in out.splitlines() if l.count("|") >= 4]
+    hits = [l for l in rows if "|0 " in l.replace("| 0 ", "|0 ") or "| 0 " in l]
+    assert any("5" in l for l in hits) and any("9" in l for l in hits), out
