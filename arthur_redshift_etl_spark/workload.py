@@ -14352,13 +14352,14 @@ def bloom_filter_fpr_check(spark, sf_dir):
         "doc quoted inside a long one has tiny Jaccard but containment "
         "~1; classic boilerplate/quotation leak into training data).  "
         "Denominator is the CONTAINED side only, so the pair is "
-        "directional: (contained, container).  Same shared-shingle "
-        "join shape as the exact-Jaccard entry (candidates only from "
-        "co-occurring shingles, never all-pairs); integer micro "
-        "containment keeps it hash-oracle-able.  At 100 TB the "
-        "candidate stage is the same banded/prefix-filtered pipeline "
-        "the Jaccard family prices — containment just changes the "
-        "final ratio's denominator"
+        "directional: (contained, container).  Shipped operator is the "
+        "ASYMMETRIC prefix filter (dd.containment_join): only the "
+        "contained side is prefix-reduced, candidates are prefix(A) x "
+        "full(B) — measured verify-bill cut 23k->61 pairs at sf0.01, "
+        "2.26M->206k at sf0.1 vs the naive shared-shingle join the "
+        "oracle runs (SCALE.md r12); exact-equal rows, unit-tested on "
+        "planted supersets.  Integer micro containment keeps it "
+        "hash-oracle-able"
     ),
 )
 def dedup_containment_pairs(spark, sf_dir):
