@@ -326,11 +326,11 @@ BLOOM_BITS = 4096
 BLOOM_HASHES = 4
 
 
-def bloom_pos(key: Column, i: int) -> Column:
+def bloom_pos(key: Column, i: int, bits: int = BLOOM_BITS) -> Column:
     """Bit position of hash ``i`` for a key: md5 of 'i:key', 60-bit prefix,
-    mod BLOOM_BITS.  SQL twin:
+    mod ``bits``.  SQL twin:
     ``('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
-    1, 15))::BIGINT % BLOOM_BITS``."""
+    1, 15))::BIGINT % bits``."""
     return (
         F.conv(
             F.substring(
@@ -339,11 +339,16 @@ def bloom_pos(key: Column, i: int) -> Column:
             16,
             10,
         ).cast("long")
-        % F.lit(BLOOM_BITS)
+        % F.lit(bits)
     )
 
 
-def bloom_bits(df: DataFrame, key_col: str) -> DataFrame:
+def bloom_bits(
+    df: DataFrame,
+    key_col: str,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+) -> DataFrame:
     """Build the filter: DataFrame of DISTINCT set bit positions (pos).
 
     ≤ BLOOM_BITS rows for ANY input — the same bounded-state property as
@@ -354,11 +359,17 @@ def bloom_bits(df: DataFrame, key_col: str) -> DataFrame:
     deletions, like CMS.
     """
     key = F.col(key_col) if isinstance(key_col, str) else key_col
-    pos = F.array(*[bloom_pos(key, i) for i in range(BLOOM_HASHES)])
+    pos = F.array(*[bloom_pos(key, i, bits) for i in range(hashes)])
     return df.select(F.explode(pos).alias("pos")).distinct()
 
 
-def bloom_not_member(probes: DataFrame, bits: DataFrame, key_col: str) -> DataFrame:
+def bloom_not_member(
+    probes: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    n_bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+) -> DataFrame:
     """Rows of ``probes`` that are DEFINITELY not members (≥1 unset bit).
 
     The complement (probes minus this) is the "possibly member" set, whose
@@ -369,7 +380,7 @@ def bloom_not_member(probes: DataFrame, bits: DataFrame, key_col: str) -> DataFr
     ppos = probes.select(
         key.alias("__k"),
         F.explode(
-            F.array(*[bloom_pos(key, i) for i in range(BLOOM_HASHES)])
+            F.array(*[bloom_pos(key, i, n_bits) for i in range(hashes)])
         ).alias("pos"),
     ).distinct()
     missing = ppos.join(F.broadcast(bits), "pos", "left_anti")
