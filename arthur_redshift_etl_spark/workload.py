@@ -10707,7 +10707,13 @@ def minhash_lsh_recall_eval(spark, sf_dir):
 )
 def simhash_recall_eval(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    sims = dd.simhash(docs, "doc_id", "text", bits=32)
+    # pin the signature table: the 4 pigeonhole block branches otherwise
+    # re-plan the whole two-shuffle simhash pipeline each (this entry was
+    # the catalog's heaviest plan at 33 exchanges before the pin — the
+    # same defect the r8 PPJoin checkpoint removed)
+    sims = dd.simhash(docs, "doc_id", "text", bits=32).localCheckpoint(
+        eager=True
+    )
     near = dd.simhash_near_pairs(sims, max_hamming=3, bits=32).select(
         "id_a", "id_b"
     )
