@@ -213,7 +213,7 @@ def search_vectors_batch(
     qlits = F.array(
         *[
             F.struct(
-                F.lit(int(qid)).alias("qid"),
+                F.lit(int(qid)).cast("long").alias("qid"),
                 F.array(*[F.lit(c).cast("long") for c in probes[qid]]).alias(
                     "probes"
                 ),

@@ -14557,3 +14557,111 @@ def embedding_norm_outliers(spark, sf_dir):
             "max_n2m",
         )
     )
+
+
+# Process-scoped persisted-index memo for the vector_index entry (same
+# discipline as the duckdb/sqlite mirrors: tempfile per process, keyed by
+# source identity — no cross-run disk state).
+_VINDEX_MEMO: dict = {}
+
+
+def _vindex_dir(spark, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from . import vector_index as vi
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = (os.path.abspath(src), st.st_mtime_ns, st.st_size)
+    path = _VINDEX_MEMO.get(key)
+    if path is not None and os.path.exists(path):
+        return path
+    d = tempfile.mkdtemp(prefix=f"spark_graft_vindex_{os.getpid()}_")
+    vi.build_vector_index(
+        spark, t(spark, sf_dir, "embeddings"), d,
+        n_centroids=8, n_subspaces=4, train_iters=0,
+    )
+    _VINDEX_MEMO[key] = d
+    return d
+
+
+@query(
+    "vector_index_batch_search",
+    oracle=_IVF_ASSIGN_CTE
+    + """
+    , em AS (
+      SELECT vec_id, t.i - 1 AS dim0,
+             CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xm
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cm AS (SELECT vec_id AS centroid_id, dim0, xm AS cm FROM em
+           WHERE vec_id < 8),
+    qm AS (SELECT vec_id AS query_id, dim0, xm AS qm FROM em
+           WHERE vec_id IN (3, 17, 42)),
+    pc AS (
+      SELECT q.query_id, c.centroid_id,
+             CAST(SUM(q.qm * c.cm) AS DOUBLE)
+               / (sqrt(CAST(SUM(q.qm * q.qm) AS DOUBLE))
+                  * sqrt(CAST(SUM(c.cm * c.cm) AS DOUBLE))) AS cos
+      FROM qm q JOIN cm c ON q.dim0 = c.dim0
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT query_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, centroid_id) AS prk
+        FROM pc
+      ) WHERE prk <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probe p JOIN assign a ON a.centroid_id = p.centroid_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             CAST(SUM((e.xm - q.qm) * (e.xm - q.qm)) AS BIGINT)
+               AS exact_dist
+      FROM cand c
+      JOIN em e ON e.vec_id = c.vec_id
+      JOIN qm q ON q.query_id = c.query_id AND q.dim0 = e.dim0
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, exact_dist, CAST(rk AS INTEGER) AS knn_rank
+    FROM (
+      SELECT query_id, vec_id, exact_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY exact_dist, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+    description=(
+        "the PERSISTED vector-index serving stack under the oracle gate: "
+        "the entry builds (once per process, tempdir memo) a real index "
+        "directory via vector_index.build_vector_index — assignment "
+        "parquet + JSON sidecars, the same artifacts the CLI verbs "
+        "operate on — then answers a 3-query batch through "
+        "search_vectors_batch: ONE plan for the whole set (assignment "
+        "joined once on the union of probe lists, broadcast literal "
+        "query array, exact int64 micro L2, skew-proof two-phase "
+        "top-k; measured 14x per-query amortization vs single-query "
+        "plans, SCALE.md r12).  The oracle recomputes the full pipeline "
+        "in SQL — micro-cosine probe schedules (exact integer dot/norm "
+        "sums below 2^53, so the doubles agree bit-for-bit), IVF "
+        "assignment, exact distances, per-query rank — proving the "
+        "index ARTIFACTS round-trip correctly, not just the in-memory "
+        "operator"
+    ),
+)
+def vector_index_batch_search(spark, sf_dir):
+    from . import vector_index as vi
+
+    emb = t(spark, sf_dir, "embeddings")
+    idx = _vindex_dir(spark, sf_dir)
+    queries = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin([3, 17, 42])).collect()
+    }
+    return vi.search_vectors_batch(spark, emb, idx, queries, k=3, nprobe=2)
