@@ -553,3 +553,28 @@ def test_search_vectors_queries_file_batch(tmp_path, capsys, spark):
     rows = [l for l in out.splitlines() if l.count("|") >= 4]
     hits = [l for l in rows if "|0 " in l.replace("| 0 ", "|0 ") or "| 0 " in l]
     assert any("5" in l for l in hits) and any("9" in l for l in hits), out
+
+
+def test_search_vectors_batch_edge_cases(tmp_path, spark):
+    """Robustness pins for the batch path: single-query dict, nprobe
+    exceeding the centroid count (clamps to all lists = exhaustive within
+    the index), and a dimension mismatch raising before any Spark work."""
+    from arthur_redshift_etl_spark.vector_index import (
+        build_vector_index,
+        search_vectors_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    build_vector_index(spark, emb, idx, n_centroids=4, n_subspaces=4,
+                       train_iters=0)
+    q = list(emb.filter("vec_id = 11").first()["embedding"])
+    one = search_vectors_batch(spark, emb, idx, {11: q}, k=2, nprobe=2).collect()
+    assert [r["vec_id"] for r in one][0] == 11 and one[0]["exact_dist"] == 0
+    # nprobe > n_centroids: probes clamp to every list -> exact brute force
+    allp = search_vectors_batch(
+        spark, emb, idx, {11: q}, k=2, nprobe=99
+    ).collect()
+    assert allp[0]["vec_id"] == 11 and len(allp) == 2
+    with pytest.raises(ValueError, match="dim"):
+        search_vectors_batch(spark, emb, idx, {0: [1.0, 2.0]}, k=1)

@@ -902,3 +902,41 @@ def test_containment_join_prefix_equals_naive(spark):
     found_directed = {(a, b) for a, b, _ in got}
     planted = {(i, 100 + i) for i in range(5) if sizes.get(i, 0) >= 5}
     assert planted <= found_directed
+
+
+def test_containment_join_property_random(spark):
+    """Property sweep: across several random corpora and thresholds, the
+    prefix-filtered containment join equals the naive reference exactly
+    (the single-seed planted test above pins one corpus; this pins the
+    parameter space)."""
+    import random
+
+    for seed, thr in [(1, 0.7), (2, 0.8), (3, 0.9)]:
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(25)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 25))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            tuple(r)
+            for r in dd.containment_join(
+                df, "doc_id", "text", threshold=thr, min_size=4
+            )
+            .select("contained_id", "container_id", "inter_size")
+            .collect()
+        }
+        sh = dd.doc_shingles(df, "doc_id", "text").distinct()
+        sets = {}
+        for r in sh.collect():
+            sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+        thr_micro = int(thr * 1_000_000)
+        want = {
+            (a, b, len(sa & sb))
+            for a, sa in sets.items()
+            if len(sa) >= 4
+            for b, sb in sets.items()
+            if a != b and len(sa & sb) * 1_000_000 // len(sa) >= thr_micro
+        }
+        assert got == want, (seed, thr)
