@@ -475,6 +475,7 @@ def containment_join(
     threshold: float = 0.8,
     min_size: int = 5,
     shingle_size: int = 3,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """EXACT directional containment join: every ordered pair (A, B),
     A != B, with |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ threshold
@@ -493,26 +494,44 @@ def containment_join(
     ones.  A one-sided size filter (|B| ≥ t·|A|) prunes further before
     exact verification.
 
+    ``prefix_filter`` is a measured regime knob, not a correctness one
+    (results are identical either way; scripts/containment_crossover_ab.py):
+    keep it True when true pairs are SPARSE relative to shingle
+    co-occurrence — there the filter cuts the candidate bill 11-378×
+    (SCALE.md), which is what keeps the candidate table shuffleable at
+    corpus scale.  Set False on duplicate-SATURATED corpora (answer
+    density ≈ candidate density, e.g. pre-exact-dedup web crawls): the
+    filter cannot shrink a candidate set that is mostly real answers, so
+    its three extra stages are pure overhead (measured 8× slower at 20k
+    docs of 4×-duplicated content).
+
     Returns (contained_id, container_id, inter_size, contained_size,
     containment_micro) with the ratio in exact integer micro-units —
     identical rows to the naive all-shared-shingle join.
     """
     sh = doc_shingles(df, id_col, text_col, shingle_size).persist()
     sh.count()  # materialize once: ranking, candidates, verification share it
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    order = Window.partitionBy(id_col).orderBy("doc_freq", "shingle")
-    prefix_len = (
-        F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
-    )
-    prefix = (
-        sh.join(freq, "shingle")
-        .withColumn("rn", F.row_number().over(order))
-        .join(sizes, id_col)
-        .filter((F.col("rn") <= prefix_len) & (F.col("set_size") >= min_size))
-        .select(id_col, "shingle", "set_size")
-    )
-    a = prefix.select(
+    if prefix_filter:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+        order = Window.partitionBy(id_col).orderBy("doc_freq", "shingle")
+        prefix_len = (
+            F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+        )
+        a_side = (
+            sh.join(freq, "shingle")
+            .withColumn("rn", F.row_number().over(order))
+            .join(sizes, id_col)
+            .filter(
+                (F.col("rn") <= prefix_len) & (F.col("set_size") >= min_size)
+            )
+            .select(id_col, "shingle", "set_size")
+        )
+    else:
+        a_side = sh.join(sizes, id_col).filter(
+            F.col("set_size") >= min_size
+        ).select(id_col, "shingle", "set_size")
+    a = a_side.select(
         F.col(id_col).alias("id_a"), "shingle", F.col("set_size").alias("size_a")
     )
     b = sh.join(sizes, id_col).select(
