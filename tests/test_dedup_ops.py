@@ -940,3 +940,15 @@ def test_containment_join_property_random(spark):
             if a != b and len(sa & sb) * 1_000_000 // len(sa) >= thr_micro
         }
         assert got == want, (seed, thr)
+        # the duplicate-saturated-regime path (prefix_filter=False) must
+        # return the identical rows — it is a cost knob, not a semantic one
+        got_naive = {
+            tuple(r)
+            for r in dd.containment_join(
+                df, "doc_id", "text", threshold=thr, min_size=4,
+                prefix_filter=False,
+            )
+            .select("contained_id", "container_id", "inter_size")
+            .collect()
+        }
+        assert got_naive == want, (seed, thr, "prefix_filter=False")
