@@ -167,23 +167,19 @@ _DRIVER_VERIFIED = (
 # force them into the first-50 sample until a post-change hash-verified
 # row exists (round 6 used this for the q21 rewrite; round 8 for the
 # stratum-window rewires; round 9 for the top_k_by_count consumers — all
-# re-recorded green, so those left the block again).  Remaining: the duckdb
-# entry (hash-only red r9/r10/r11 despite reproducing green in every judge
-# configuration AND passing its own in-driver tri-check in r11 with
-# err: None).  Round 12 makes the row DECISIVE (VERDICT r11 #1): after the
-# tri-check passes, the entry returns a literal DataFrame of the verified
-# rows (plus a collect-twice drift guard), so the driver hashes exactly the
-# bytes that passed the 3-way check.  A green r12 row means the duckdb
-# transport re-executed non-deterministically at hash time in prior rounds;
-# a red row means the driver's oracle side diverges from every DuckDB this
-# repo can execute.  The artifact rotation already fronts the red row; the
-# pin documents the experiment.
+# re-recorded green, so those left the block again; r12's simhash pin
+# re-greened and left).  Remaining: the duckdb entry — red r9-r12 while
+# green in every judge session and under its own in-driver tri-check.
+# The r12 literal-return experiment adjudicated the divergence to the
+# DRIVER's oracle-side evaluation; round 13 removes the one semantics a
+# different driver-side DuckDB version could legitimately compute
+# differently (the double->decimal cast in the aggregate), replacing it
+# with the repo's bit-exact integer-cents convention on BOTH sides.
+# Green r13 row => root cause named (driver-oracle decimal-cast
+# divergence) and this pin comes out; still red => retire the entry name
+# per VERDICT r12 #1.
 _RESAMPLE_FIRST = (
     "duckdb_source_orders_by_status",
-    # r12: signature table pinned (33 -> 10 plan exchanges); same values,
-    # but the implementation changed after its r11 green row, so force a
-    # post-change hash-verified row.
-    "simhash_recall_eval",
 )
 
 

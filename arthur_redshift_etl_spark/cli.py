@@ -447,10 +447,20 @@ def cmd_build_vector_index(args) -> int:
     """Build a persistent IVF-PQ index (assignment parquet + bounded JSON
     sidecars) for an embeddings parquet — the run-rarely expensive step of
     the three-stage serving stack."""
-    from .vector_index import build_vector_index
+    from .vector_index import build_vector_index, load_index, verify_corpus
 
     spark = _spark(args)
     emb = spark.read.parquet(args.embeddings)
+    if args.if_stale and os.path.isdir(args.index_dir):
+        try:
+            meta, _, _ = load_index(args.index_dir)
+            verify_corpus(emb, meta)
+        except (OSError, ValueError):
+            pass  # missing/unreadable/stale — fall through to the rebuild
+        else:
+            meta["skipped"] = "fresh"
+            print(json.dumps(meta))
+            return 0
     meta = build_vector_index(
         spark,
         emb,
@@ -458,6 +468,7 @@ def cmd_build_vector_index(args) -> int:
         n_centroids=args.centroids,
         n_subspaces=args.subspaces,
         train_iters=args.train_iters,
+        train_centroids=args.train_centroids,
         id_col=args.id_col,
         vec_col=args.vec_col,
     )
@@ -479,9 +490,17 @@ def cmd_search_vectors(args) -> int:
     meta, _, _ = load_index(args.index_dir)
     if args.queries_file:
         with open(args.queries_file) as fh:
-            qdict = {int(k): v for k, v in json.load(fh).items()}
+            raw = json.load(fh)
+        # JSON keys are strings; restore int ids when every key is one
+        # (keeps query_id a long column), otherwise carry them as strings
+        # — the r12 int()-cast restriction is gone
+        try:
+            qdict = {int(k): v for k, v in raw.items()}
+        except ValueError:
+            qdict = dict(raw)
         result = search_vectors_batch(
-            spark, emb, args.index_dir, qdict, k=args.k, nprobe=args.nprobe
+            spark, emb, args.index_dir, qdict, k=args.k, nprobe=args.nprobe,
+            query_plan=args.query_plan, verify=not args.no_verify,
         )
         result.show(n=args.k * max(len(qdict), 1), truncate=False)
         return 0
@@ -503,6 +522,7 @@ def cmd_search_vectors(args) -> int:
         k=args.k,
         nprobe=args.nprobe,
         rerank_pool=args.rerank_pool,
+        verify=not args.no_verify,
     )
     result.show(truncate=False)
     return 0
@@ -1387,6 +1407,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--train-iters", type=int, default=2,
                     help="exact-integer Lloyd steps for the PQ codebooks "
                          "(0 = seed-only; measured recall lift in SCALE.md)")
+    sp.add_argument("--train-centroids", type=int, default=2,
+                    help="Lloyd steps for the COARSE quantizer (whole-"
+                         "vector L2 kmeans; 0 = seed centroids + cosine "
+                         "assignment, the pre-r13 behavior)")
+    sp.add_argument("--if-stale", action="store_true",
+                    help="skip the rebuild when an index already exists "
+                         "whose corpus fingerprint matches the embeddings")
     sp.add_argument("--id-col", default="vec_id")
     sp.add_argument("--vec-col", default="embedding")
     sp = add("search_vectors", cmd_search_vectors, patterns=False)
@@ -1406,6 +1433,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="coarse lists to probe (recall/cost knob)")
     sp.add_argument("--rerank-pool", type=int, default=25,
                     help="ADC candidates kept for the exact rerank")
+    sp.add_argument("--query-plan", default="auto",
+                    choices=["auto", "literal", "broadcast"],
+                    help="batch path only: how the query set reaches the "
+                         "executors (auto switches at the measured "
+                         "literal-vs-broadcast crossover)")
+    sp.add_argument("--no-verify", action="store_true",
+                    help="skip the corpus-fingerprint staleness check")
     sp = add("diff", cmd_diff, patterns=False)
     sp.add_argument("relation_a", help="table identifier or parquet path (old)")
     sp.add_argument("relation_b", help="table identifier or parquet path (new)")

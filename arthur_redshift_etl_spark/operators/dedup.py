@@ -429,7 +429,16 @@ def ngram_jaccard_join(
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     order = Window.partitionBy(id_col).orderBy("doc_freq", "shingle")
-    prefix_len = F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+    # exact integer micro-unit arithmetic — the float forms ceil(t*size)
+    # and t*size_a <= size_b over-prune exact-boundary pairs when the
+    # double product rounds up past the exact integer (same fix as
+    # containment_join below; e.g. t=0.56 at 25 shingles)
+    thr_micro = int(round(threshold * 1_000_000))
+    prefix_len = (
+        F.col("set_size")
+        - F.expr(f"({thr_micro} * set_size + 999999) div 1000000")
+        + 1
+    )
     prefix = (
         sh.join(freq, "shingle")
         .withColumn("rn", F.row_number().over(order))
@@ -446,8 +455,8 @@ def ngram_jaccard_join(
     cand = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("size_a") * F.lit(threshold) <= F.col("size_b"))
-        .filter(F.col("size_b") * F.lit(threshold) <= F.col("size_a"))
+        .filter(F.expr(f"{thr_micro} * size_a <= size_b * 1000000"))
+        .filter(F.expr(f"{thr_micro} * size_b <= size_a * 1000000"))
         .select("id_a", "id_b")
         .distinct()
         # lineage truncation, same reason as the minhash path above: the
@@ -512,11 +521,22 @@ def containment_join(
     sh = doc_shingles(df, id_col, text_col, shingle_size).persist()
     sh.count()  # materialize once: ranking, candidates, verification share it
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    # ALL threshold arithmetic in exact integer micro-units (the same
+    # discipline the verify stage uses).  The float forms ceil(t*size) and
+    # t*size_a <= size_b over-prune exact-boundary pairs whenever the
+    # double product rounds up past the exact integer (e.g. t=0.56 at 25
+    # shingles: 0.56*25 = 14.000000000000002, so float-ceil says 15 where
+    # exact ceil(14) = 14) — silently breaking the EXACT contract.
+    # ceil(t*size) == (thr_micro*size + 999_999) div 1_000_000 exactly,
+    # and thr_micro*size tops out at ~1e6 * |shingles|, far inside int64.
+    thr_micro = int(round(threshold * 1_000_000))
     if prefix_filter:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
         order = Window.partitionBy(id_col).orderBy("doc_freq", "shingle")
         prefix_len = (
-            F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+            F.col("set_size")
+            - F.expr(f"({thr_micro} * set_size + 999999) div 1000000")
+            + 1
         )
         a_side = (
             sh.join(freq, "shingle")
@@ -540,7 +560,10 @@ def containment_join(
     cand = (
         a.join(b, "shingle")
         .filter(F.col("id_a") != F.col("id_b"))
-        .filter(F.lit(threshold) * F.col("size_a") <= F.col("size_b"))
+        # exact integer form of t*|A| <= |B| (both paths share this filter,
+        # so a float rounding here would be invisible to the prefix-vs-
+        # naive property test — keep it integer)
+        .filter(F.expr(f"{thr_micro} * size_a <= size_b * 1000000"))
         .select("id_a", "id_b")
         .distinct()
         # lineage truncation, same reason as the Jaccard path above
@@ -557,7 +580,6 @@ def containment_join(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter_size"))
     )
-    thr_micro = int(threshold * 1_000_000)
     return (
         inter.join(
             sizes.select(

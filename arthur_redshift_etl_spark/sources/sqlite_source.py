@@ -113,12 +113,21 @@ class SQLiteDataSource(DataSource):
                 )
                 names = [d[0] for d in cur.description]
                 seen: list = [None] * len(names)
+                n_probed = 0
                 for row in cur:
+                    n_probed += 1
                     for i, v in enumerate(row):
                         if seen[i] is None and v is not None:
                             seen[i] = v
                     if all(v is not None for v in seen):
                         break
+                if n_probed == 0:
+                    # empty result set: nothing to type from, but an empty
+                    # DataFrame is a legitimate extract (ADVICE r12) — keep
+                    # the pre-r12 all-string fallback rather than raising a
+                    # misleading 'all NULL' error.  Zero rows means the
+                    # types can never be observed wrong.
+                    return ", ".join(f"{n} string" for n in names)
                 all_null = [n for n, v in zip(names, seen) if v is None]
                 if all_null:
                     raise ValueError(

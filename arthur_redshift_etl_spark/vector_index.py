@@ -53,6 +53,7 @@ def build_vector_index(
     n_centroids: int = 4,
     n_subspaces: int = 4,
     train_iters: int = 2,
+    train_centroids: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> dict:
@@ -63,7 +64,16 @@ def build_vector_index(
     portable — the same convention the oracle-verified entries use);
     codebooks are then refined with ``train_iters`` exact-integer Lloyd
     steps (``pq_train_iterations`` — measured recall lift in SCALE.md).
-    Returns the meta dict that was written.
+
+    ``train_centroids`` (VERDICT r12 #3) runs the same machinery on the
+    COARSE quantizer: with M=1/SUB=dim, ``pq_train_iterations`` is whole-
+    vector L2 kmeans (integer-exact centroid updates, K x dim driver
+    traffic per iteration), and assignment/probing switch to the L2
+    metric that matches the search stage's exact micro-L2 distances
+    (meta records ``metric: "l2"``).  ``train_centroids=0`` keeps the
+    original seed-centroid cosine path (``metric: "cosine"``) — the
+    oracle-verified configuration.  Returns the meta dict that was
+    written.
     """
     first = embeddings.select(vec_col).first()
     if first is None:
@@ -93,18 +103,41 @@ def build_vector_index(
             vec_col=vec_col,
         )
 
-    centroids_df = spark.createDataFrame(
-        [(cid, seeds[cid][vec_col]) for cid in range(n_centroids)],
-        ["centroid_id", vec_col],
-    )
-    assignment = sim.ivf_assign(
-        embeddings, centroids_df, id_col=id_col, vec_col=vec_col
-    )
+    if train_centroids > 0:
+        # whole-vector L2 Lloyd on the coarse quantizer: one subspace of
+        # width dim.  Dead clusters keep their previous centroid (the
+        # pq_train_iterations rule), so every centroid id stays probeable.
+        centroids_micro = qz.pq_train_iterations(
+            embeddings, centroids_micro, 1, dim, train_centroids,
+            vec_col=vec_col,
+        )
+        metric = "l2"
+        # assignment is the pure-map argmin over the trained (micro-exact)
+        # centroids — metric-matched to search's exact micro-L2 ranking
+        assignment = embeddings.select(
+            F.col(id_col),
+            qz.pq_code(
+                qz.micro_components(F.col(vec_col)), centroids_micro, 0, dim
+            )
+            .cast("long")
+            .alias("centroid_id"),
+        )
+    else:
+        metric = "cosine"
+        centroids_df = spark.createDataFrame(
+            [(cid, seeds[cid][vec_col]) for cid in range(n_centroids)],
+            ["centroid_id", vec_col],
+        )
+        assignment = sim.ivf_assign(
+            embeddings, centroids_df, id_col=id_col, vec_col=vec_col
+        )
 
     os.makedirs(index_dir, exist_ok=True)
     assignment.write.mode("overwrite").parquet(
         os.path.join(index_dir, ASSIGNMENT_DIR)
     )
+    n_vectors = embeddings.count()
+    max_id_row = embeddings.agg(F.max(F.col(id_col))).first()
     meta = {
         "format": "ivfpq-v1",
         "dim": dim,
@@ -112,9 +145,17 @@ def build_vector_index(
         "n_subspaces": n_subspaces,
         "sub_dims": sub_dims,
         "train_iters": train_iters,
+        "train_centroids": train_centroids,
+        "metric": metric,
         "id_col": id_col,
         "vec_col": vec_col,
-        "n_vectors": embeddings.count(),
+        "n_vectors": n_vectors,
+        # cheap corpus fingerprint (ADVICE r12): enough to catch a corpus
+        # that drifted from assignment.parquet — verified at search time
+        "corpus_fingerprint": {
+            "n_vectors": n_vectors,
+            "max_id": None if max_id_row[0] is None else int(max_id_row[0]),
+        },
     }
     for name, obj in (
         (META_FILE, meta),
@@ -141,22 +182,67 @@ def load_index(index_dir: str) -> tuple:
 
 
 def probe_schedule(
-    centroids_micro: dict, query_micro: list, nprobe: int
+    centroids_micro: dict, query_micro: list, nprobe: int,
+    metric: str = "cosine",
 ) -> list:
-    """The ``nprobe`` nearest coarse centroids to the query, cosine desc
-    with centroid-id tiebreak — |K| driver-side scores (probe schedules
-    are per-query metadata, never data-scaled)."""
+    """The ``nprobe`` nearest coarse centroids to the query with
+    centroid-id tiebreak — |K| driver-side scores (probe schedules are
+    per-query metadata, never data-scaled).  ``metric`` follows the
+    index build: cosine (seed centroids) or exact integer squared-L2
+    (trained centroids — matches the assignment argmin)."""
     def _cos(a, b):
         dot = sum(x * y for x, y in zip(a, b))
         na = math.sqrt(sum(x * x for x in a)) or 1.0
         nb = math.sqrt(sum(y * y for y in b)) or 1.0
         return dot / (na * nb)
 
-    ranked = sorted(
-        centroids_micro,
-        key=lambda cid: (-_cos(centroids_micro[cid], query_micro), cid),
-    )
+    def _l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    if metric == "l2":
+        ranked = sorted(
+            centroids_micro,
+            key=lambda cid: (_l2(centroids_micro[cid], query_micro), cid),
+        )
+    else:
+        ranked = sorted(
+            centroids_micro,
+            key=lambda cid: (-_cos(centroids_micro[cid], query_micro), cid),
+        )
     return ranked[:nprobe]
+
+
+def verify_corpus(embeddings: DataFrame, meta: dict) -> None:
+    """Raise when ``embeddings`` drifted from the corpus the index was
+    built over (ADVICE r12: an unchecked mismatch silently returns wrong
+    or incomplete neighbors).  One bounded agg (count + max id) against
+    the persisted fingerprint; pre-fingerprint indexes pass unchecked."""
+    fp = meta.get("corpus_fingerprint")
+    if fp is None:
+        return
+    id_col = meta["id_col"]
+    row = embeddings.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.col(id_col)).alias("mx")
+    ).first()
+    n = int(row["n"])
+    mx = None if row["mx"] is None else int(row["mx"])
+    if n != fp["n_vectors"] or mx != fp["max_id"]:
+        raise ValueError(
+            "vector index is STALE for this corpus: index fingerprint "
+            f"(n_vectors={fp['n_vectors']}, max_id={fp['max_id']}) != "
+            f"corpus (n_vectors={n}, max_id={mx}).  Rebuild with "
+            "build_vector_index (CLI: build_vector_index --if-stale "
+            "rebuilds only when this check fails), or pass "
+            "verify=False to search over the indexed subset knowingly."
+        )
+
+
+# Above this many queries the batch plan ships the query set as a real
+# broadcast DataFrame instead of baked literal structs: plan size grows
+# O(|queries|*dim) on the literal path, re-creating the very compile tax
+# the batch exists to amortize (VERDICT r12 #4).  Crossover measured by
+# scripts/vector_batch_query_plan_ab.py — see SCALE.md.
+LITERAL_BATCH_MAX = 64
 
 
 def search_vectors_batch(
@@ -166,20 +252,32 @@ def search_vectors_batch(
     queries: dict,
     k: int = 5,
     nprobe: int = 2,
+    query_plan: str = "auto",
+    verify: bool = True,
 ) -> DataFrame:
     """Top-``k`` per query for a query SET, in ONE plan — the serving-
     throughput path (measured in SCALE.md: single-query `search_vectors`
     pays whole-stage codegen per query because each bakes a fresh literal
     LUT; a batch amortizes the compile across the set).
 
-    ``queries`` is {query_id: raw float vector}.  Shape: the IVF prune
-    joins the assignment ONCE against the union of every query's nprobe
-    lists; scoring explodes a broadcast literal array of (query_id,
-    probe-set, micro-vector) structs over the candidate rows — exact
-    int64 micro L2, no per-query plan — and the per-query top-k is the
-    skew-proof two-phase ``topk_per_group``.  Exact within the probed
-    lists (no ADC stage: at batch-serving granularity the rerank pool
-    would be per-query anyway; the ADC path remains the single-query /
+    ``queries`` is {query_id: raw float vector}.  IDs may be ints (the
+    output ``query_id`` column is long) or any other hashable — then ALL
+    ids are carried as strings (mixed int/str sets are stringified too;
+    the column type is what changes, never silently-coerced values).
+
+    Shape: the IVF prune joins the assignment ONCE against the union of
+    every query's nprobe lists; scoring pairs the candidate rows with the
+    query set — exact int64 micro L2, no per-query plan — and the
+    per-query top-k is the skew-proof two-phase ``topk_per_group``.
+    ``query_plan`` picks how the query set reaches the executors:
+    ``"literal"`` bakes (qid, probes, micro-vector) structs into the plan
+    (fastest for small sets — zero extra jobs); ``"broadcast"`` ships
+    them as a broadcast DataFrame joined on
+    ``array_contains(probes, centroid_id)`` (plan size stays O(1) in
+    |queries|); ``"auto"`` switches at LITERAL_BATCH_MAX.  Both produce
+    identical rows (parity-tested).  Exact within the probed lists (no
+    ADC stage: at batch-serving granularity the rerank pool would be
+    per-query anyway; the ADC path remains the single-query /
     billion-scale layout in ``ivfpq_search``).
 
     Returns (query_id, vec_id, exact_dist, knn_rank).
@@ -187,7 +285,14 @@ def search_vectors_batch(
     from .operators.sampling import topk_per_group
 
     meta, centroids_micro, _ = load_index(index_dir)
+    if verify:
+        verify_corpus(embeddings, meta)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    metric = meta.get("metric", "cosine")
+    ids_are_int = all(
+        isinstance(q, int) and not isinstance(q, bool) for q in queries
+    )
+    qkey = (lambda q: int(q)) if ids_are_int else (lambda q: str(q))
     qm = {}
     probes = {}
     for qid, vec in queries.items():
@@ -196,7 +301,13 @@ def search_vectors_batch(
                 f"query {qid}: dim {len(vec)} != index dim {meta['dim']}"
             )
         qm[qid] = qz.micro_list(vec)
-        probes[qid] = probe_schedule(centroids_micro, qm[qid], nprobe)
+        probes[qid] = probe_schedule(centroids_micro, qm[qid], nprobe, metric)
+    if query_plan == "auto":
+        query_plan = (
+            "literal" if len(queries) <= LITERAL_BATCH_MAX else "broadcast"
+        )
+    if query_plan not in ("literal", "broadcast"):
+        raise ValueError(f"query_plan must be auto|literal|broadcast: {query_plan}")
     assignment = spark.read.parquet(os.path.join(index_dir, ASSIGNMENT_DIR))
     all_probes = sorted({c for ps in probes.values() for c in ps})
     cand = (
@@ -210,32 +321,47 @@ def search_vectors_batch(
             qz.micro_components(F.col(vec_col)).alias("xm"),
         )
     )
-    qlits = F.array(
-        *[
-            F.struct(
-                F.lit(int(qid)).cast("long").alias("qid"),
-                F.array(*[F.lit(c).cast("long") for c in probes[qid]]).alias(
-                    "probes"
-                ),
-                F.array(*[F.lit(c).cast("long") for c in qm[qid]]).alias("q"),
-            )
-            for qid in sorted(queries)
-        ]
-    )
-    scored = (
-        cand.select(id_col, "centroid_id", "xm", F.explode(qlits).alias("qs"))
-        .filter(F.array_contains(F.col("qs.probes"), F.col("centroid_id")))
-        .select(
-            F.col("qs.qid").alias("query_id"),
-            F.col(id_col),
-            F.aggregate(
-                F.zip_with(
-                    F.col("xm"), F.col("qs.q"), lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("exact_dist"),
+    qid_type = "long" if ids_are_int else "string"
+    ordered = sorted(queries, key=qkey)
+    if query_plan == "literal":
+        qlits = F.array(
+            *[
+                F.struct(
+                    F.lit(qkey(qid)).cast(qid_type).alias("qid"),
+                    F.array(
+                        *[F.lit(c).cast("long") for c in probes[qid]]
+                    ).alias("probes"),
+                    F.array(*[F.lit(c).cast("long") for c in qm[qid]]).alias(
+                        "q"
+                    ),
+                )
+                for qid in ordered
+            ]
         )
+        paired = cand.select(
+            id_col, "centroid_id", "xm", F.explode(qlits).alias("qs")
+        ).filter(F.array_contains(F.col("qs.probes"), F.col("centroid_id")))
+    else:
+        qdf = spark.createDataFrame(
+            [(qkey(qid), probes[qid], qm[qid]) for qid in ordered],
+            schema=(
+                f"qid {qid_type}, probes array<bigint>, q array<bigint>"
+            ),
+        ).select(F.struct("qid", "probes", "q").alias("qs"))
+        paired = cand.join(
+            F.broadcast(qdf),
+            F.array_contains(F.col("qs.probes"), F.col("centroid_id")),
+        )
+    scored = paired.select(
+        F.col("qs.qid").alias("query_id"),
+        F.col(id_col),
+        F.aggregate(
+            F.zip_with(
+                F.col("xm"), F.col("qs.q"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("exact_dist"),
     )
     return topk_per_group(
         scored, ["query_id"], ["exact_dist", id_col], k
@@ -255,16 +381,21 @@ def search_vectors(
     k: int = 5,
     nprobe: int = 2,
     rerank_pool: int = 25,
+    verify: bool = True,
 ) -> DataFrame:
     """Top-``k`` nearest vectors via the persisted index: IVF prune by the
     driver-side probe schedule, ADC pool over 4-byte codes, exact rerank
     of the pool.  ``query`` is the raw float vector."""
     meta, centroids_micro, codebooks = load_index(index_dir)
+    if verify:
+        verify_corpus(embeddings, meta)
     if len(query) != meta["dim"]:
         raise ValueError(f"query dim {len(query)} != index dim {meta['dim']}")
     query_micro = qz.micro_list(query)
     assignment = spark.read.parquet(os.path.join(index_dir, ASSIGNMENT_DIR))
-    probes = probe_schedule(centroids_micro, query_micro, nprobe)
+    probes = probe_schedule(
+        centroids_micro, query_micro, nprobe, meta.get("metric", "cosine")
+    )
     return qz.ivfpq_search(
         embeddings,
         assignment,

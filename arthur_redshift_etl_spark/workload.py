@@ -10787,8 +10787,8 @@ def _duckdb_mirror(sf_dir: str) -> str:
     oracle="""
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-               AS total_price
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_price_cents
     FROM orders
     WHERE o_totalprice > 1000
     GROUP BY o_orderstatus
@@ -10810,12 +10810,17 @@ def _duckdb_mirror(sf_dir: str) -> str:
         "versions so a red driver row carries the real cause in `err` "
         "instead of an anonymous hash mismatch.  r12: the returned "
         "DataFrame is PINNED to the tri-checked bytes (literal rows) "
-        "with a collect-twice drift guard, discriminating the two "
-        "remaining suspects from three rounds of red-with-green-tri-"
-        "check: a green driver row means the duckdb transport re-"
-        "executed non-deterministically at hash time; a red row means "
-        "the driver's oracle side diverges from every DuckDB this repo "
-        "can execute."
+        "with a collect-twice drift guard; the r12 row was still red "
+        "with err None, adjudicating the divergence to the driver's "
+        "oracle-side evaluation (4 independent judge sessions green).  "
+        "r13: the last engine-version-sensitive semantics — the "
+        "double->decimal cast in the aggregate, whose half-way "
+        "rounding a different driver-side DuckDB version could "
+        "legitimately compute differently — is replaced by the repo's "
+        "integer-cents parity convention (FLOOR(x*100+0.5) summed as "
+        "BIGINT), bit-exact on any engine, any version.  A green r13 "
+        "row names the root cause: driver-oracle decimal-cast "
+        "divergence."
     ),
 )
 def duckdb_source_orders_by_status(spark, sf_dir):
@@ -10837,12 +10842,20 @@ def duckdb_source_orders_by_status(spark, sf_dir):
             .groupBy("o_orderstatus")
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                # Float-parity convention (see q01 etc.): cast to decimal
-                # BEFORE summing so the result is accumulation-order-free
-                # on both engines.
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                .cast("decimal(18,2)")
-                .alias("total_price"),
+                # Integer-cents parity convention (revenue_cusum_changepoint
+                # precedent): floor(x*100 + 0.5) is the engine-portable
+                # half-up cents cast, and a BIGINT sum is bit-exact on any
+                # engine VERSION — unlike the previous decimal-inside-
+                # aggregate form, whose double->decimal half-way rounding
+                # is the one semantics a different driver-side DuckDB
+                # could compute differently (VERDICT r12 #1).
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                .cast("long")
+                .alias("total_price_cents"),
             )
         )
 
@@ -10862,7 +10875,8 @@ def duckdb_source_orders_by_status(spark, sf_dir):
     # human needs — the driver records the message as `err`, which names the
     # cause instead of `hash_match: false`.
     def _norm(rows):
-        return sorted((str(r[0]), int(r[1]), str(r[2])) for r in rows)
+        # cents are exact int64 on every engine — compare as ints
+        return sorted((str(r[0]), int(r[1]), int(r[2])) for r in rows)
 
     # Collect-twice drift guard (VERDICT r11 #1): if two executions of the
     # SAME lazy DataSource plan ever disagree, that IS the bug the driver
@@ -10883,9 +10897,9 @@ def duckdb_source_orders_by_status(spark, sf_dir):
     duck_rows = _norm(
         con.execute(
             "SELECT o_orderstatus, COUNT(*) AS n_orders, "
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
-            "AS total_price FROM orders WHERE o_totalprice > 1000 "
-            "GROUP BY o_orderstatus"
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS total_price_cents FROM orders "
+            "WHERE o_totalprice > 1000 GROUP BY o_orderstatus"
         ).fetchall()
     )
     con.close()
@@ -14005,7 +14019,8 @@ def pq_reconstruction_error(spark, sf_dir):
     ),
     tot AS (SELECT COUNT(*) AS nd FROM documents)
     SELECT token_a, token_b, CAST(n_ab AS BIGINT) AS n_ab,
-           CAST((n_ab * nd * 1000000) // (pa.n * pb.n) AS BIGINT)
+           CAST((CAST(n_ab AS HUGEINT) * nd * 1000000)
+                // (CAST(pa.n AS HUGEINT) * pb.n) AS BIGINT)
              AS lift_micro
     FROM pairs
     JOIN top pa ON pa.token = token_a
@@ -14075,7 +14090,16 @@ def token_pmi_collocations(spark, sf_dir):
             "token_a",
             "token_b",
             F.col("n_ab").cast("long").alias("n_ab"),
-            F.expr("(n_ab * nd * 1000000) div (na * nb)")
+            # widen the products to decimal(38,0) (HUGEINT on the oracle
+            # side): n_ab*nd*1e6 overflows int64 once n_ab*nd exceeds
+            # ~9.2e12 (ADVICE r12 — ~10M docs with a 1M-support pair),
+            # and na*nb has the same bound.  Floor-div on positive wide
+            # ints is engine-exact, so values are unchanged where the
+            # old int64 form was in range.
+            F.expr(
+                "(CAST(n_ab AS DECIMAL(38,0)) * nd * 1000000)"
+                " div (CAST(na AS DECIMAL(38,0)) * nb)"
+            )
             .cast("long")
             .alias("lift_micro"),
         )
@@ -14220,24 +14244,35 @@ def temporal_split_events(spark, sf_dir):
     )
 
 
+# Bloom sizing constants shared by the entry body, its Spark expression,
+# and the DuckDB oracle (ADVICE r12: a hardcoded 4096 in the latter two
+# would silently break parity if sketch.BLOOM_BITS ever changed).
+from .operators.sketch import BLOOM_BITS as _BLOOM_BITS  # noqa: E402
+from .operators.sketch import BLOOM_HASHES as _BLOOM_HASHES  # noqa: E402
+
+# (bits_set/m)^k in integer micro-units, expressed for k=4 as two squared
+# halves — keep the exponent literal in sync with _BLOOM_HASHES
+assert _BLOOM_HASHES == 4, "expected_fpr expression is written for k=4"
+
+
 @query(
     "bloom_filter_fpr_check",
-    oracle="""
+    oracle=f"""
     WITH members AS (SELECT DISTINCT c_custkey AS k FROM customer),
     bits AS (
       SELECT DISTINCT
              ('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
                                  || CAST(k AS VARCHAR)), 1, 15))::BIGINT
-               % 4096 AS pos
-      FROM members, (SELECT unnest(range(4)) AS i)
+               % {_BLOOM_BITS} AS pos
+      FROM members, (SELECT unnest(range({_BLOOM_HASHES})) AS i)
     ),
     probes AS (SELECT k + 10000000 AS pk FROM members),
     ppos AS (
       SELECT DISTINCT pk,
              ('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
                                  || CAST(pk AS VARCHAR)), 1, 15))::BIGINT
-               % 4096 AS pos
-      FROM probes, (SELECT unnest(range(4)) AS i)
+               % {_BLOOM_BITS} AS pos
+      FROM probes, (SELECT unnest(range({_BLOOM_HASHES})) AS i)
     ),
     miss AS (
       SELECT DISTINCT pk FROM ppos LEFT JOIN bits USING (pos)
@@ -14253,10 +14288,10 @@ def temporal_split_events(spark, sf_dir):
            CAST(n_probes - n_miss AS BIGINT) AS n_false_positives,
            CAST(((n_probes - n_miss) * 1000000) // n_probes AS BIGINT)
              AS fpr_micro,
-           CAST((((n_bits_set * 1000000 // 4096)
-                  * (n_bits_set * 1000000 // 4096) // 1000000)
-                 * ((n_bits_set * 1000000 // 4096)
-                    * (n_bits_set * 1000000 // 4096) // 1000000))
+           CAST((((n_bits_set * 1000000 // {_BLOOM_BITS})
+                  * (n_bits_set * 1000000 // {_BLOOM_BITS}) // 1000000)
+                 * ((n_bits_set * 1000000 // {_BLOOM_BITS})
+                    * (n_bits_set * 1000000 // {_BLOOM_BITS}) // 1000000))
                 // 1000000 AS BIGINT) AS expected_fpr_micro
     FROM agg
     """,
@@ -14310,10 +14345,10 @@ def bloom_filter_fpr_check(spark, sf_dir):
             .cast("long")
             .alias("fpr_micro"),
             F.expr(
-                "(((n_bits_set * 1000000 div 4096)"
-                " * (n_bits_set * 1000000 div 4096) div 1000000)"
-                " * ((n_bits_set * 1000000 div 4096)"
-                "    * (n_bits_set * 1000000 div 4096) div 1000000))"
+                f"(((n_bits_set * 1000000 div {_BLOOM_BITS})"
+                f" * (n_bits_set * 1000000 div {_BLOOM_BITS}) div 1000000)"
+                f" * ((n_bits_set * 1000000 div {_BLOOM_BITS})"
+                f"    * (n_bits_set * 1000000 div {_BLOOM_BITS}) div 1000000))"
                 " div 1000000"
             )
             .cast("long")
@@ -14580,7 +14615,11 @@ def _vindex_dir(spark, sf_dir: str) -> str:
     d = tempfile.mkdtemp(prefix=f"spark_graft_vindex_{os.getpid()}_")
     vi.build_vector_index(
         spark, t(spark, sf_dir, "embeddings"), d,
-        n_centroids=8, n_subspaces=4, train_iters=0,
+        # the oracle replicates the seed-centroid cosine configuration —
+        # pin both training knobs off (r13 adds train_centroids, default
+        # ON for production builds; the trained path's candidate-recall
+        # delta is measured in scripts/vector_index_trained_ab.py)
+        n_centroids=8, n_subspaces=4, train_iters=0, train_centroids=0,
     )
     _VINDEX_MEMO[key] = d
     return d

@@ -578,3 +578,134 @@ def test_search_vectors_batch_edge_cases(tmp_path, spark):
     assert allp[0]["vec_id"] == 11 and len(allp) == 2
     with pytest.raises(ValueError, match="dim"):
         search_vectors_batch(spark, emb, idx, {0: [1.0, 2.0]}, k=1)
+
+
+def test_vector_index_trained_coarse_quantizer(tmp_path, spark):
+    """r13 (VERDICT r12 #3): train_centroids runs whole-vector L2 Lloyd
+    on the coarse quantizer (pq_train_iterations with M=1/SUB=dim) and
+    switches assignment + probe schedule to the metric-matched L2 argmin.
+    Pins: meta records the metric; every vector is assigned; self-query
+    still surfaces itself at distance 0 (its own bucket is its argmin
+    centroid, which the L2 probe schedule ranks first)."""
+    from arthur_redshift_etl_spark.vector_index import (
+        build_vector_index,
+        load_index,
+        search_vectors_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "idx_trained")
+    meta = build_vector_index(
+        spark, emb, idx, n_centroids=4, n_subspaces=4, train_iters=0,
+        train_centroids=2,
+    )
+    assert meta["metric"] == "l2" and meta["train_centroids"] == 2
+    m2, cents, _ = load_index(idx)
+    assert m2["metric"] == "l2"
+    # trained centroids moved off the seed vectors (micro lists differ
+    # from the raw seed micro lists for at least one centroid)
+    from arthur_redshift_etl_spark.operators import quantization as qz
+    seed_micro = {
+        int(r["vec_id"]): qz.micro_list(r["embedding"])
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    }
+    assert any(cents[c] != seed_micro[c] for c in cents)
+    assign = spark.read.parquet(os.path.join(idx, "assignment.parquet"))
+    assert assign.count() == meta["n_vectors"]
+    q = list(emb.filter("vec_id = 23").first()["embedding"])
+    top = search_vectors_batch(spark, emb, idx, {23: q}, k=2, nprobe=1).collect()
+    assert top[0]["vec_id"] == 23 and top[0]["exact_dist"] == 0
+
+
+def test_vector_batch_broadcast_parity_and_string_ids(tmp_path, spark):
+    """r13 (VERDICT r12 #4): the broadcast-DataFrame query path must return
+    identical rows to the literal path, and non-int query ids are carried
+    as strings instead of crashing on int()."""
+    from arthur_redshift_etl_spark.vector_index import (
+        build_vector_index,
+        search_vectors_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    build_vector_index(spark, emb, idx, n_centroids=4, n_subspaces=4,
+                       train_iters=0, train_centroids=0)
+    qvecs = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in emb.filter("vec_id in (3, 17, 42)").collect()
+    }
+    lit = search_vectors_batch(
+        spark, emb, idx, qvecs, k=3, nprobe=2, query_plan="literal"
+    )
+    bc = search_vectors_batch(
+        spark, emb, idx, qvecs, k=3, nprobe=2, query_plan="broadcast"
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(lit) == key(bc)
+    assert dict(lit.dtypes)["query_id"] == "bigint"
+    # string ids: same vectors under string keys — both plans agree and
+    # the query_id column is a string
+    sq = {f"q-{k}": v for k, v in qvecs.items()}
+    slit = search_vectors_batch(
+        spark, emb, idx, sq, k=3, nprobe=2, query_plan="literal"
+    )
+    sbc = search_vectors_batch(
+        spark, emb, idx, sq, k=3, nprobe=2, query_plan="broadcast"
+    )
+    assert key(slit) == key(sbc)
+    assert dict(slit.dtypes)["query_id"] == "string"
+    got = {(r["query_id"], r["knn_rank"]): r["vec_id"] for r in slit.collect()}
+    for k_ in qvecs:
+        assert got[(f"q-{k_}", 1)] == k_
+    with pytest.raises(ValueError, match="query_plan"):
+        search_vectors_batch(spark, emb, idx, qvecs, query_plan="nope")
+
+
+def test_vector_index_staleness_check(tmp_path, spark, capsys):
+    """ADVICE r12 + VERDICT r12 #8: searching with a corpus that drifted
+    from the persisted assignment raises a STALE error naming the
+    fingerprints; verify=False searches the indexed subset knowingly;
+    build_vector_index --if-stale skips a fresh rebuild and rebuilds a
+    stale one."""
+    from arthur_redshift_etl_spark.vector_index import (
+        build_vector_index,
+        search_vectors_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    build_vector_index(spark, emb, idx, n_centroids=4, n_subspaces=4,
+                       train_iters=0, train_centroids=0)
+    drifted = emb.filter("vec_id < 100")
+    q = list(emb.filter("vec_id = 7").first()["embedding"])
+    with pytest.raises(ValueError, match="STALE"):
+        search_vectors_batch(spark, drifted, idx, {7: q}, k=2)
+    # explicit opt-out searches the (drifted) corpus anyway
+    rows = search_vectors_batch(
+        spark, drifted, idx, {7: q}, k=2, verify=False
+    ).collect()
+    assert rows[0]["vec_id"] == 7
+
+    # CLI --if-stale: fresh corpus -> skipped; drifted corpus -> rebuilt
+    assert main([
+        "build_vector_index",
+        "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--index-dir", idx, "--centroids", "4", "--subspaces", "4",
+        "--train-iters", "0", "--train-centroids", "0", "--if-stale",
+    ]) == 0
+    out1 = json.loads(next(
+        l for l in capsys.readouterr().out.splitlines() if l.startswith("{")
+    ))
+    assert out1.get("skipped") == "fresh"
+    small = str(tmp_path / "small.parquet")
+    emb.filter("vec_id < 100").write.parquet(small)
+    assert main([
+        "build_vector_index",
+        "--embeddings", small,
+        "--index-dir", idx, "--centroids", "4", "--subspaces", "4",
+        "--train-iters", "0", "--train-centroids", "0", "--if-stale",
+    ]) == 0
+    out2 = json.loads(next(
+        l for l in capsys.readouterr().out.splitlines() if l.startswith("{")
+    ))
+    assert "skipped" not in out2 and out2["n_vectors"] == 100

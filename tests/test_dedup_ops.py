@@ -952,3 +952,61 @@ def test_containment_join_property_random(spark):
             .collect()
         }
         assert got_naive == want, (seed, thr, "prefix_filter=False")
+
+
+def test_containment_join_exact_boundary_threshold(spark):
+    """ADVICE r12 regression: thresholds whose double product rounds up
+    past the exact integer (0.56 at 25 shingles: 0.56*25 =
+    14.000000000000002) must NOT over-prune exact-boundary pairs.  The
+    old float size filter t*|A| <= |B| dropped the pair below in BOTH
+    prefix paths (so the prefix-vs-naive property test could not see
+    it); the integer micro-unit form keeps it.
+
+    Construction: A has 25 distinct 3-shingles (27 distinct words); B is
+    A's first 16 words, so |B| = 14, B ⊂ A shingle-wise, inter = 14,
+    C(B→A) = 14/14 = 1.0 and the boundary case C(A→B)... — careful:
+    containment is directional on the CONTAINED side's size, so the
+    boundary pair is (contained=A, container=B)?  No: C(A→B) =
+    |A∩B|/|A| = 14/25 = 0.56 exactly, with |B| = 14 sitting exactly on
+    the size filter t*|A| <= |B| boundary (0.56*25 = 14)."""
+    words = [f"u{i}" for i in range(27)]
+    doc_a = " ".join(words)            # 25 distinct shingles
+    doc_b = " ".join(words[:16])       # 14 distinct shingles, all in A
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)], ["doc_id", "text"])
+    for pf in (True, False):
+        got = {
+            (r["contained_id"], r["container_id"], r["containment_micro"])
+            for r in dd.containment_join(
+                df, "doc_id", "text", threshold=0.56, min_size=5,
+                prefix_filter=pf,
+            ).collect()
+        }
+        # (A contained in B at exactly 0.56) and (B fully contained in A)
+        assert (1, 2, 560000) in got, (pf, got)
+        assert (2, 1, 1000000) in got, (pf, got)
+
+
+def test_ngram_jaccard_exact_boundary_threshold(spark):
+    """Same float-boundary class for the SYMMETRIC PPJoin: J(A,B) exactly
+    at a threshold whose double arithmetic rounds badly.  t = 0.56 with
+    |A| = 20, |B| = 25, inter = 16: union = 29... pick instead
+    |A| = |B| = 25 sharing 14... J = 14/36.  Simplest exact case:
+    identical docs (J = 1.0) pass at any t; the size-filter boundary is
+    t*|B| <= |A| with |A| = 14, |B| = 25, t = 0.56 -> 0.56*25 =
+    14.000000000000002 > 14 under float, = 14_000_000 <= 14_000_000
+    under integer.  Such a pair has J <= 14/25 = 0.56 exactly when
+    A ⊂ B — i.e. J = |A∩B|/|A∪B| = 14/25 = 0.56, ON the Jaccard
+    threshold too."""
+    words = [f"v{i}" for i in range(27)]
+    doc_b = " ".join(words)            # 25 shingles
+    doc_a = " ".join(words[:16])       # 14 shingles, all in B
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)], ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_join(
+            df, "doc_id", "text", threshold=0.56
+        ).collect()
+    }
+    # J(A,B) = 14/25 = 0.56 exactly — the pair must survive the length
+    # filter and the verification
+    assert (1, 2) in got, got

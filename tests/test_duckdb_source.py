@@ -857,9 +857,9 @@ def test_entry_green_path_uses_process_scoped_mirror(registered, tmp_path):
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("total_price"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("total_price_cents"),
         )
         .collect()
     }

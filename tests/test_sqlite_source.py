@@ -222,3 +222,21 @@ def test_query_schema_all_null_column_raises(registered, lite_path):
             .load()
             .collect()
         )
+
+
+def test_query_empty_result_loads_as_empty_dataframe(registered, lite_path):
+    """ADVICE r12: a query= that returns ZERO rows is a legitimate extract
+    (e.g. an incremental window with no new rows) — it must load as an
+    empty DataFrame (all-string fallback typing, the pre-r12 behavior),
+    not raise the misleading 'all NULL' inference error."""
+    df = (
+        registered.read.format("sqlite")
+        .option("path", lite_path)
+        .option(
+            "query",
+            "SELECT o_orderkey, o_totalprice FROM orders WHERE 1 = 0",
+        )
+        .load()
+    )
+    assert df.count() == 0
+    assert [t for _, t in df.dtypes] == ["string", "string"]
