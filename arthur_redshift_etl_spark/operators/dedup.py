@@ -177,16 +177,26 @@ def lsh_candidate_pairs(
     Banding is a single posexplode projection (NOT a union of per-band
     selects — a union would re-evaluate the signature pipeline once per band
     per join side).
+
+    The band key is a STRUCT of the band's signature longs, not a string
+    concat (r13, guide §2.3 "shuffle fewer bytes / narrower types"): the
+    key is purely internal — only ever joined/grouped on — so its
+    representation is free as long as key equality is unchanged, which a
+    struct of the same longs preserves exactly (candidate sets verified
+    identical, scripts/minhash_bandkey_ab.py).  A struct row is
+    rows_per_band fixed 8-byte longs with no per-row decimal rendering;
+    the old concat_ws shuffled ~20-char strings and paid the long->string
+    render per signature cell.  Local sf0.1 delta is noise-level; the
+    per-byte and per-render argument is what scales.
     """
     bands = num_hashes // rows_per_band
     band_keys = F.array(
         *[
-            F.concat_ws(
-                "_",
+            F.struct(
                 *[
-                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    F.col(f"mh{b * rows_per_band + r}").alias(f"k{r}")
                     for r in range(rows_per_band)
-                ],
+                ]
             )
             for b in range(bands)
         ]

@@ -2463,58 +2463,74 @@ def q20(spark, sf_dir):
     description=(
         "TPC-H Q21-style: suppliers who shipped last in multi-supplier "
         "orders, late vs order date. EXISTS/NOT EXISTS hand-decorrelated "
-        "into ONE pass: per-(order,supplier) aggregate carries max-ship "
-        "plus the bounded list of late shipdates (TPC-H orders have <=7 "
-        "lineitems), per-order top-2 distinct supplier maxima come from a "
-        "window over the same hash(l_orderkey) clustering, and the "
-        "qualifying-row count is a row-local array filter — no join back "
-        "against lineitem, so lineitem is scanned and shuffled exactly once"
+        "into ONE pass: a single per-order aggregate collects the bounded "
+        "(<=7 lineitems in TPC-H) list of (supplier, shipdate, late) "
+        "structs, and every per-supplier verdict — other-suppliers' max "
+        "ship, qualifying late-row count — is a row-local higher-order- "
+        "function over that array.  One exchange locally (the broadcast- "
+        "join regime previously re-shuffled for the window pass); at "
+        "cluster scale a sort-merge join's hash(l_orderkey) output "
+        "satisfies the groupBy clustering, so the aggregate adds no "
+        "exchange at all and lineitem is scanned and shuffled exactly once"
     ),
 )
 def q21(spark, sf_dir):
     # Join orders FIRST (status-F restriction only narrows which orders'
     # lineitems participate — the EXISTS/NOT EXISTS subqueries range over
     # the same order's lineitems, all of which survive the join), then do
-    # ALL per-order work on the join output: hash(l_orderkey) from the
-    # sort-merge join satisfies the groupBy(l_orderkey, l_suppkey)
-    # clustering (subset rule) and the window, so nothing re-shuffles.
+    # ALL per-order work on the join output, aggregated ONCE by l_orderkey.
+    # r13 (guide §2.4 "two operations keyed the same way share one
+    # exchange"): the previous groupBy(l_orderkey, l_suppkey) + three
+    # windows over l_orderkey needed a second hash exchange whenever the
+    # orders join is broadcast (the local/AQE regime) — collecting the
+    # order's rows into a bounded array and deriving the per-supplier
+    # verdicts row-locally removes that exchange AND the window sorts
+    # (measured at sf0.1: 2 shuffles -> 1, warm median 1.06 s -> 0.85 s,
+    # exact row parity — scripts/q21_rewrite_ab.py).
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
     lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
-    w = Window.partitionBy("l_orderkey")
-    # per-(order, supplier): latest shipment + the (bounded, <=7) late
-    # shipdates; per-order stats via windows over the same partitioning:
-    # supplier count, top supplier-max v1, achiever count cnt1, runner-up v2
     g = (
-        lo.groupBy("l_orderkey", "l_suppkey")
+        lo.groupBy("l_orderkey")
         .agg(
-            F.max("l_shipdate").alias("my_max"),
-            F.collect_list(F.when(late, F.col("l_shipdate"))).alias("late_ships"),
+            F.collect_list(
+                F.struct(
+                    F.col("l_suppkey").alias("s"),
+                    F.col("l_shipdate").alias("d"),
+                    late.alias("late"),
+                )
+            ).alias("ls")
         )
-        .withColumn("nsupp", F.count(F.lit(1)).over(w))
-        .withColumn("v1", F.max("my_max").over(w))
-        .withColumn(
-            "cnt1", F.sum(F.when(F.col("my_max") == F.col("v1"), 1).otherwise(0)).over(w)
+        # distinct suppliers of the order; single-supplier orders cannot
+        # satisfy the EXISTS clause
+        .withColumn("supps", F.array_distinct(F.transform("ls", lambda x: x["s"])))
+        .filter(F.size("supps") > 1)
+    )
+    per = g.select(F.explode("supps").alias("l_suppkey"), "ls")
+    # max ship among the OTHER suppliers of the order (non-empty: nsupp > 1)
+    other_max = F.array_max(
+        F.transform(
+            F.filter("ls", lambda x: x["s"] != F.col("l_suppkey")),
+            lambda x: x["d"],
         )
-        .withColumn(
-            "v2", F.max(F.when(F.col("my_max") < F.col("v1"), F.col("my_max"))).over(w)
-        )
-        .filter(F.col("nsupp") > 1)
-        # max ship among the OTHER suppliers of the order
-        .withColumn(
-            "other_max",
-            F.when(
-                (F.col("my_max") < F.col("v1")) | (F.col("cnt1") > 1), F.col("v1")
-            ).otherwise(F.col("v2")),
-        )
+    )
+    g = (
+        per.withColumn("other_max", other_max)
         # a row qualifies iff it is late AND no other supplier shipped
-        # after it — a row-local filter over the collected late shipdates
+        # strictly after it — a row-local filter over the order's rows
         .withColumn(
             "numwait_part",
-            F.size(F.filter(F.col("late_ships"), lambda x: x >= F.col("other_max"))),
+            F.size(
+                F.filter(
+                    "ls",
+                    lambda x: (x["s"] == F.col("l_suppkey"))
+                    & x["late"]
+                    & (x["d"] >= F.col("other_max")),
+                )
+            ),
         )
         .filter(F.col("numwait_part") > 0)
         .select("l_suppkey", "numwait_part")
