@@ -433,12 +433,30 @@ def ngram_jaccard_join(
     Unlike MinHash+LSH (recall < 1 by design) this returns exactly the
     same rows as the naive all-shared-shingle SQL — which is what the
     DuckDB oracle runs.
+
+    r13 (guide §2.3 "shuffle keys and metadata instead of payloads"): the
+    frequency ranking and the candidate self-join run on the 60-bit md5
+    HASH of the shingle, not the multi-word string — every quadratic-risk
+    stage shuffles fixed 8-byte longs.  This cannot change the result:
+    the prefix-filter theorem holds for ANY fixed global shingle order
+    (pigeonhole over the first |A| − ⌈t·|A|⌉ + 1 elements), so ordering
+    by (hash doc-freq, hash) instead of (string doc-freq, string) is just
+    a different valid order; a shared string always shares its hash, so
+    the hash-keyed candidate join yields a SUPERSET of the string-keyed
+    candidates (collisions only ever ADD candidates); and verification
+    computes exact Jaccard over the raw shingle STRINGS, which removes
+    any spurious candidate.  EXACT output for any input, collisions or
+    not.
     """
-    sh = doc_shingles(df, id_col, text_col, shingle_size).persist()
-    n_shingle_rows = sh.count()  # shared by ranking, candidates, verification
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    sh = (
+        doc_shingles(df, id_col, text_col, shingle_size)
+        .withColumn("h", hash64(F.col("shingle")))
+        .persist()
+    )
+    sh.count()  # materialize once: ranking, candidates, verification share it
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("doc_freq"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    order = Window.partitionBy(id_col).orderBy("doc_freq", "shingle")
+    order = Window.partitionBy(id_col).orderBy("doc_freq", "h")
     # exact integer micro-unit arithmetic — the float forms ceil(t*size)
     # and t*size_a <= size_b over-prune exact-boundary pairs when the
     # double product rounds up past the exact integer (same fix as
@@ -450,20 +468,21 @@ def ngram_jaccard_join(
         + 1
     )
     prefix = (
-        sh.join(freq, "shingle")
+        sh.select(id_col, "h")
+        .join(freq, "h")
         .withColumn("rn", F.row_number().over(order))
         .join(sizes, id_col)
         .filter(F.col("rn") <= prefix_len)
-        .select(id_col, "shingle", "set_size")
+        .select(id_col, "h", "set_size")
     )
     a = prefix.select(
-        F.col(id_col).alias("id_a"), "shingle", F.col("set_size").alias("size_a")
+        F.col(id_col).alias("id_a"), "h", F.col("set_size").alias("size_a")
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), "shingle", F.col("set_size").alias("size_b")
+        F.col(id_col).alias("id_b"), "h", F.col("set_size").alias("size_b")
     )
     cand = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.expr(f"{thr_micro} * size_a <= size_b * 1000000"))
         .filter(F.expr(f"{thr_micro} * size_b <= size_a * 1000000"))
@@ -479,11 +498,45 @@ def ngram_jaccard_join(
         # cheap to pin.
         .localCheckpoint(eager=True)
     )
-    return jaccard_from_shingles(
-        sh, cand, id_col, broadcast_sets="auto",
-        elems_upper_bound=n_shingle_rows,
-    ).filter(
-        F.col("jaccard") >= threshold
+    # Verification: exploded-row double join over the raw shingle STRINGS
+    # (exact under hash collisions by construction).  r13 A/B at sf0.1,
+    # 310,161 candidates: the previous jaccard_from_shingles collapsed-
+    # ARRAY verify took 10.9 s — its broadcast-array pattern wins for the
+    # MinHash path whose elements are 8-byte longs (r8 measurement), but
+    # with multi-word string elements the per-row array_intersect and the
+    # array-bearing join rows dominate.  Explode verify: 4.3 s, identical
+    # 256 output rows.  (An injectivity-audited hash-array variant
+    # measured 3.8 s + a ~1 s audit aggregate — net wash, rejected for
+    # complexity; see OPTIMIZATION_r13.md.)
+    inter = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("sza")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("szb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter_size").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter_size")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -528,7 +581,17 @@ def containment_join(
     containment_micro) with the ratio in exact integer micro-units —
     identical rows to the naive all-shared-shingle join.
     """
-    sh = doc_shingles(df, id_col, text_col, shingle_size).persist()
+    # r13 (guide §2.3): ranking + candidate stages are keyed by the 60-bit
+    # md5 hash of the shingle (8-byte longs through every quadratic-risk
+    # shuffle); verification joins the raw STRINGS, so output rows are
+    # EXACT regardless of hash collisions — same argument as
+    # ngram_jaccard_join above (any global order is a valid prefix order;
+    # hash-join candidates are a superset of string-join candidates).
+    sh = (
+        doc_shingles(df, id_col, text_col, shingle_size)
+        .withColumn("h", hash64(F.col("shingle")))
+        .persist()
+    )
     sh.count()  # materialize once: ranking, candidates, verification share it
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     # ALL threshold arithmetic in exact integer micro-units (the same
@@ -541,34 +604,35 @@ def containment_join(
     # and thr_micro*size tops out at ~1e6 * |shingles|, far inside int64.
     thr_micro = int(round(threshold * 1_000_000))
     if prefix_filter:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
-        order = Window.partitionBy(id_col).orderBy("doc_freq", "shingle")
+        freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("doc_freq"))
+        order = Window.partitionBy(id_col).orderBy("doc_freq", "h")
         prefix_len = (
             F.col("set_size")
             - F.expr(f"({thr_micro} * set_size + 999999) div 1000000")
             + 1
         )
         a_side = (
-            sh.join(freq, "shingle")
+            sh.select(id_col, "h")
+            .join(freq, "h")
             .withColumn("rn", F.row_number().over(order))
             .join(sizes, id_col)
             .filter(
                 (F.col("rn") <= prefix_len) & (F.col("set_size") >= min_size)
             )
-            .select(id_col, "shingle", "set_size")
+            .select(id_col, "h", "set_size")
         )
     else:
-        a_side = sh.join(sizes, id_col).filter(
+        a_side = sh.select(id_col, "h").join(sizes, id_col).filter(
             F.col("set_size") >= min_size
-        ).select(id_col, "shingle", "set_size")
+        ).select(id_col, "h", "set_size")
     a = a_side.select(
-        F.col(id_col).alias("id_a"), "shingle", F.col("set_size").alias("size_a")
+        F.col(id_col).alias("id_a"), "h", F.col("set_size").alias("size_a")
     )
-    b = sh.join(sizes, id_col).select(
-        F.col(id_col).alias("id_b"), "shingle", F.col("set_size").alias("size_b")
+    b = sh.select(id_col, "h").join(sizes, id_col).select(
+        F.col(id_col).alias("id_b"), "h", F.col("set_size").alias("size_b")
     )
     cand = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("id_a") != F.col("id_b"))
         # exact integer form of t*|A| <= |B| (both paths share this filter,
         # so a float rounding here would be invisible to the prefix-vs-
@@ -579,6 +643,15 @@ def containment_join(
         # lineage truncation, same reason as the Jaccard path above
         .localCheckpoint(eager=True)
     )
+    # Verification stays the exploded-row double join over the raw shingle
+    # STRINGS (exact under hash collisions).  A collapsed-array +
+    # broadcast variant (the r8 MinHash verify pattern) was A/B'd here in
+    # r13 and LOST — min 5.35 s vs 3.88 s on 205,864 candidates at sf0.1:
+    # with multi-word STRING elements the per-row array_intersect hash-set
+    # build and the array-bearing join rows cost more than the codegen'd
+    # narrow-row joins; the MinHash path wins with arrays because its
+    # elements are 8-byte longs.  (Honest negative result — do not
+    # re-chase without changing the element representation.)
     inter = (
         cand.join(
             sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a"

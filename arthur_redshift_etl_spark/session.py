@@ -33,6 +33,18 @@ def build_session(
         # shuffle-partition counts are always wrong for some stage.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce small post-shuffle partitions to the advisory SIZE rather
+        # than protecting the configured parallelism (guide §2.2 "fewer,
+        # larger reduce partitions").  At cluster scale this is the
+        # documented production posture (partitions sized by bytes, not by a
+        # static count that is always wrong for some stage); on the bench it
+        # removes the near-empty 32-partition stages that tiny post-shuffle
+        # data otherwise pays for (r13 A/B, full 23-query bench: warm total
+        # 23.95 -> 19.91 s, cold 29.94 -> 24.58 s, broad per-query wins —
+        # OPTIMIZATION_r13.md "Config A/B").  Values are unaffected by
+        # partition count: the workload's aggregates are order-free by the
+        # float-parity conventions (tests/test_float_parity_lint.py).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # let AQE coalesce shuffle partitions INSIDE cached plans too —
         # persisted intermediates (e.g. the dedup shingle set) otherwise pin

@@ -92,27 +92,68 @@ def generate() -> None:
     spark.stop()
 
 
-def main() -> None:
-    generate()
+def _run_bench(sf_dir: str) -> dict:
     env = dict(os.environ)
     env.update(
-        SPARK_GRAFT_SF_DIR=DST,
+        SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_BENCH_RECHECK="0",
         SPARK_GRAFT_BENCH_WARM="1",
     )
-    bench = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
-    out = subprocess.run([sys.executable, bench], env=env, capture_output=True, text=True)
+    bench = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+    )
+    out = subprocess.run(
+        [sys.executable, bench], env=env, capture_output=True, text=True
+    )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    result = json.loads(line)
-    print(line)
+    return json.loads(line)
+
+
+def main() -> None:
+    generate()
+    # Denominator pinning (VERDICT r12 #6): the r6 (1.20x) vs r12 (1.72x)
+    # spread for the SAME 10x experiment lived in the same-day solo sf0.1
+    # baseline, not the scaled run.  Run the baseline TWICE, report the
+    # factor against the per-query min-of-2, and print each run's spin
+    # probe + steal so the denominator's own noise band rides the artifact.
+    base_runs = [_run_bench(SRC), _run_bench(SRC)]
+    for i, r in enumerate(base_runs):
+        h = r.get("host", {})
+        print(
+            f"# baseline run {i + 1}: cold {r['value']:.2f}s  "
+            f"spin_ms_post={h.get('spin_ms_post')} steal={h.get('steal_cores')}"
+        )
+    spread = abs(base_runs[0]["value"] - base_runs[1]["value"]) / min(
+        r["value"] for r in base_runs
+    )
+    print(f"# baseline cold spread between the two runs: {spread:.1%}")
+    base_q = {
+        k: min(r["queries"][k] for r in base_runs)
+        for k in base_runs[0]["queries"]
+    }
+
+    result = _run_bench(DST)
+    print(json.dumps(result))
     scaled = {
         k: v for k, v in result["queries"].items() if k not in UNSCALED_QUERIES
     }
+    base_core = sum(v for k, v in base_q.items() if k not in UNSCALED_QUERIES)
     print(
         f"# scaled-core cold total: {sum(scaled.values()):.2f}s over "
         f"{len(scaled)} queries; fixed-size rows excluded: "
         f"{sorted(UNSCALED_QUERIES)}"
     )
+    print(
+        f"# scaling factor (x{COPIES} facts): "
+        f"{sum(scaled.values()) / base_core:.2f}x vs min-of-2 baseline "
+        f"core {base_core:.2f}s (denominator spread {spread:.1%})"
+    )
+    worst = sorted(
+        ((scaled[k] / base_q[k], k) for k in scaled if base_q.get(k)),
+        reverse=True,
+    )[:5]
+    for f, k in worst:
+        print(f"#   {k}: {f:.2f}x ({base_q[k]:.2f}s -> {scaled[k]:.2f}s)")
 
 
 if __name__ == "__main__":
