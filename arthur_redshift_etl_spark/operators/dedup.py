@@ -456,7 +456,6 @@ def ngram_jaccard_join(
     sh.count()  # materialize once: ranking, candidates, verification share it
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("doc_freq"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    order = Window.partitionBy(id_col).orderBy("doc_freq", "h")
     # exact integer micro-unit arithmetic — the float forms ceil(t*size)
     # and t*size_a <= size_b over-prune exact-boundary pairs when the
     # double product rounds up past the exact integer (same fix as
@@ -467,13 +466,23 @@ def ngram_jaccard_join(
         - F.expr(f"({thr_micro} * set_size + 999999) div 1000000")
         + 1
     )
+    # row-local prefix selection — same rewrite as containment_join below
+    # (EXACT-parity asserted in scripts/prefix_rank_ab.py): per-doc
+    # sort_array + slice replaces the partition-wide row_number window sort
     prefix = (
         sh.select(id_col, "h")
         .join(freq, "h")
-        .withColumn("rn", F.row_number().over(order))
-        .join(sizes, id_col)
-        .filter(F.col("rn") <= prefix_len)
-        .select(id_col, "h", "set_size")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_freq", "h"))).alias("o"),
+            F.count(F.lit(1)).alias("set_size"),
+        )
+        .select(
+            id_col,
+            F.explode(F.slice(F.col("o"), F.lit(1), prefix_len)).alias("e"),
+            "set_size",
+        )
+        .select(id_col, F.col("e.h").alias("h"), "set_size")
     )
     a = prefix.select(
         F.col(id_col).alias("id_a"), "h", F.col("set_size").alias("size_a")
@@ -605,21 +614,36 @@ def containment_join(
     thr_micro = int(round(threshold * 1_000_000))
     if prefix_filter:
         freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("doc_freq"))
-        order = Window.partitionBy(id_col).orderBy("doc_freq", "h")
         prefix_len = (
             F.col("set_size")
             - F.expr(f"({thr_micro} * set_size + 999999) div 1000000")
             + 1
         )
+        # Prefix selection by ROW-LOCAL sort (r13): collect each doc's
+        # (doc_freq, h) structs, sort_array + slice per row, explode the
+        # slice — identical output to the previous row_number window
+        # (asserted EXACT in scripts/prefix_rank_ab.py; same per-doc total
+        # order), but the partition-wide window SORT over every shingle
+        # row is replaced by bounded per-doc array sorts (median 0.99 s ->
+        # 0.82 s at sf0.1; the scaling argument — no full sort of the
+        # element table — is the larger point).
         a_side = (
             sh.select(id_col, "h")
             .join(freq, "h")
-            .withColumn("rn", F.row_number().over(order))
-            .join(sizes, id_col)
-            .filter(
-                (F.col("rn") <= prefix_len) & (F.col("set_size") >= min_size)
+            .groupBy(id_col)
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("doc_freq", "h"))
+                ).alias("o"),
+                F.count(F.lit(1)).alias("set_size"),
             )
-            .select(id_col, "h", "set_size")
+            .filter(F.col("set_size") >= min_size)
+            .select(
+                id_col,
+                F.explode(F.slice(F.col("o"), F.lit(1), prefix_len)).alias("e"),
+                "set_size",
+            )
+            .select(id_col, F.col("e.h").alias("h"), "set_size")
         )
     else:
         a_side = sh.select(id_col, "h").join(sizes, id_col).filter(

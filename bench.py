@@ -190,6 +190,19 @@ class _HostMeter:
 
 # Headline set: the scan/join/agg/window relational core plus one operator
 # from each scale-pipeline family (text, dedup, similarity).
+#
+# r13 (VERDICT r12 #5: put an r10-r12 operator family under round-over-round
+# bench visibility): bloom_filter_fpr_check joins the set — the r12 sketch
+# family's FPR eval, cold 2.89 s / warm 1.35 s at t-r13 (its baseline row;
+# BASELINE.md).  The other two suggested candidates were measured and NOT
+# added, with reasons: dedup_containment_pairs costs 13.7 s cold even after
+# the r13 hash-keyed candidate optimization (half the rest of the suite —
+# it would dominate the headline number and erode the perf-gate margin on a
+# noisy box), and vector_index_batch_search builds its index through a
+# process-lifetime memo, so its in-suite warm pass would reuse a cached
+# artifact — a measurement the no-result-caching rule forbids presenting as
+# a warm query time.  Both remain measurable on demand via
+# SPARK_GRAFT_BENCH_QUERIES.
 DEFAULT_QUERIES = [
     "q01_pricing_summary",
     "revenue_by_nation",
@@ -214,6 +227,7 @@ DEFAULT_QUERIES = [
     "dedup_exact_prefix",
     "dedup_minhash_lsh",
     "knn_bruteforce",
+    "bloom_filter_fpr_check",
 ]
 
 
