@@ -4477,8 +4477,13 @@ def semantic_dedup_clustered(spark, sf_dir):
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    assign = sim.ivf_assign(emb, centroids)
-    blocked = emb.join(assign, "vec_id")
+    # assign feeds the blocked table AND the final accounting join; blocked
+    # feeds BOTH sides of cosine_dedup_pairs' within-block self-join — a
+    # lazy persist on each computes the chain once per stage instead of
+    # per consumer (r13 pin sweep: 23 -> 13 plan exchanges, median
+    # 2.53 -> 2.31 s at sf0.1; values unchanged)
+    assign = sim.ivf_assign(emb, centroids).persist()
+    blocked = emb.join(assign, "vec_id").persist()
     removed = (
         sim.cosine_dedup_pairs(blocked, "centroid_id", threshold=0.35)
         .select(F.col("id_b").alias("rid"))
@@ -13368,6 +13373,13 @@ def _purity_over(emb, assign):
         assign.join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("centroid_id", "label")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # consumed twice (tot and best); lazily pinning the
+        # k x |labels|-bounded cell table computes the assignment chain
+        # once instead of per consumer (r13 pin sweep:
+        # kmeans_trained_purity median 1.44 -> 0.75 s, cluster_purity_eval
+        # 0.75 -> 0.49 s at sf0.1; localCheckpoint measured slower than
+        # no pin — eager barrier > recompute saved)
+        .persist()
     )
     tot = cells.groupBy("centroid_id").agg(
         F.sum("n").cast("long").alias("n_total")
@@ -13409,6 +13421,16 @@ def _silhouette_over(emb, assign):
     """
     from .operators import quantization as qz
 
+    # assign is consumed TWICE (by_cluster and ab) — for the trained
+    # variants its lineage embeds the whole seed-assign -> Lloyd ->
+    # re-assign chain, which the plan would otherwise clone and recompute
+    # per consumer.  A lazy persist computes it once and serves both (a
+    # pin cannot change rows); the eager localCheckpoint alternative was
+    # measured SLOWER than no pin (r13 pin sweep: trained silhouette
+    # median 2.48 -> 4.66 s vs persist 2.21 s) — its barrier costs more
+    # than the recompute it saves.  The pinned table is (vec_id,
+    # centroid_id): two longs per corpus row.
+    assign = assign.persist()
     exm = emb.select(
         "vec_id",
         F.posexplode(qz.micro_components()).alias("dim0", "xm"),
@@ -13995,22 +14017,31 @@ def pq_reconstruction_error(spark, sf_dir):
         for r in emb.filter(F.col("vec_id") < PQ_K).collect()
     }
     xm = emb.select(qz.micro_components(F.col("embedding")).alias("xm"))
-    per_m = []
-    for m in range(PQ_M):
-        err = F.array_min(
-            F.array(
-                *[
-                    qz.pq_subspace_distance(F.col("xm"), codebooks[cid], m, PQ_SUB)
-                    for cid in sorted(codebooks)
-                ]
+    # ALL M subspace argmins in ONE projection (array of errs) + posexplode,
+    # instead of one frame per m unionAll'd: 1 parquet scan instead of PQ_M,
+    # micro_components evaluated once per row instead of PQ_M times.  Per
+    # (row, m) the err expression tree is unchanged and posexplode's pos
+    # enumerates 0..M-1 exactly as the lit(m) labels did, so the grouped
+    # sums are bit-identical (r13 A/B: scripts/pq_recon_ab.py, parity EXACT,
+    # noop median 0.455 -> 0.239 s at sf0.1).
+    errs = F.array(
+        *[
+            F.array_min(
+                F.array(
+                    *[
+                        qz.pq_subspace_distance(
+                            F.col("xm"), codebooks[cid], m, PQ_SUB
+                        )
+                        for cid in sorted(codebooks)
+                    ]
+                )
             )
-        )
-        per_m.append(
-            xm.select(F.lit(m).cast("long").alias("m"), err.alias("err"))
-        )
-    ex = per_m[0]
-    for d in per_m[1:]:
-        ex = ex.unionAll(d)
+            for m in range(PQ_M)
+        ]
+    )
+    ex = xm.select(F.posexplode(errs).alias("m", "err")).select(
+        F.col("m").cast("long").alias("m"), "err"
+    )
     return ex.groupBy("m").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         F.sum("err").cast("long").alias("total_sq_err"),

@@ -156,6 +156,11 @@ def test_no_cartesian_no_python_udf(spark, name):
 
     df = REGISTRY[name].fn(spark, SF)
     codes = {w.code for w in lint_plan(df)}
+    # lint each entry's OWN plan: persisted fragments registered by earlier
+    # entries (r13 multi-consumer pins) would otherwise substitute into
+    # logically-equal subtrees here and change the rendered plan shape
+    # (same convention as test_plan_budgets / gen_plan_budgets)
+    spark.catalog.clearCache()
     assert "PY_UDF" not in codes, f"{name}: Python UDF in a catalog hot path"
     # broadcast-hint audit (r6): a hinted broadcast over an un-aggregated
     # fact scan grows with the data; allowlisted entries bound it by a
