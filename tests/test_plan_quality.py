@@ -637,3 +637,14 @@ def test_simhash64_near_pairs_no_window_no_cartesian(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "windowspecdefinition" not in p, p
+
+
+def test_pq_reconstruction_single_scan_no_union(spark):
+    """pq_reconstruction_error computes ALL M subspace argmins in one
+    projection + posexplode (r13): the plan must contain no Union of
+    per-subspace frames and at most 2 parquet scans (the corpus scan; the
+    codebook collect happens at build time, outside this plan)."""
+    p = plan(spark, "pq_reconstruction_error")
+    assert "Union" not in p, p
+    assert p.count("Scan parquet") <= 2, p
+    assert "posexplode" in p.lower() or "Generate" in p, p
