@@ -162,7 +162,14 @@ def ivf_search(
     multi-probe needs no candidate dedup.  The probe list is
     queries × nprobe rows — still broadcast-sized.
     """
-    assign = ivf_assign(collection, centroids, id_col, vec_col, centroid_id_col)
+    # persist: assign feeds both the collection side and the query side of
+    # the bucket join — unpinned, each consumer re-runs the broadcast
+    # crossJoin + argmin aggregate over the whole collection.  The pinned
+    # state is (vec_id, centroid_id) longs: two words per collection row
+    # (r13 pin sweep 2, the lazy-persist convention of that sweep).
+    assign = ivf_assign(
+        collection, centroids, id_col, vec_col, centroid_id_col
+    ).persist()
     coll = normalized(collection, id_col, "neighbor_id", vec_col, "cv").join(
         assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
     )

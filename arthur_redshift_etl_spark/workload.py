@@ -9547,6 +9547,9 @@ def association_rules_brands(spark, sf_dir):
         li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        # persist: ob feeds four consumers (tot, bc, both pair-join sides);
+        # unpinned each re-runs the fact join + distinct (r13 pin sweep 2)
+        .persist()
     )
     tot = ob.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n")
@@ -10613,6 +10616,11 @@ def _minhash_recall_oracle(
 )
 def minhash_lsh_recall_eval(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
+    # NO pin on sigs (r13 pin sweep 2 negative result): persisting the
+    # signature table cuts 11 -> 9 exchanges but is measurably SLOWER
+    # (6.24 -> 7.08 s min at sf0.1) — the materialization barrier costs
+    # more than the band self-join's parallel recompute of the shingle
+    # chain, the same lesson as sweep 1's localCheckpoint rejection.
     sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
     cand = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, rows_per_band=2)
     truth = dd.ngram_jaccard_join(docs, threshold=0.5).select("id_a", "id_b")
@@ -12212,8 +12220,13 @@ def ivfpq_recall_eval(spark, sf_dir):
             for item in (F.lit(cid), F.lit(i + 1))
         ]
     )
-    cand = assign.filter(F.col("centroid_id").isin(probe_ids)).select(
-        "vec_id", prk_map[F.col("centroid_id")].alias("prk")
+    # persist: cand feeds three consumers (the encode filter, the ADC-score
+    # join, and cand_hit via expanded) — unpinned each re-runs the corpus
+    # ivf_assign broadcast-argmin chain (r13 pin sweep 2)
+    cand = (
+        assign.filter(F.col("centroid_id").isin(probe_ids))
+        .select("vec_id", prk_map[F.col("centroid_id")].alias("prk"))
+        .persist()
     )
     codebooks = {
         r["vec_id"]: qz.micro_list(r["embedding"])
@@ -12226,9 +12239,13 @@ def ivfpq_recall_eval(spark, sf_dir):
         emb.join(cand.select("vec_id"), "vec_id"), codebooks, PQ_M, PQ_SUB
     )
     lut = qz.pq_adc_lut(query, codebooks, PQ_M, PQ_SUB)
-    scored = coded.select(
-        "vec_id", qz.pq_adc_score(lut, PQ_M).alias("adc_dist")
-    ).join(cand, "vec_id")
+    # persist: scored feeds both the per-nprobe top-10 window chain and
+    # cand_hit; unpinned each re-runs pq_encode + the ADC LUT aggregate
+    scored = (
+        coded.select("vec_id", qz.pq_adc_score(lut, PQ_M).alias("adc_dist"))
+        .join(cand, "vec_id")
+        .persist()
+    )
     expanded = scored.select(
         "vec_id",
         "adc_dist",
@@ -12248,11 +12265,14 @@ def ivfpq_recall_eval(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    # persist: the 10-row exact top-k joins twice (adc_hit, cand_hit);
+    # unpinned each join side re-runs the full-corpus exact-distance scan
     exact = (
         emb.select("vec_id", exact_d.alias("d"))
         .orderBy("d", "vec_id")
         .limit(10)
         .select("vec_id", F.lit(1).alias("in_exact"))
+        .persist()
     )
     adc_hit = (
         ranked.join(exact, "vec_id", "left")
