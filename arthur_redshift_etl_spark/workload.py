@@ -7341,8 +7341,15 @@ def doc_lm_crossentropy(spark, sf_dir):
             )
         ).alias("z"),
     ).select("doc_id", F.col("z")["0"].alias("w1"), F.col("z")["1"].alias("w2"))
-    pdb = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("npos"))
-    g2 = pdb.groupBy("w1", "w2").agg(F.sum("npos").cast("long").alias("c2"))
+    # persist (r13 pin sweep 3): pdb feeds the model aggregation AND the
+    # final score join; g2 feeds g1, vsz, and probs — unpinned, each
+    # consumer re-runs the bigram explode + two-level count chain
+    pdb = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("npos")
+    ).persist()
+    g2 = pdb.groupBy("w1", "w2").agg(
+        F.sum("npos").cast("long").alias("c2")
+    ).persist()
     g1 = g2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
     vsz = g2.agg(F.countDistinct("w2").alias("vsz"))
     probs = (
@@ -7701,8 +7708,15 @@ def doc_lm_crossentropy_loo(spark, sf_dir):
             )
         ).alias("z"),
     ).select("doc_id", F.col("z")["0"].alias("w1"), F.col("z")["1"].alias("w2"))
-    pdb = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("npos"))
-    g2 = pdb.groupBy("w1", "w2").agg(F.sum("npos").cast("long").alias("c2"))
+    # persist (r13 pin sweep 3): same multi-consumer shape as
+    # doc_lm_crossentropy — pdb feeds the window/score join and g2;
+    # g2 feeds g1, vsz, and the score join
+    pdb = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("npos")
+    ).persist()
+    g2 = pdb.groupBy("w1", "w2").agg(
+        F.sum("npos").cast("long").alias("c2")
+    ).persist()
     g1 = g2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
     vsz = g2.agg(F.countDistinct("w2").alias("vsz"))
     own1 = F.sum("npos").over(Window.partitionBy("doc_id", "w1"))
@@ -8088,10 +8102,13 @@ def doc_token_entropy(spark, sf_dir):
 )
 def lang_unigram_kl_divergence(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
+    # persist (r13 pin sweep 3): lc feeds ln_tot, gc, and the final join —
+    # unpinned, each re-runs the token explode + (lang, token) count
     lc = (
         docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
     )
     ln_tot = lc.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
     gc = lc.groupBy("token").agg(F.sum("c").cast("long").alias("g"))
@@ -8766,6 +8783,12 @@ def bitext_margin_mining(spark, sf_dir):
         F.sqrt(F.col("assq").cast("double"))
         * F.sqrt(F.col("ssq").cast("double"))
     )
+    # NO pin on scored (r13 pin sweep 3 negative result): persisting the
+    # anchor x cand scoring block cuts 10 -> 6 exchanges but shows no wall
+    # win in a same-window A/B (unpinned min 1.40 / median 1.58 vs pinned
+    # 1.45 / 2.07 at sf0.1, 7 reps) — and unlike the adopted pins its
+    # state is PAIR-sized (|anchors| x |B| rows), not corpus-linear, so
+    # the memory cost scales with the very block we avoid materializing.
     scored = cands.crossJoin(F.broadcast(anchors)).select(
         "anchor_id",
         F.col("vec_id").alias("cand_id"),
