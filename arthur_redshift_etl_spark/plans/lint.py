@@ -49,6 +49,30 @@ _REDUCING_NODES = (
     "Deduplicate",
 )
 
+# PHYSICAL twins of _REDUCING_NODES: a persist() pin substitutes into the
+# optimized logical plan as an InMemoryRelation LEAF, so its lineage is only
+# visible as the cached physical tree (r13 multi-consumer pins made this
+# reachable inside hinted broadcast subtrees — ivf_search's assign pin)
+_PHYS_REDUCING_NODES = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+)
+
+
+def _unwrap_cached_physical(imr_jnode):
+    """The SparkPlan an InMemoryRelation caches; under AQE the stored plan
+    is an AdaptiveSparkPlanExec LEAF — unwrap to its pre-execution initial
+    plan (Scala package-private, public in bytecode, reachable via py4j)."""
+    phys = imr_jnode.cachedPlan()
+    if phys.nodeName() == "AdaptiveSparkPlan":
+        phys = phys.initialPlan()
+    return phys
+
 
 def _fact_scans_from_path(ident: str) -> List[str]:
     """Fact tables identified by the PATH BASENAME of a file-source leaf.
@@ -80,11 +104,44 @@ def broadcast_audit(df: DataFrame) -> List[dict]:
     """
     records: List[dict] = []
 
+    def phys_subtree(pnode) -> tuple:
+        """scan_subtree twin over a cached PHYSICAL tree — without it a
+        pinned aggregate loses its reduction exemption (BIG_BROADCAST
+        false-fires on the join-product stat) and a pinned raw fact scan
+        escapes the audit entirely."""
+        name = pnode.nodeName()
+        if any(name.startswith(r) for r in _PHYS_REDUCING_NODES):
+            return [], True  # row-bounded below this point
+        if name.startswith("InMemoryTableScan"):  # nested pin
+            try:
+                return phys_subtree(_unwrap_cached_physical(pnode.relation()))
+            except Exception:  # noqa: BLE001 - opaque cache: no lineage
+                return [], False
+        kids = _jchildren(pnode)
+        if not kids:
+            try:  # file-based scan: identify the table by its root path
+                ident = pnode.relation().location().rootPaths().apply(0).toString()
+            except Exception:  # noqa: BLE001 - non-file leaf: skip
+                return [], False
+            return _fact_scans_from_path(ident), False
+        found: List[str] = []
+        reduced = False
+        for c in kids:
+            f, r = phys_subtree(c)
+            found.extend(f)
+            reduced = reduced or r
+        return found, reduced
+
     def scan_subtree(node) -> tuple:
         """(raw fact scans, subtree contains a reducing node)."""
         name = node.nodeName()
         if any(name.startswith(r) for r in _REDUCING_NODES):
             return [], True  # row-bounded below this point
+        if name == "InMemoryRelation":  # persist pin: walk the cached plan
+            try:
+                return phys_subtree(_unwrap_cached_physical(node))
+            except Exception:  # noqa: BLE001 - opaque cache: no lineage
+                return [], False
         if not _jchildren(node):  # logical leaf: relation / local table
             try:  # file-based: identify the table by its root path
                 ident = node.relation().location().rootPaths().apply(0).toString()

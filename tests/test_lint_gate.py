@@ -119,6 +119,41 @@ def test_lint_silent_on_aggregate_bounded_broadcast(spark):
     assert "BCAST_RAW_FACT" not in {w.code for w in lint_plan(ok)}
 
 
+def test_lint_sees_through_persist_pin_aggregate(spark):
+    """A persist() pin substitutes into the optimized plan as an
+    InMemoryRelation LEAF; the audit must walk the cached physical plan so
+    a pinned AGGREGATE keeps its reduction exemption (the r13 ivf_search
+    assign pin false-fired BIG_BROADCAST through the join-product stat)."""
+    li = t(spark, SF, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).persist()
+    try:
+        o = t(spark, SF, "orders")
+        ok = o.join(F.broadcast(agg), F.col("o_orderkey") == F.col("l_orderkey"))
+        codes = {w.code for w in lint_plan(ok)}
+        assert "BCAST_RAW_FACT" not in codes
+        assert "BIG_BROADCAST" not in codes
+        assert "BIG_DECODED_BROADCAST" not in codes
+        recs = broadcast_audit(ok)
+        assert recs and not recs[0]["size_meaningful"]
+    finally:
+        agg.unpersist()
+
+
+def test_lint_fires_through_persist_pin_raw_fact(spark):
+    """The cached-plan walk keeps the gate ARMED: a pinned raw fact
+    projection under a hint still warns BCAST_RAW_FACT."""
+    li = t(spark, SF, "lineitem").select("l_orderkey", "l_quantity").persist()
+    try:
+        o = t(spark, SF, "orders")
+        bad = o.join(F.broadcast(li), F.col("o_orderkey") == F.col("l_orderkey"))
+        codes = {w.code for w in lint_plan(bad)}
+        assert "BCAST_RAW_FACT" in codes
+        recs = [r for r in broadcast_audit(bad) if r["scans"]]
+        assert recs and recs[0]["scans"] == ["lineitem"]
+    finally:
+        li.unpersist()
+
+
 def test_lint_silent_on_dimension_broadcast(spark):
     """Hinted dimension broadcasts (the bread-and-butter pattern) pass."""
     li = t(spark, SF, "lineitem")
