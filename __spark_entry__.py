@@ -166,21 +166,13 @@ _DRIVER_VERIFIED = (
 # Entries whose IMPLEMENTATION changed since their last green driver row:
 # force them into the first-50 sample until a post-change hash-verified
 # row exists (round 6 used this for the q21 rewrite; round 8 for the
-# stratum-window rewires; round 9 for the top_k_by_count consumers — all
-# re-recorded green, so those left the block again; r12's simhash pin
-# re-greened and left).  Remaining: the duckdb entry — red r9-r12 while
-# green in every judge session and under its own in-driver tri-check.
-# The r12 literal-return experiment adjudicated the divergence to the
-# DRIVER's oracle-side evaluation; round 13 removes the one semantics a
-# different driver-side DuckDB version could legitimately compute
-# differently (the double->decimal cast in the aggregate), replacing it
-# with the repo's bit-exact integer-cents convention on BOTH sides.
-# Green r13 row => root cause named (driver-oracle decimal-cast
-# divergence) and this pin comes out; still red => retire the entry name
-# per VERDICT r12 #1.
-_RESAMPLE_FIRST = (
-    "duckdb_source_orders_by_status",
-)
+# stratum-window rewires; round 9 for the top_k_by_count consumers; rounds
+# 9-13 for duckdb_source_orders_by_status, whose driver-side decimal-cast
+# divergence was closed in r13 by the bit-exact integer-cents convention —
+# green r13 row, pin retired per VERDICT r13 #7, slot returns to the
+# rotation).  Empty now; re-add any entry whose semantics-adjacent code
+# changes before a driver round re-verifies it.
+_RESAMPLE_FIRST: tuple = ()
 
 
 def _rotated(mapping: dict) -> dict:

@@ -96,10 +96,26 @@ def connected_components(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=False)
     # materialize the edge list once — upstream edge producers (e.g. a
-    # similarity join) are expensive, and the loop re-reads bidir every round
+    # similarity join) are expensive, and the loop re-reads bidir every round.
+    # r14 (guide §2.1): symmetrize by exploding a 2-struct array instead of
+    # a 2-branch union — the union plan embedded the (un-checkpointed)
+    # edge-producer subtree TWICE, so the similarity join's verify stage ran
+    # twice during this eager materialization; the explode emits the same
+    # (a,b)+(b,a) multiset from one pass
     bidir = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .localCheckpoint(eager=True)
     )
     # labels only ever decrease (min-propagation), so the label-sum strictly

@@ -26,6 +26,13 @@ from pyspark.sql.window import Window
 
 from .text import tokens_col
 
+# containment_join(prefix_filter="auto") regime threshold, in milli-units of
+# the duplicated-occurrence fraction (share of (doc, shingle) rows whose
+# shingle appears in >= 2 docs).  Placed by scripts/containment_auto_ab.py:
+# sparse sf0.1 documents measure well below, 4x/8x near-duplicate corpora
+# (where the naive regime wins 8x wall, SCALE.md r12) well above.
+CONTAINMENT_SATURATION_MILLI = 700
+
 
 def hash64(col: Column) -> Column:
     """Deterministic 60-bit positive int hash of a string column.
@@ -549,6 +556,32 @@ def ngram_jaccard_join(
     )
 
 
+def containment_dup_milli(sh: DataFrame, key_col: str = "h") -> int:
+    """Duplicated-occurrence fraction of an (id, key) element table, in
+    exact milli-units: the share of element rows whose key appears in >= 2
+    rows.  The regime stat behind ``containment_join(prefix_filter="auto")``
+    — weighting by OCCURRENCES (sum of doc_freq over duplicated keys, not
+    the count of distinct duplicated keys) separates uniform near-duplicate
+    saturation (copies: every occurrence duplicated, fraction -> 1000) from
+    a Zipf hot-head over an otherwise unique corpus (few hot shingles, most
+    occurrences still unique, fraction stays low).  One aggregate over the
+    (already persisted) element table plus a 1-row collect."""
+    stats = (
+        sh.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .agg(
+            F.sum("doc_freq").alias("occ"),
+            F.sum(
+                F.when(F.col("doc_freq") >= 2, F.col("doc_freq")).otherwise(0)
+            ).alias("dup_occ"),
+        )
+        .collect()[0]
+    )
+    if not stats["occ"]:
+        return 0
+    return (1000 * int(stats["dup_occ"])) // int(stats["occ"])
+
+
 def containment_join(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -556,7 +589,7 @@ def containment_join(
     threshold: float = 0.8,
     min_size: int = 5,
     shingle_size: int = 3,
-    prefix_filter: bool = True,
+    prefix_filter: bool | str = True,
 ) -> DataFrame:
     """EXACT directional containment join: every ordered pair (A, B),
     A != B, with |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ threshold
@@ -586,6 +619,20 @@ def containment_join(
     its three extra stages are pure overhead (measured 8× slower at 20k
     docs of 4×-duplicated content).
 
+    ``prefix_filter="auto"`` (VERDICT r13 #3) measures the regime instead
+    of trusting the caller: from the already-persisted shingle table it
+    computes the duplicated-occurrence fraction — the share of (doc,
+    shingle) rows whose shingle appears in >= 2 docs.  Near-duplicate
+    copies push that fraction toward 1.0 uniformly (every shingle of a
+    duplicated doc is duplicated), while a sparse post-exact-dedup corpus
+    keeps it low even with a hot-shingle head, because most of each doc's
+    shingles are unique to it.  Above CONTAINMENT_SATURATION_MILLI the
+    corpus is saturated -> naive regime; below it the prefix filter's
+    candidate cut is what keeps the join shuffleable -> prefix regime.
+    The stat is one aggregate over the persisted table + a 1-row collect
+    (~2 extra small stages), measured against both regimes in
+    scripts/containment_auto_ab.py.
+
     Returns (contained_id, container_id, inter_size, contained_size,
     containment_micro) with the ratio in exact integer micro-units —
     identical rows to the naive all-shared-shingle join.
@@ -612,6 +659,10 @@ def containment_join(
     # ceil(t*size) == (thr_micro*size + 999_999) div 1_000_000 exactly,
     # and thr_micro*size tops out at ~1e6 * |shingles|, far inside int64.
     thr_micro = int(round(threshold * 1_000_000))
+    if prefix_filter == "auto":
+        prefix_filter = (
+            containment_dup_milli(sh) < CONTAINMENT_SATURATION_MILLI
+        )
     if prefix_filter:
         freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("doc_freq"))
         prefix_len = (

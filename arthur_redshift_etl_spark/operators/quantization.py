@@ -190,6 +190,63 @@ def pq_encode(
     )
 
 
+def pq_encode_arrow(
+    df: DataFrame,
+    codebooks: dict,
+    n_subspaces: int,
+    sub_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy twin of :func:`pq_encode` — byte-identical codes.
+
+    Guide §4.2 shape: Spark distributes the scan, a ``mapInPandas`` stage
+    hands whole batches to vectorized numpy, and only (id, vector) crosses
+    the boundary.  Exactness argument, term by term vs the expression form:
+
+    - micro units: ``np.floor(float64(x) * 1e6)`` — float32→float64 is an
+      exact widening, the multiply and floor are the same IEEE-double ops
+      Spark's ``floor(cast(x as double) * 1e6)`` performs;
+    - distances: int64 differences/squares/sums, exact in both engines
+      (micro components ~1e6 → per-subspace sums ~1e13, far inside int64);
+    - argmin tie-break: ``np.argmin`` returns the FIRST minimum and the
+      codebook axis is ordered by ascending centroid id — identical to the
+      expression form's lexicographic ``array_min`` over (d, cid) structs.
+
+    Parity is pinned by test + scripts/pq_encode_arrow_ab.py (multiset
+    equality at enlarged scale).  Break-even caveat (r13 sizing note): the
+    Arrow stage's fixed cost exceeds the expression cost at bench-scale
+    corpora (~2k rows); this path is for corpus-scale encode jobs.
+    """
+    import numpy as np
+
+    cids = sorted(codebooks)
+    cb = np.array([codebooks[c] for c in cids], dtype=np.int64)  # K x dims
+    cid_arr = np.array(cids, dtype=np.int64)
+    schema = ", ".join(
+        [f"{id_col} long"] + [f"code{m} int" for m in range(n_subspaces)]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * 1e6
+            ).astype(np.int64)  # n x dims
+            out = {id_col: pdf[id_col].to_numpy()}
+            for m in range(n_subspaces):
+                xm = x[:, m * sub_dims:(m + 1) * sub_dims]
+                cm = cb[:, m * sub_dims:(m + 1) * sub_dims]
+                d = ((xm[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+                out[f"code{m}"] = cid_arr[np.argmin(d, axis=1)].astype(
+                    np.int32
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
 def pq_adc_lut(query_micro: list, codebooks: dict, n_subspaces: int, sub_dims: int):
     """{(m, cid): exact int distance} computed driver-side in plain Python —
     the 32-entry table ADC scoring bakes in as map literals."""

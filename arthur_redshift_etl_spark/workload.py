@@ -9092,8 +9092,10 @@ def triangle_count_parts(spark, sf_dir):
     # the plan scans the materialized thinned tables instead of cloning
     # the whole upstream subtree per consumer
     deg = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
+        # explode(array(src,dst)) == UNION ALL of the two endpoint columns
+        # (identical node multiset, no nulls) in ONE pass over the cached
+        # edge table instead of two branch scans (guide §2.1/§6)
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .persist()
@@ -9131,9 +9133,11 @@ def triangle_count_parts(spark, sf_dir):
         F.col("lo").alias("a"), F.col("h1").alias("b"), F.col("h2").alias("c")
     )
     tcount = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        # r14 (guide §2.1): the UNION ALL form cloned the wedge+closure
+        # join subtree into THREE plan branches (the cached `o` feeds
+        # each, but the join work itself ran per branch); explode of the
+        # vertex array emits the same node multiset from ONE join pass
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
@@ -13482,11 +13486,13 @@ def _silhouette_over(emb, assign):
     # modulus is derived identically in the oracle (integer floor div)
     n_vecs = emb.count()
     mod = max(1, n_vecs // SIL_ANCHOR_BUDGET)
-    anch = emb.filter(F.col("vec_id") % mod == 0).select(
-        F.col("vec_id").alias("ai")
-    )
-    e1 = exm.join(anch, exm.vec_id == F.col("ai")).select(
-        "ai", "dim0", F.col("xm").alias("x1")
+    # r14: the anchor side is exm FILTERED by the modulus directly — the
+    # previous join against a separately-scanned anchor-id table was an
+    # equi-join of a table with its own filtered self (row-identical), and
+    # cost one extra embeddings scan + its input-spread exchange + a join
+    # (guide §2.4 "remove shuffles outright")
+    e1 = exm.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("ai"), "dim0", F.col("xm").alias("x1")
     )
     e2 = exm.select(
         F.col("vec_id").alias("bj"), "dim0", F.col("xm").alias("x2")
@@ -14495,12 +14501,15 @@ def bloom_filter_fpr_check(spark, sf_dir):
 )
 def dedup_containment_pairs(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    # prefix-filtered containment join (asymmetric AllPairs): the shipped
-    # operator prunes candidates to prefix(contained) x full(container) —
-    # identical rows to the oracle's naive shared-shingle join, which is
-    # exactly what the hash compare proves
+    # auto regime (r14, VERDICT r13 #3): the duplicated-occurrence stat
+    # picks the prefix filter on this sparse corpus (dup fraction far
+    # below CONTAINMENT_SATURATION_MILLI — scripts/containment_auto_ab.py)
+    # and would pick the measured-8x-faster naive join on a duplicate-
+    # saturated crawl.  Rows are identical in either regime — exactly
+    # what the hash compare against the oracle's naive join proves.
     return dd.containment_join(
-        docs, "doc_id", "text", threshold=0.8, min_size=5
+        docs, "doc_id", "text", threshold=0.8, min_size=5,
+        prefix_filter="auto",
     )
 
 

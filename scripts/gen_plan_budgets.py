@@ -46,8 +46,18 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # optional argv subset: re-plan only the named entries and merge into
+    # the existing file (for a round that touched a handful of plans; the
+    # full sweep remains the default and the CI -m full path re-verifies)
+    subset = sys.argv[1:]
     budgets = {}
-    for name in sorted(REGISTRY):
+    if subset and os.path.exists(OUT):
+        with open(OUT) as fh:
+            budgets = json.load(fh)
+        unknown = sorted(set(subset) - set(REGISTRY))
+        if unknown:
+            raise SystemExit(f"unknown entries: {unknown}")
+    for name in subset or sorted(REGISTRY):
         budgets[name] = count_exchanges(plan_text(REGISTRY[name].fn(spark, SF)))
         spark.catalog.clearCache()
     with open(OUT, "w") as fh:

@@ -61,6 +61,7 @@ def _full_result(n_queries: int) -> dict:
         },
         "value_cold_best": 30.1,
         "value": 31.56,
+        "queries_steal_cores": {k: 0.62 for k in queries},
     }
 
 
@@ -93,6 +94,25 @@ def test_line_budget_holds_as_suite_grows(bench, n):
     assert len(parsed["queries"]) + parsed.get("queries_omitted", 0) == n
     if n <= 40:  # omission is strictly a last resort
         assert "queries_omitted" not in parsed
+
+
+def test_per_query_steal_rides_the_line_filtered(bench):
+    """VERDICT r13 item 2: contaminated queries' steal must travel on the
+    stdout line; calm queries (<0.05 cores) must not bloat it."""
+    result = _full_result(len(bench.DEFAULT_QUERIES))
+    names = list(result["queries"])
+    result["queries_steal_cores"] = {
+        n: (0.62 if i < 3 else 0.01) for i, n in enumerate(names)
+    }
+    compact = bench.compact_stdout_result(result)
+    line = json.dumps(compact)
+    assert len(line) <= bench.LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["queries_steal_cores"] == {n: 0.62 for n in names[:3]}
+    # worst case: every query contaminated on a full-size suite still fits
+    result["queries_steal_cores"] = {n: 0.62 for n in names}
+    compact = bench.compact_stdout_result(result)
+    assert len(json.dumps(compact)) <= bench.LINE_BUDGET
 
 
 def test_r08_regression_shape_now_parses(bench):

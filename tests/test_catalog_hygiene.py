@@ -150,7 +150,29 @@ ALLOWED_NL_JOIN = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+def _smoke(names):
+    """Default-path subset (VERDICT r13 #1; the oracle/budget-sweep scheme):
+    every 5th sorted entry + bench DEFAULT_QUERIES + every entry with a
+    lint allowlist entry (the ones whose hygiene verdict depends on the
+    allowlists staying in sync).  Full 245-plan lint: -m full."""
+    import bench
+
+    keep = {n for i, n in enumerate(names) if i % 5 == 0}
+    keep.update(n for n in bench.DEFAULT_QUERIES if n in names)
+    keep.update(n for n in ALLOWED_NL_JOIN if n in names)
+    return keep
+
+
+_SMOKE = _smoke(sorted(REGISTRY))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n in _SMOKE else pytest.param(n, marks=pytest.mark.full)
+        for n in sorted(REGISTRY)
+    ],
+)
 def test_no_cartesian_no_python_udf(spark, name):
     from tests.test_lint_gate import ALLOWED_BIG_BROADCAST, ALLOWED_RAW_FACT_BCAST
 

@@ -904,6 +904,62 @@ def test_containment_join_prefix_equals_naive(spark):
     assert planted <= found_directed
 
 
+def test_containment_join_auto_regime(spark):
+    """prefix_filter="auto" (VERDICT r13 #3) must (a) return rows identical
+    to both explicit regimes, and (b) actually pick the regime the corpus
+    shape calls for: prefix machinery on a sparse corpus, naive on a
+    duplicate-saturated one.  Regime choice is observed through the plan —
+    only the prefix branch contains the sort_array prefix selection."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(400)]
+    # sparse: 30 docs of mostly-unique shingles (big vocab, long docs),
+    # plus planted supersets so the identity check is non-vacuous
+    sparse_rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(25))) for i in range(30)
+    ]
+    sparse_rows += [
+        (100 + i, sparse_rows[i][1] + " " + " ".join(
+            rng.choice(vocab) for _ in range(8)))
+        for i in range(5)
+    ]
+    sparse = spark.createDataFrame(sparse_rows, ["doc_id", "text"])
+    # saturated: 10 base docs, each near-duplicated 3x (the 4x-copies shape)
+    base = [" ".join(rng.choice(vocab) for _ in range(25)) for _ in range(10)]
+    saturated = spark.createDataFrame(
+        [
+            (100 * c + i, txt + f" copymark{c}")
+            for i, txt in enumerate(base)
+            for c in range(4)
+        ],
+        ["doc_id", "text"],
+    )
+    for df, want_prefix in ((sparse, True), (saturated, False)):
+        # the regime decision itself: the stat containment_join computes in
+        # auto mode must land on the corpus's side of the threshold (the
+        # branch is then a trivial comparison — plan-string sniffing is
+        # fragile because the candidate subtree is checkpoint-truncated)
+        sh = dd.doc_shingles(df, "doc_id", "text", 3).withColumn(
+            "h", dd.hash64(F.col("shingle"))
+        )
+        milli = dd.containment_dup_milli(sh)
+        assert (milli < dd.CONTAINMENT_SATURATION_MILLI) == want_prefix, (
+            f"dup_milli={milli} vs threshold "
+            f"{dd.CONTAINMENT_SATURATION_MILLI} (want_prefix={want_prefix})"
+        )
+        results = {}
+        for pf in (True, False, "auto"):
+            out = dd.containment_join(
+                df, "doc_id", "text", threshold=0.8, min_size=5,
+                prefix_filter=pf,
+            )
+            results[pf] = sorted(tuple(r) for r in out.collect())
+            spark.catalog.clearCache()
+        assert results[True] == results[False] == results["auto"]
+        assert results[True], "corpus produced no pairs — test is vacuous"
+
+
 def test_containment_join_property_random(spark):
     """Property sweep: across several random corpora and thresholds, the
     prefix-filtered containment join equals the naive reference exactly

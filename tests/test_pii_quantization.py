@@ -135,3 +135,30 @@ def test_forget_rows_matches_filter_semantics_random(spark):
         assert audit["rows_removed"] == ev.count() - expect.count()
         assert audit["rows_after"] == expect.count()
         assert audit["residual_matches"] == 0
+
+
+def test_pq_encode_arrow_matches_expression(spark):
+    """pq_encode_arrow (guide §4.2 numpy batch path) must produce
+    byte-identical codes to the expression encoder — including argmin
+    tie-breaks (np.argmin first-min vs lexicographic (d, cid) array_min)
+    and the IEEE floor(x*1e6) micro-unit cast.  sf0.001 corpus + planted
+    exact-tie rows (a vector equal to a centroid midpoint region repeats)."""
+    from arthur_redshift_etl_spark.workload import PQ_K, PQ_M, PQ_SUB, t
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings")
+    # plant exact ties: duplicate the centroid rows themselves (distance 0
+    # to their own code in one subspace can tie across centroids that share
+    # subvectors) and a few negated/scaled rows
+    extra = emb.filter(F.col("vec_id") < PQ_K).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionAll(extra)
+    codebooks = {
+        r["vec_id"]: qz.micro_list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    a = qz.pq_encode(corpus, codebooks, PQ_M, PQ_SUB)
+    b = qz.pq_encode_arrow(corpus, codebooks, PQ_M, PQ_SUB)
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert b.count() == corpus.count()
