@@ -26,14 +26,6 @@ from pyspark.sql.window import Window
 
 from .text import tokens_col
 
-# containment_join(prefix_filter="auto") regime threshold, in milli-units of
-# the duplicated-occurrence fraction (share of (doc, shingle) rows whose
-# shingle appears in >= 2 docs).  Placed by scripts/containment_auto_ab.py:
-# sparse sf0.1 documents measure well below, 4x/8x near-duplicate corpora
-# (where the naive regime wins 8x wall, SCALE.md r12) well above.
-CONTAINMENT_SATURATION_MILLI = 700
-
-
 def hash64(col: Column) -> Column:
     """Deterministic 60-bit positive int hash of a string column.
 
@@ -556,32 +548,6 @@ def ngram_jaccard_join(
     )
 
 
-def containment_dup_milli(sh: DataFrame, key_col: str = "h") -> int:
-    """Duplicated-occurrence fraction of an (id, key) element table, in
-    exact milli-units: the share of element rows whose key appears in >= 2
-    rows.  The regime stat behind ``containment_join(prefix_filter="auto")``
-    — weighting by OCCURRENCES (sum of doc_freq over duplicated keys, not
-    the count of distinct duplicated keys) separates uniform near-duplicate
-    saturation (copies: every occurrence duplicated, fraction -> 1000) from
-    a Zipf hot-head over an otherwise unique corpus (few hot shingles, most
-    occurrences still unique, fraction stays low).  One aggregate over the
-    (already persisted) element table plus a 1-row collect."""
-    stats = (
-        sh.groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
-        .agg(
-            F.sum("doc_freq").alias("occ"),
-            F.sum(
-                F.when(F.col("doc_freq") >= 2, F.col("doc_freq")).otherwise(0)
-            ).alias("dup_occ"),
-        )
-        .collect()[0]
-    )
-    if not stats["occ"]:
-        return 0
-    return (1000 * int(stats["dup_occ"])) // int(stats["occ"])
-
-
 def containment_join(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -589,7 +555,7 @@ def containment_join(
     threshold: float = 0.8,
     min_size: int = 5,
     shingle_size: int = 3,
-    prefix_filter: bool | str = True,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """EXACT directional containment join: every ordered pair (A, B),
     A != B, with |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ threshold
@@ -609,29 +575,21 @@ def containment_join(
     exact verification.
 
     ``prefix_filter`` is a measured regime knob, not a correctness one
-    (results are identical either way; scripts/containment_crossover_ab.py):
-    keep it True when true pairs are SPARSE relative to shingle
-    co-occurrence — there the filter cuts the candidate bill 11-378×
-    (SCALE.md), which is what keeps the candidate table shuffleable at
-    corpus scale.  Set False on duplicate-SATURATED corpora (answer
-    density ≈ candidate density, e.g. pre-exact-dedup web crawls): the
-    filter cannot shrink a candidate set that is mostly real answers, so
-    its three extra stages are pure overhead (measured 8× slower at 20k
-    docs of 4×-duplicated content).
-
-    ``prefix_filter="auto"`` (VERDICT r13 #3) measures the regime instead
-    of trusting the caller: from the already-persisted shingle table it
-    computes the duplicated-occurrence fraction — the share of (doc,
-    shingle) rows whose shingle appears in >= 2 docs.  Near-duplicate
-    copies push that fraction toward 1.0 uniformly (every shingle of a
-    duplicated doc is duplicated), while a sparse post-exact-dedup corpus
-    keeps it low even with a hot-shingle head, because most of each doc's
-    shingles are unique to it.  Above CONTAINMENT_SATURATION_MILLI the
-    corpus is saturated -> naive regime; below it the prefix filter's
-    candidate cut is what keeps the join shuffleable -> prefix regime.
-    The stat is one aggregate over the persisted table + a 1-row collect
-    (~2 extra small stages), measured against both regimes in
-    scripts/containment_auto_ab.py.
+    (results are identical either way).  r12 measured the naive join 8×
+    faster on duplicate-saturated corpora (answer density ≈ candidate
+    density) and shipped False as the documented regime for them — but the
+    r13 rewrites (hash-keyed candidate stages, row-local prefix selection)
+    erased that crossover: re-measured on r14 code
+    (scripts/containment_auto_ab.py), the prefix path wins BOTH shapes —
+    4.0× on the sparse-answer sf0.1 corpus (7.45 s vs 30.06 s) and 3.7×
+    on the 20k-doc 4×-near-duplicate corpus (156.6 s vs 582.1 s), outputs
+    asserted identical.  An auto-select (VERDICT r13 #3) was therefore
+    built, measured, and DROPPED: there is no crossover left to arbitrate
+    (and the duplicated-occurrence stat it used mis-classifies
+    template-heavy corpora anyway — the sf0.1 documents table reads 999/1000
+    duplicated occurrences while prefix wins it 4×).  Keep True; False
+    remains only as the escape hatch for a future corpus that re-opens the
+    question, to be re-measured before use.
 
     Returns (contained_id, container_id, inter_size, contained_size,
     containment_micro) with the ratio in exact integer micro-units —
@@ -659,10 +617,6 @@ def containment_join(
     # ceil(t*size) == (thr_micro*size + 999_999) div 1_000_000 exactly,
     # and thr_micro*size tops out at ~1e6 * |shingles|, far inside int64.
     thr_micro = int(round(threshold * 1_000_000))
-    if prefix_filter == "auto":
-        prefix_filter = (
-            containment_dup_milli(sh) < CONTAINMENT_SATURATION_MILLI
-        )
     if prefix_filter:
         freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("doc_freq"))
         prefix_len = (

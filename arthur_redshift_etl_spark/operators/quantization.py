@@ -170,6 +170,30 @@ def pq_code(xm_col, codebooks: dict, m: int, sub: int):
     return best.getField("cid")
 
 
+def pq_encode_expr(
+    df: DataFrame,
+    codebooks: dict,
+    n_subspaces: int,
+    sub_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Expression-form PQ encode — the pre-r14 default, kept as the parity
+    reference for :func:`pq_encode_arrow` (tests pin multiset equality) and
+    as a no-Python fallback.  Measured 5.7-10x SLOWER than the Arrow form
+    at every corpus size (2k-640k vectors, scripts/pq_encode_arrow_ab.py):
+    the per-element interpreted zip_with/aggregate lambdas cost ~2-3 s even
+    on 2 000 rows, the exact interpreted-HOF tax guide §4.2 describes."""
+    base = df.select(F.col(id_col), micro_components(F.col(vec_col)).alias("xm"))
+    return base.select(
+        id_col,
+        *[
+            pq_code(F.col("xm"), codebooks, m, sub_dims).alias(f"code{m}")
+            for m in range(n_subspaces)
+        ],
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: dict,
@@ -179,14 +203,16 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, code0..code{M-1}) — a pure map over the corpus (plan-pinned in
-    test_plan_quality: no exchange, no join, no window)."""
-    base = df.select(F.col(id_col), micro_components(F.col(vec_col)).alias("xm"))
-    return base.select(
-        id_col,
-        *[
-            pq_code(F.col("xm"), codebooks, m, sub_dims).alias(f"code{m}")
-            for m in range(n_subspaces)
-        ],
+    test_plan_quality: no exchange, no join, no window).
+
+    r14: delegates to :func:`pq_encode_arrow` — byte-identical codes
+    (parity pinned in tests and at 640k-vector scale), measured 5.7x
+    faster at 2k vectors and 10.1x at 640k than the expression form
+    (scripts/pq_encode_arrow_ab.py; the r13 'below Arrow break-even'
+    sizing guess was wrong — the expression form's interpreted-HOF floor
+    is ~2-3 s at ANY size, guide §4.2)."""
+    return pq_encode_arrow(
+        df, codebooks, n_subspaces, sub_dims, id_col, vec_col
     )
 
 
@@ -231,6 +257,8 @@ def pq_encode_arrow(
         import pandas as pd
 
         for pdf in batches:
+            if pdf.empty:
+                continue
             x = np.floor(
                 np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * 1e6
             ).astype(np.int64)  # n x dims
@@ -320,30 +348,22 @@ def pq_train_iterations(
     )
     cb = {cid: list(vec) for cid, vec in codebooks.items()}
     for _ in range(n_iters):
-        per_m = []
-        for m in range(n_subspaces):
-            code = pq_code(F.col("xm"), cb, m, sub_dims)
-            per_m.append(
-                base.select(
-                    F.lit(m).cast("long").alias("m"),
-                    code.cast("long").alias("code"),
-                    F.slice(F.col("xm"), m * sub_dims + 1, sub_dims).alias(
-                        "sub"
-                    ),
-                ).select(
-                    "m",
-                    "code",
-                    F.posexplode(F.col("sub")).alias("sub_dim", "x"),
-                )
-            )
-        ex = per_m[0]
-        for d in per_m[1:]:
-            ex = ex.unionAll(d)
+        # r14 (guide §4.2 + §2.3): one Arrow pass per iteration replaces M
+        # corpus scans through the interpreted pq_code HOFs plus an
+        # M*SUB-rows-per-vector posexplode shuffle.  The numpy kernel is
+        # the pq_encode_arrow assignment (same argmin, same int64
+        # distances, np.argmin first-min == lexicographic (d, cid) min)
+        # and the per-batch PARTIAL aggregation bounds the Python->JVM
+        # rows and the shuffle at M*K*SUB cells per batch — corpus rows
+        # never cross the boundary back.  Exactness: int64 component sums
+        # in numpy == Spark's SUM(long); the final combine and the
+        # toward-zero `div` stay in Spark exactly as before.
         cells = (
-            ex.groupBy("m", "code", "sub_dim")
+            _train_assign_cells_arrow(base, cb, n_subspaces, sub_dims)
+            .groupBy("m", "code", "sub_dim")
             .agg(
-                F.sum("x").cast("long").alias("s"),
-                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("s").cast("long").alias("s"),
+                F.sum("n").cast("long").alias("n"),
             )
             .withColumn("cm", F.expr("s div n"))
             .collect()
@@ -353,6 +373,58 @@ def pq_train_iterations(
             new[r["code"]][r["m"] * sub_dims + r["sub_dim"]] = r["cm"]
         cb = new
     return cb
+
+
+def _train_assign_cells_arrow(
+    base: DataFrame, codebooks: dict, n_subspaces: int, sub_dims: int
+) -> DataFrame:
+    """Per-batch partial Lloyd cells for PQ training: (m, code, sub_dim,
+    s, n) where s/n are the int64 component sum and count of the batch's
+    vectors assigned to (m, code).  One corpus pass, output bounded by
+    M*K*SUB rows per Arrow batch."""
+    import numpy as np
+
+    cids = sorted(codebooks)
+    cb = np.array([codebooks[c] for c in cids], dtype=np.int64)
+    cid_arr = np.array(cids, dtype=np.int64)
+
+    def cells(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["xm"].to_numpy()).astype(np.int64)
+            out_m, out_code, out_dim, out_s, out_n = [], [], [], [], []
+            for m in range(n_subspaces):
+                xm = x[:, m * sub_dims:(m + 1) * sub_dims]
+                cm = cb[:, m * sub_dims:(m + 1) * sub_dims]
+                d = ((xm[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+                code = cid_arr[np.argmin(d, axis=1)]
+                for ci in cids:
+                    mask = code == ci
+                    n = int(mask.sum())
+                    if not n:
+                        continue
+                    s = xm[mask].sum(axis=0)  # int64, exact
+                    out_m.extend([m] * sub_dims)
+                    out_code.extend([ci] * sub_dims)
+                    out_dim.extend(range(sub_dims))
+                    out_s.extend(int(v) for v in s)
+                    out_n.extend([n] * sub_dims)
+            yield pd.DataFrame(
+                {
+                    "m": pd.Series(out_m, dtype="int64"),
+                    "code": pd.Series(out_code, dtype="int64"),
+                    "sub_dim": pd.Series(out_dim, dtype="int32"),
+                    "s": pd.Series(out_s, dtype="int64"),
+                    "n": pd.Series(out_n, dtype="int64"),
+                }
+            )
+
+    return base.mapInPandas(
+        cells, "m long, code long, sub_dim int, s long, n long"
+    )
 
 
 def pq_adc_pool(

@@ -67,10 +67,18 @@ _PHYS_REDUCING_NODES = (
 def _unwrap_cached_physical(imr_jnode):
     """The SparkPlan an InMemoryRelation caches; under AQE the stored plan
     is an AdaptiveSparkPlanExec LEAF — unwrap to its pre-execution initial
-    plan (Scala package-private, public in bytecode, reachable via py4j)."""
+    plan (Scala package-private, public in bytecode, reachable via py4j).
+    ADVICE r13: initialPlan() relies on that bytecode accident surviving
+    Spark upgrades, so fall back to inputPlan()/executedPlan() rather than
+    letting the whole pin go opaque on a signature change (the armed test
+    in test_lint_gate still pins the initialPlan path on this version)."""
     phys = imr_jnode.cachedPlan()
     if phys.nodeName() == "AdaptiveSparkPlan":
-        phys = phys.initialPlan()
+        for meth in ("initialPlan", "inputPlan", "executedPlan"):
+            try:
+                return getattr(phys, meth)()
+            except Exception:  # noqa: BLE001 - try the next accessor
+                continue
     return phys
 
 
@@ -103,6 +111,10 @@ def broadcast_audit(df: DataFrame) -> List[dict]:
     ``size_bytes``: Catalyst's size estimate for the hinted subtree.
     """
     records: List[dict] = []
+    # count of pinned subtrees whose cached lineage could not be read while
+    # auditing the CURRENT join side (reset per side in walk()) — surfaces
+    # the fail-open path ADVICE r13 flagged instead of silently skipping
+    opaque_pins = [0]
 
     def phys_subtree(pnode) -> tuple:
         """scan_subtree twin over a cached PHYSICAL tree — without it a
@@ -116,6 +128,7 @@ def broadcast_audit(df: DataFrame) -> List[dict]:
             try:
                 return phys_subtree(_unwrap_cached_physical(pnode.relation()))
             except Exception:  # noqa: BLE001 - opaque cache: no lineage
+                opaque_pins[0] += 1
                 return [], False
         kids = _jchildren(pnode)
         if not kids:
@@ -141,6 +154,7 @@ def broadcast_audit(df: DataFrame) -> List[dict]:
             try:
                 return phys_subtree(_unwrap_cached_physical(node))
             except Exception:  # noqa: BLE001 - opaque cache: no lineage
+                opaque_pins[0] += 1
                 return [], False
         if not _jchildren(node):  # logical leaf: relation / local table
             try:  # file-based: identify the table by its root path
@@ -170,6 +184,7 @@ def broadcast_audit(df: DataFrame) -> List[dict]:
                 subtree = children[idx]
                 raw = subtree.stats().sizeInBytes()  # scala BigInt; py4j may
                 size = raw if isinstance(raw, int) else int(raw.toString())
+                opaque_pins[0] = 0
                 scans, reduced = scan_subtree(subtree)
                 rc_opt = subtree.stats().rowCount()
                 row_count = None
@@ -206,6 +221,10 @@ def broadcast_audit(df: DataFrame) -> List[dict]:
                         # 850 GB for k-bounded subtrees) — size-gate only
                         # reduction-free lineage, where stats track scans
                         "size_meaningful": not reduced,
+                        # ADVICE r13: a pinned subtree whose cached lineage
+                        # could not be read means `scans` may UNDERCOUNT —
+                        # the gate's degradation is now visible, not silent
+                        "opaque_pin": opaque_pins[0] > 0,
                     }
                 )
         for c in _jchildren(node):

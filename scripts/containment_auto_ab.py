@@ -1,17 +1,27 @@
-"""Place and verify containment_join(prefix_filter="auto") (VERDICT r13 #3).
+"""Containment regime re-measurement (VERDICT r13 #3) — the receipt for
+DROPPING auto-select.
 
-For each corpus tier (1x sparse sf0.1 documents; 4x/8x perturbed near-
-duplicate copies — the saturated shape where r12 measured the naive regime
-8x faster) this script:
+r12 measured the naive all-shared-shingle join 8x faster than the prefix
+filter on duplicate-saturated corpora and shipped prefix_filter=False as
+the documented regime for them.  This script re-measures both regimes on
+post-r13 code (hash-keyed candidate stages, row-local prefix selection)
+over both corpus shapes, plus the duplicated-occurrence stat an auto-pick
+would have used.  Measured 2026-08-18 (32 cores, sf0.1 base):
 
-  1. computes the auto stat (duplicated-occurrence fraction, milli-units)
-     exactly as containment_join computes it,
-  2. times prefix / naive / auto warm walls through the real operator,
-  3. asserts the three result sets are row-identical (sorted tuples).
+  | corpus               | dup stat | prefix wall | naive wall | pairs  |
+  |-----------------------|----------|-------------|------------|--------|
+  | 5k docs (sparse answers) | 999/1000 | 7.45 s   | 30.06 s    | 511    |
+  | 20k docs (4x near-dups)  | 999/1000 | 156.6 s  | 582.1 s    | 68 176 |
 
-The printed table is the receipt for CONTAINMENT_SATURATION_MILLI: the
-threshold must separate the measured tier stats with margin, and "auto"
-must match the faster regime's wall on both shapes.
+Two conclusions, both encoded back into containment_join's docstring:
+  1. The r12 crossover NO LONGER EXISTS — prefix wins both shapes 3.7-4.0x,
+     so there is nothing for an auto-select to arbitrate; and
+  2. the duplicated-occurrence fraction cannot discriminate anyway: the
+     template-generated sf0.1 corpus reads 999/1000 "saturated" while the
+     prefix filter wins it 4x (answer density, not shingle duplication, is
+     what mattered — and answers are not cheaply estimable).
+
+Outputs are asserted identical between regimes at every tier.
 
 Run ALONE: PYTHONPATH=/root/repo python scripts/containment_auto_ab.py
 """
@@ -52,6 +62,9 @@ def corpus(spark, copies: int):
 
 
 def dup_milli(docs) -> int:
+    """The duplicated-occurrence stat the dropped auto-pick would have used
+    (kept here for the record): share of (doc, shingle) rows whose shingle
+    appears in >= 2 docs, in milli-units."""
     sh = dd.doc_shingles(docs, "doc_id", "text", 3)
     stats = (
         sh.groupBy("shingle")
@@ -64,6 +77,8 @@ def dup_milli(docs) -> int:
         )
         .collect()[0]
     )
+    if not stats["occ"]:
+        return 0
     return (1000 * int(stats["dup_occ"])) // int(stats["occ"])
 
 
@@ -75,19 +90,18 @@ def run(docs, pf):
 
 def main() -> None:
     spark = build_session(
-        "containment-auto-ab",
+        "containment-regime-ab",
         extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "24g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    out = {"sf_dir": SF, "threshold_milli": dd.CONTAINMENT_SATURATION_MILLI,
-           "tiers": {}}
+    out = {"sf_dir": SF, "tiers": {}}
     for copies in COPIES_TIERS:
         docs = corpus(spark, copies)
         n = docs.count()
         tier = {"dup_milli": dup_milli(docs)}
         rows = {}
-        for pf in (True, False, "auto"):
-            side = {True: "prefix", False: "naive", "auto": "auto"}[pf]
+        for pf in (True, False):
+            side = {True: "prefix", False: "naive"}[pf]
             run(docs, pf).count()  # warm
             spark.catalog.clearCache()
             t0 = time.perf_counter()
@@ -101,9 +115,7 @@ def main() -> None:
                 f"{tier[f'{side}_wall_s']}s ({len(res)} pairs)",
                 file=sys.stderr, flush=True,
             )
-        assert rows["prefix"] == rows["naive"] == rows["auto"], (
-            f"{n} docs: regime outputs differ"
-        )
+        assert rows["prefix"] == rows["naive"], f"{n} docs: regimes differ"
         tier["outputs_identical"] = True
         out["tiers"][f"{n}_docs"] = tier
         print(json.dumps(out), flush=True)  # partial progress survives a kill

@@ -62,7 +62,7 @@ def main() -> None:
     }
 
     variants = {
-        "expr": lambda: qz.pq_encode(vectors, codebooks, M, SUB),
+        "expr": lambda: qz.pq_encode_expr(vectors, codebooks, M, SUB),
         "arrow": lambda: qz.pq_encode_arrow(vectors, codebooks, M, SUB),
     }
     out = {"n_vectors": n, "copies": COPIES, "sf_dir": SF_DIR, "walls": {}}

@@ -904,18 +904,20 @@ def test_containment_join_prefix_equals_naive(spark):
     assert planted <= found_directed
 
 
-def test_containment_join_auto_regime(spark):
-    """prefix_filter="auto" (VERDICT r13 #3) must (a) return rows identical
-    to both explicit regimes, and (b) actually pick the regime the corpus
-    shape calls for: prefix machinery on a sparse corpus, naive on a
-    duplicate-saturated one.  Regime choice is observed through the plan —
-    only the prefix branch contains the sort_array prefix selection."""
+def test_containment_join_regimes_identical_on_both_corpus_shapes(spark):
+    """Both prefix_filter regimes must return identical rows on BOTH corpus
+    shapes — the sparse-answer shape the planted test above covers AND the
+    duplicate-saturated shape (4x near-copies) where r12 shipped the naive
+    regime.  r14 re-measured the regimes at scale and dropped the r12
+    crossover claim (prefix now wins both shapes,
+    scripts/containment_auto_ab.py); this test keeps the False escape
+    hatch row-identical so that re-opening the regime question is a pure
+    performance measurement."""
     import random
 
     rng = random.Random(11)
     vocab = [f"w{i}" for i in range(400)]
-    # sparse: 30 docs of mostly-unique shingles (big vocab, long docs),
-    # plus planted supersets so the identity check is non-vacuous
+    # sparse: mostly-unique shingles plus planted supersets (non-vacuous)
     sparse_rows = [
         (i, " ".join(rng.choice(vocab) for _ in range(25))) for i in range(30)
     ]
@@ -935,28 +937,16 @@ def test_containment_join_auto_regime(spark):
         ],
         ["doc_id", "text"],
     )
-    for df, want_prefix in ((sparse, True), (saturated, False)):
-        # the regime decision itself: the stat containment_join computes in
-        # auto mode must land on the corpus's side of the threshold (the
-        # branch is then a trivial comparison — plan-string sniffing is
-        # fragile because the candidate subtree is checkpoint-truncated)
-        sh = dd.doc_shingles(df, "doc_id", "text", 3).withColumn(
-            "h", dd.hash64(F.col("shingle"))
-        )
-        milli = dd.containment_dup_milli(sh)
-        assert (milli < dd.CONTAINMENT_SATURATION_MILLI) == want_prefix, (
-            f"dup_milli={milli} vs threshold "
-            f"{dd.CONTAINMENT_SATURATION_MILLI} (want_prefix={want_prefix})"
-        )
+    for df in (sparse, saturated):
         results = {}
-        for pf in (True, False, "auto"):
+        for pf in (True, False):
             out = dd.containment_join(
                 df, "doc_id", "text", threshold=0.8, min_size=5,
                 prefix_filter=pf,
             )
             results[pf] = sorted(tuple(r) for r in out.collect())
             spark.catalog.clearCache()
-        assert results[True] == results[False] == results["auto"]
+        assert results[True] == results[False]
         assert results[True], "corpus produced no pairs — test is vacuous"
 
 

@@ -157,7 +157,7 @@ def test_pq_encode_arrow_matches_expression(spark):
         r["vec_id"]: qz.micro_list(r["embedding"])
         for r in emb.filter(F.col("vec_id") < PQ_K).collect()
     }
-    a = qz.pq_encode(corpus, codebooks, PQ_M, PQ_SUB)
+    a = qz.pq_encode_expr(corpus, codebooks, PQ_M, PQ_SUB)
     b = qz.pq_encode_arrow(corpus, codebooks, PQ_M, PQ_SUB)
     assert a.schema == b.schema
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
