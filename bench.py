@@ -228,6 +228,13 @@ DEFAULT_QUERIES = [
     "dedup_minhash_lsh",
     "knn_bruteforce",
     "bloom_filter_fpr_check",
+    # r14 addition (additive only, PERF treats it as new_in_bench): the PQ
+    # family joins the bench now that its encode rides the Arrow/numpy pass
+    # (OPTIMIZATION_r14.md §4, 2.95x on this entry) — regression-visible
+    # round-over-round like bloom above.  Memo-free: codebooks are the
+    # first-K vectors (no training, no process-lifetime artifact), so cold
+    # and warm passes both compute from the parquet input.
+    "pq_code_utilization",
 ]
 
 
@@ -272,10 +279,12 @@ def compact_stdout_result(result: dict) -> dict:
         (k for k, v in steal.items() if v >= 0.05),
         key=lambda k: -steal[k],
     )
-    # cap at the 12 worst: a fully contaminated run is already adjudicated
+    # cap at the 8 worst: a fully contaminated run is already adjudicated
     # by host.steal_cores, and an uncapped map could push host/cold-fresh
-    # off the line in exactly the noisy runs that need them
-    compact["queries_steal_cores"] = {k: steal[k] for k in hit[:12]}
+    # off the line in exactly the noisy runs that need them (the cap is
+    # sized so a 25-query fully-contaminated line still fits the budget
+    # with host + cold-fresh intact — pinned in test_bench_line)
+    compact["queries_steal_cores"] = {k: steal[k] for k in hit[:8]}
     compact["host"] = {
         k: host.get(k)
         for k in ("load1_pre", "steal_cores", "other_cores", "spin_ms_post")

@@ -32,6 +32,10 @@ import sys
 import time
 
 REPO = "/root/repo"
+# code-pair experiment: r13 FINAL (a5860c2) vs r12 final — adjudicates the
+# 12 queries PERF_r13 flagged, so it must compare those two revisions, not
+# the round-14 working tree (which the flag experiment measures)
+R13 = "/root/r13wt"
 R12 = "/root/r12wt"
 OUT = os.path.join(REPO, "bench_ab14")
 FLAG = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
@@ -131,10 +135,16 @@ def run_pair(tag: str, legs: list[tuple[str, str, str]], deadline: float) -> boo
     def contaminated(r: dict) -> bool:
         host = (r.get("bench") or {}).get("host") or {}
         # steal = hypervisor neighbor; other_cores = in-VM competitor
-        # (e.g. a stray pytest) — either invalidates the pair
+        # (e.g. a stray pytest) — either invalidates the pair.  NOTE:
+        # `or 9` would treat a perfect 0.0 as missing (first run of the
+        # v2 harness discarded a 0.0/0.0 pair exactly that way) — only a
+        # truly absent meter is treated as contaminated.
+        steal = host.get("steal_cores")
+        other = host.get("other_cores")
         return (
-            (host.get("steal_cores") or 9) >= DISCARD_STEAL
-            or (host.get("other_cores") or 0) >= 1.0
+            steal is None
+            or steal >= DISCARD_STEAL
+            or (other is not None and other >= 1.0)
         )
 
     bad = [r["tag"] for r in records if r["rc"] != 0 or contaminated(r)]
@@ -170,7 +180,7 @@ def main() -> None:
         order = ["r12", "r13"] if lead_12 else ["r13", "r12"]
         legs = [
             (f"gcode_{v}_k{kept_code + 1}a{attempt}",
-             REPO if v == "r13" else R12, "")
+             R13 if v == "r13" else R12, "")
             for v in order
         ]
         if run_pair(f"code pair {kept_code + 1}", legs, deadline):

@@ -41,10 +41,12 @@ TABLES = (
     "events documents embeddings"
 ).split()
 # fixed-size inputs at this tier -> excluded from the scaling summary
+# (bloom_filter_fpr_check reads customer — a dim this generator does not
+# scale; pq_code_utilization reads embeddings, copied verbatim)
 UNSCALED_QUERIES = {
     "hourly_event_rollup", "event_sessions", "text_token_stats",
     "text_quality", "dedup_exact_prefix", "dedup_minhash_lsh",
-    "knn_bruteforce",
+    "knn_bruteforce", "bloom_filter_fpr_check", "pq_code_utilization",
 }
 
 
